@@ -1,0 +1,214 @@
+"""Posting-list block codec: delta + varint compression with per-block impacts.
+
+Re-expresses the on-disk shape of the reference postings format —
+128-entry blocks of delta-encoded docIDs with a compressed tf stream and
+per-block competitive impacts — in a Spark-friendly way:
+
+- ``reference lucene/core/src/java/org/apache/lucene/codecs/lucene50/
+  Lucene50PostingsFormat.java:398`` (BLOCK_SIZE = 128) and
+  ``Lucene50PostingsWriter.java:223-280`` (delta-encoded doc blocks, freq
+  blocks, VInt tail) define WHAT is stored per block;
+- ``reference lucene/core/src/java/org/apache/lucene/codecs/
+  CompetitiveImpactAccumulator.java:66-74`` defines the per-block (freq, norm)
+  impact data used for block-max pruning.
+
+Here every block becomes one DataFrame row ``(term, block_id, doc_id_base,
+count, doc_ids binary, tfs binary, norms binary, max_tf, min_norm)``.  Unlike
+Lucene we also inline the 1-byte norm of every posting into the block (norms
+are column-stride in Lucene, ``Lucene80NormsConsumer``); this denormalization
+removes the doc->norm join from the scoring path entirely — scoring is a pure
+per-block vectorized computation with no shuffle.
+
+Everything is vectorized numpy — encode/decode of N blocks is O(1) numpy
+calls, not O(N) Python loops (the analog of Lucene's bulk ForUtil decode,
+``ForUtil.java:190-239``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
+
+__all__ = [
+    "BLOCK_SIZE",
+    "encode_varint",
+    "decode_varint",
+    "varint_sizes",
+    "pack_postings_blocks",
+    "unpack_blocks",
+]
+
+
+def _within_group_ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for a vector of group sizes."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varint encoding (LEB128, 7 bits/byte)."""
+    v = np.asarray(values, dtype=np.uint64)
+    sizes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        sizes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return sizes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int array to bytes."""
+    buf, _ = encode_varint_with_sizes(values)
+    return buf
+
+
+def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    sizes = varint_sizes(v)
+    j = _within_group_ranges(sizes)  # byte index within each value
+    vals_rep = np.repeat(v, sizes)
+    out = ((vals_rep >> (np.uint64(7) * j.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
+    cont = j < np.repeat(sizes - 1, sizes)
+    out[cont] |= 0x80
+    return out.tobytes(), sizes
+
+
+def decode_varint(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 decode of a byte buffer to an int64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    group_starts = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
+    gid = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    j = np.arange(b.size, dtype=np.int64) - group_starts[gid]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * j.astype(np.uint64))
+    # values' bytes never overlap in bit ranges -> OR-reduce per group
+    return np.bitwise_or.reduceat(contrib, group_starts).astype(np.int64)
+
+
+def pack_postings_blocks(
+    term_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Pack sorted postings into per-(term, block) compressed rows.
+
+    Inputs are parallel arrays sorted by (term_code, doc_id) — the product of
+    the per-partition "flush" sort (analog of ``reference lucene/core/src/
+    java/org/apache/lucene/index/FreqProxTermsWriter.java:69-91``).
+
+    Returns a dict of parallel arrays/lists, one entry per block:
+    ``term_code, block_id, doc_id_base, count, doc_bytes, tf_bytes,
+    norm_bytes, max_tf, min_norm``.
+    """
+    n = len(doc_ids)
+    term_codes = np.asarray(term_codes, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    if n == 0:
+        return {
+            "term_code": np.empty(0, np.int64),
+            "block_id": np.empty(0, np.int32),
+            "doc_id_base": np.empty(0, np.int64),
+            "count": np.empty(0, np.int32),
+            "doc_bytes": [],
+            "tf_bytes": [],
+            "norm_bytes": [],
+            "max_tf": np.empty(0, np.int32),
+            "min_norm": np.empty(0, np.int32),
+        }
+
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = term_codes[1:] != term_codes[:-1]
+    # index of each posting within its term's postings list
+    term_start_idx = np.flatnonzero(new_term)
+    tid = np.cumsum(new_term.astype(np.int64)) - 1  # dense term index per posting
+    pos_in_term = np.arange(n, dtype=np.int64) - term_start_idx[tid]
+
+    block_of_posting = pos_in_term // block_size
+    new_block = new_term | ((pos_in_term % block_size) == 0)
+    block_start_idx = np.flatnonzero(new_block)
+    n_blocks = block_start_idx.size
+    bid_of_posting = np.cumsum(new_block.astype(np.int64)) - 1
+    block_counts = np.bincount(bid_of_posting, minlength=n_blocks).astype(np.int64)
+
+    # deltas: first posting of each block encodes 0 (docID from doc_id_base)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[block_start_idx] = 0
+
+    doc_buf, doc_sizes = encode_varint_with_sizes(deltas)
+    tf_buf, tf_sizes = encode_varint_with_sizes(tfs)
+
+    # byte ranges per block
+    def _block_slices(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        b_start = starts[block_start_idx]
+        b_end = np.concatenate((b_start[1:], ends[-1:]))
+        return b_start, b_end
+
+    d_start, d_end = _block_slices(doc_sizes)
+    t_start, t_end = _block_slices(tf_sizes)
+    n_start = np.cumsum(block_counts) - block_counts
+    n_end = np.cumsum(block_counts)
+    norm_buf = norms.tobytes()
+
+    max_tf = np.maximum.reduceat(tfs, block_start_idx).astype(np.int32)
+    min_norm = np.minimum.reduceat(norms, block_start_idx).astype(np.int32)
+
+    return {
+        "term_code": term_codes[block_start_idx],
+        "block_id": block_of_posting[block_start_idx].astype(np.int32),
+        "doc_id_base": doc_ids[block_start_idx],
+        "count": block_counts.astype(np.int32),
+        "doc_bytes": [doc_buf[a:b] for a, b in zip(d_start.tolist(), d_end.tolist())],
+        "tf_bytes": [tf_buf[a:b] for a, b in zip(t_start.tolist(), t_end.tolist())],
+        "norm_bytes": [norm_buf[a:b] for a, b in zip(n_start.tolist(), n_end.tolist())],
+        "max_tf": max_tf,
+        "min_norm": min_norm,
+    }
+
+
+def unpack_blocks(
+    doc_id_base: np.ndarray,
+    counts: np.ndarray,
+    doc_bytes_list,
+    tf_bytes_list,
+    norm_bytes_list,
+):
+    """Decode N block rows into flat (doc_ids, tfs, norms, block_index) arrays.
+
+    One numpy decode over the concatenation of all blocks (bulk decode, analog
+    of ``ForUtil.java:190-239``), then a per-block cumsum correction to turn
+    deltas back into absolute docIDs.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n_blocks = counts.size
+    if n_blocks == 0 or counts.sum() == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.uint8), e
+    doc_id_base = np.asarray(doc_id_base, dtype=np.int64)
+    deltas = decode_varint(b"".join(doc_bytes_list))
+    tfs = decode_varint(b"".join(tf_bytes_list))
+    norms = np.frombuffer(b"".join(norm_bytes_list), dtype=np.uint8)
+
+    block_starts = np.cumsum(counts) - counts
+    cs = np.cumsum(deltas)
+    # docID[i] = base[blk] + (cs[i] - cs_before_block) ; first delta per block is 0
+    cs_before = cs[block_starts] - deltas[block_starts]
+    offset = np.repeat(doc_id_base - cs_before, counts)
+    doc_ids = cs + offset
+    block_index = np.repeat(np.arange(n_blocks, dtype=np.int64), counts)
+    return doc_ids, tfs, norms, block_index
