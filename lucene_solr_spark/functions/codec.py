@@ -125,6 +125,7 @@ def pack_postings_blocks(
             "norm_bytes": [],
             "max_tf": np.empty(0, np.int32),
             "min_norm": np.empty(0, np.int32),
+            "sum_tf": np.empty(0, np.int64),
         }
 
     new_term = np.empty(n, dtype=bool)
@@ -167,6 +168,7 @@ def pack_postings_blocks(
 
     max_tf = np.maximum.reduceat(tfs, block_start_idx).astype(np.int32)
     min_norm = np.minimum.reduceat(norms, block_start_idx).astype(np.int32)
+    sum_tf = np.add.reduceat(tfs, block_start_idx).astype(np.int64)
 
     return {
         "term_code": term_codes[block_start_idx],
@@ -178,6 +180,7 @@ def pack_postings_blocks(
         "norm_bytes": [norm_buf[a:b] for a, b in zip(n_start.tolist(), n_end.tolist())],
         "max_tf": max_tf,
         "min_norm": min_norm,
+        "sum_tf": sum_tf,
     }
 
 

@@ -1,0 +1,445 @@
+"""Distributed BM25 query evaluation over the inverted index.
+
+The global query plan mirrors the reference's two-phase sharded search
+(``reference solr/core/src/java/org/apache/solr/handler/component/
+QueryComponent.java:495-590,673-688``): every partition produces candidate
+(doc_id, score) rows, a global top-k reduce picks winners
+(``orderBy(score desc, doc_id asc).limit(k)`` compiles to Spark's
+TakeOrderedAndProject — per-partition heap + driver merge, the exact shape of
+``TopScoreDocCollector`` + ``TopDocs.merge``, ``reference lucene/core/src/
+java/org/apache/lucene/search/TopDocs.java:75-90``), and stored fields are
+fetched only for winners via a broadcast semi-join (PURPOSE_GET_FIELDS).
+
+Scorer-to-plan mapping (``search/Boolean2ScorerSupplier.java:93-188``):
+
+- MUST/FILTER conjunction  -> matched-clause-count filter after a doc_id agg
+  (BlockMaxConjunctionScorer analog);
+- SHOULD disjunction        -> union + groupBy(doc_id).sum (WANDScorer
+  analog; two-pass block-max pruning below);
+- MUST_NOT                  -> left-anti join (ReqExclScorer analog);
+- minimumNumberShouldMatch  -> HAVING count >= mm (MinShouldMatchSumScorer).
+
+Block-max pruning (``search/ImpactsDISI.java:94-126``, ``WANDScorer.java``,
+``MaxScoreCache.java:64``) is re-expressed shuffle-free as two passes:
+
+1. a tiny sample of the highest-upper-bound blocks (a few KB to the driver)
+   is exact-scored to obtain θ, a sound lower bound on the kth best score;
+2. only blocks whose upper bound (plus the other query terms' global maxima,
+   for disjunctions) reaches θ are unpacked and scored.
+
+A pruned block provably contains no top-k doc: any doc in it has total score
+< θ while every true top-k doc scores >= θ with all its blocks intact — so
+results are identical to the exhaustive path (tested).
+
+Float semantics for rank-identity: leaf scores are float32
+(BM25Similarity.java:222-226), clause sums accumulate in double and cast back
+to float32, ties break (score desc, doc_id asc) (HitQueue.java:76-80).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions import bm25
+from ..functions.codec import unpack_blocks
+from ..plans.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    SynonymQuery,
+    TermQuery,
+)
+from .indexer import InvertedIndex
+
+_SCORED_SCHEMA = "term string, doc_id bigint, tf int, norm int, score float"
+
+
+def _make_unpack_score(weights: dict, cache: np.ndarray):
+    """mapInPandas fn: block rows -> (term, doc_id, tf, norm, score float32).
+
+    Bulk-decodes every block in the Arrow batch with two numpy varint decodes
+    (ForUtil bulk-decode analog) and scores with the float32-exact BM25
+    kernel. No per-row Python.
+    """
+
+    def fn(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["count"].to_numpy(dtype=np.int64)
+            doc_ids, tfs, norms, _ = unpack_blocks(
+                pdf["doc_id_base"].to_numpy(dtype=np.int64),
+                counts,
+                list(pdf["doc_ids"]),
+                list(pdf["tfs"]),
+                list(pdf["norms"]),
+            )
+            w_block = pdf["term"].map(weights).to_numpy(dtype=np.float32)
+            w = np.repeat(w_block, counts)
+            t32 = (tfs.astype(np.float64) / (tfs.astype(np.float64) + cache[norms].astype(np.float64))).astype(
+                np.float32
+            )
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(dtype=object), counts),
+                    "doc_id": doc_ids,
+                    "tf": tfs.astype(np.int32),
+                    "norm": norms.astype(np.int32),
+                    "score": (w * t32).astype(np.float32),
+                }
+            )
+
+    return fn
+
+
+@dataclass
+class TopDocs:
+    """Search result: DataFrame (doc_id bigint, score float), already ranked."""
+
+    df: DataFrame
+    k: int
+
+    def collect(self):
+        return [(r["doc_id"], r["score"]) for r in self.df.collect()]
+
+
+class IndexSearcher:
+    """Analog of ``search/IndexSearcher.java`` bound to one InvertedIndex.
+
+    ``corpus`` (optional) enables stored-field fetch and two-phase phrase
+    verification; it must carry (config.id_col, config.text_col).
+    """
+
+    def __init__(self, index: InvertedIndex, corpus: Optional[DataFrame] = None):
+        self.index = index
+        self.corpus = corpus
+        self.spark = index.postings.sparkSession
+
+    # ---------------------------------------------------------------- stats
+    def _term_stats(self, terms: set[str]) -> dict:
+        """Global term statistics — the Weight/TermStates resolution step
+        (reference index/TermStates.java:102, IndexSearcher.java:772,788)."""
+        if not terms:
+            return {}
+        rows = self.index.terms.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def _scorer(self) -> bm25.BM25:
+        return bm25.BM25(doc_count=self.index.doc_count, avgdl=self.index.avgdl)
+
+    # ------------------------------------------------------------ leaf plans
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id bigint, score float")
+
+    def _scored_postings(self, weights: dict) -> DataFrame:
+        """(term, doc_id, tf, norm, score) for all terms in `weights`."""
+        if not weights:
+            return self.spark.createDataFrame([], _SCORED_SCHEMA)
+        blocks = self.index.postings.filter(F.col("term").isin(list(weights)))
+        cache = self._scorer().cache()
+        return blocks.mapInPandas(_make_unpack_score(weights, cache), schema=_SCORED_SCHEMA)
+
+    def _eval_term(self, q: TermQuery, boost: float, stats: dict) -> DataFrame:
+        df_ttf = stats.get(q.term)
+        if not df_ttf:
+            return self._empty()
+        scorer = self._scorer()
+        w = np.float32(np.float32(boost * q.boost) * bm25.idf(df_ttf[0], scorer.doc_count))
+        return self._scored_postings({q.term: float(w)}).select("doc_id", "score")
+
+    def _eval_synonym(self, q: SynonymQuery, boost: float, stats: dict) -> DataFrame:
+        """SynonymQuery.java:54 — blended stats: df = max over terms, tf summed
+        per doc, scored as one pseudo-term."""
+        present = [t for t in q.synonyms if t in stats]
+        if not present:
+            return self._empty()
+        scorer = self._scorer()
+        blended_df = max(stats[t][0] for t in present)
+        w = np.float32(np.float32(boost * q.boost) * bm25.idf(blended_df, scorer.doc_count))
+        cache = scorer.cache()
+        raw = self._scored_postings({t: 1.0 for t in present}).groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("tf"), F.first("norm").alias("norm")
+        )
+
+        @F.pandas_udf(T.FloatType())
+        def syn_score(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score_tf_norm(tf.to_numpy(), norm.to_numpy(), w, cache))
+
+        return raw.select("doc_id", syn_score("tf", "norm").alias("score"))
+
+    def _eval_prefix(self, q: PrefixQuery, boost: float) -> DataFrame:
+        """CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68,94): expand via the
+        term dictionary, match the union of postings, constant score."""
+        expanded = [r["term"] for r in self.index.terms.filter(F.col("term").startswith(q.prefix)).collect()]
+        if not expanded:
+            return self._empty()
+        docs = (
+            self._scored_postings({t: 1.0 for t in expanded})
+            .select("doc_id")
+            .distinct()
+        )
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_phrase(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
+        """Exact phrase, two-phase (TwoPhaseIterator analog, SURVEY §4):
+        approximate pass = conjunction of term postings; verify pass =
+        re-analyze candidate texts with positions and count adjacent runs
+        (ExactPhraseMatcher semantics); score with phrase_tf and summed idf
+        (PhraseWeight uses the sum of per-term idfs)."""
+        if self.corpus is None:
+            raise ValueError("PhraseQuery needs IndexSearcher(corpus=...) for the verify pass")
+        terms = list(q.phrase_terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        scored = self._scored_postings({t: 1.0 for t in set(terms)})
+        cand = (
+            scored.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"), F.first("norm").alias("norm"))
+            .filter(F.col("nt") >= len(set(terms)))
+            .select("doc_id", "norm")
+        )
+        id_col, text_col = self.index.config.id_col, self.index.config.text_col
+        cand_text = cand.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")), "doc_id"
+        )
+        analyzer = self.index.config.analyzer
+        scorer = self._scorer()
+        idf_sum = np.float32(sum(float(bm25.idf(stats[t][0], scorer.doc_count)) for t in terms))
+        w = np.float32(np.float32(boost * q.boost) * idf_sum)
+        cache = scorer.cache()
+        phrase = tuple(terms)
+
+        def verify(iterator):
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                freqs = np.zeros(len(pdf), dtype=np.int64)
+                for i, txt in enumerate(pdf["_text"]):
+                    toks = analyzer.tokens_with_positions(txt)
+                    n = 0
+                    for j in range(len(toks) - len(phrase) + 1):
+                        if all(
+                            toks[j + m][0] == phrase[m] and toks[j + m][1] == toks[j][1] + m
+                            for m in range(len(phrase))
+                        ):
+                            n += 1
+                    freqs[i] = n
+                keep = freqs > 0
+                if not keep.any():
+                    continue
+                s = bm25.score_tf_norm(freqs[keep], pdf["norm"].to_numpy()[keep], w, cache)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy()[keep], "score": s})
+
+        return cand_text.mapInPandas(verify, schema="doc_id bigint, score float")
+
+    def _eval_match_all(self, boost: float) -> DataFrame:
+        return self.index.docs.select("doc_id", F.lit(float(boost)).cast("float").alias("score"))
+
+    # ------------------------------------------------------------- boolean
+    def _eval_boolean(self, q: BooleanQuery, boost: float, stats: dict) -> DataFrame:
+        must = q.by_occur("MUST")
+        should = q.by_occur("SHOULD")
+        must_not = q.by_occur("MUST_NOT")
+        filters = q.by_occur("FILTER")
+        mm = q.minimum_should_match
+        if not must and not filters:
+            mm = max(1, mm)
+        if not must and not should and not filters:
+            return self._empty()  # pure MUST_NOT matches nothing
+
+        parts = []
+        for sub in must:
+            parts.append(self._evaluate(sub, boost, stats).select("doc_id", "score", F.lit(1).alias("is_must"), F.lit(0).alias("is_should")))
+        for sub in should:
+            parts.append(self._evaluate(sub, boost, stats).select("doc_id", "score", F.lit(0).alias("is_must"), F.lit(1).alias("is_should")))
+
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).alias("dscore"),
+                F.sum("is_must").alias("nm"),
+                F.sum("is_should").alias("ns"),
+            )
+            cond = F.col("nm") == len(must)
+            if mm > 0:
+                cond = cond & (F.col("ns") >= mm)
+            out = agg.filter(cond).select("doc_id", F.col("dscore").cast("float").alias("score"))
+        else:
+            # FILTER-only query: match with score 0
+            out = self._evaluate(filters[0], 1.0, stats).select("doc_id").distinct().select(
+                "doc_id", F.lit(0.0).cast("float").alias("score")
+            )
+            filters = filters[1:]
+
+        for sub in filters:
+            out = out.join(self._evaluate(sub, 1.0, stats).select("doc_id").distinct(), "doc_id", "left_semi")
+        for sub in must_not:
+            out = out.join(self._evaluate(sub, 1.0, stats).select("doc_id").distinct(), "doc_id", "left_anti")
+        return out
+
+    def _eval_dismax(self, q: DisjunctionMaxQuery, boost: float, stats: dict) -> DataFrame:
+        parts = [self._evaluate(d, boost, stats).select("doc_id", "score") for d in q.disjuncts]
+        if not parts:
+            return self._empty()
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tie = float(q.tie_breaker)
+        agg = u.groupBy("doc_id").agg(
+            F.max(F.col("score").cast("double")).alias("m"), F.sum(F.col("score").cast("double")).alias("s")
+        )
+        return agg.select(
+            "doc_id", (F.col("m") + F.lit(tie) * (F.col("s") - F.col("m"))).cast("float").alias("score")
+        )
+
+    def _evaluate(self, q: Query, boost: float, stats: dict) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._eval_term(q, boost, stats)
+        if isinstance(q, BooleanQuery):
+            return self._eval_boolean(q, boost, stats)
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(q, boost, stats)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q, boost, stats)
+        if isinstance(q, PrefixQuery):
+            return self._eval_prefix(q, boost)
+        if isinstance(q, MatchAllQuery):
+            return self._eval_match_all(boost * q.boost)
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty()
+        if isinstance(q, BoostQuery):
+            return self._evaluate(q.query, boost * q.boost, stats)
+        if isinstance(q, ConstantScoreQuery):
+            child = self._evaluate(q.query, 1.0, stats)
+            return child.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._eval_dismax(q, boost, stats)
+        raise NotImplementedError(type(q).__name__)
+
+    # -------------------------------------------------------- pruned paths
+    def _pruned_or_terms(self, term_boosts: dict, k: int, stats: dict) -> Optional[DataFrame]:
+        """Two-pass block-max evaluation of a pure term disjunction
+        (single TermQuery == 1-term disjunction). Returns None when pruning
+        is not applicable/beneficial."""
+        present = {t: b for t, b in term_boosts.items() if t in stats}
+        if not present:
+            return self._empty()
+        scorer = self._scorer()
+        cache = scorer.cache()
+        weights = {
+            t: float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count))) for t, b in present.items()
+        }
+
+        blocks = self.index.postings.filter(F.col("term").isin(list(present)))
+
+        w_map = dict(weights)
+
+        @F.pandas_udf(T.FloatType())
+        def ub_udf(term: pd.Series, max_tf: pd.Series, min_norm: pd.Series) -> pd.Series:
+            w = term.map(w_map).to_numpy(dtype=np.float32)
+            t32 = bm25.score_tf_norm(max_tf.to_numpy(), min_norm.to_numpy(), np.float32(1.0), cache)
+            return pd.Series((w * t32).astype(np.float32))
+
+        with_ub = blocks.withColumn("ub", ub_udf("term", "max_tf", "min_norm"))
+
+        # phase 1: sample the top blocks per term (tiny), exact-score -> θ
+        from pyspark.sql.window import Window
+
+        wnd = Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("run_id"), F.asc("block_id"))
+        sample_pdf = (
+            with_ub.withColumn("rn", F.row_number().over(wnd)).filter(F.col("rn") <= max(2, k)).toPandas()
+        )
+        if sample_pdf.empty:
+            return self._empty()
+        max_ub = sample_pdf.groupby("term")["ub"].max().to_dict()
+        doc_ids, tfs, norms, blk = unpack_blocks(
+            sample_pdf["doc_id_base"].to_numpy(dtype=np.int64),
+            sample_pdf["count"].to_numpy(dtype=np.int64),
+            list(sample_pdf["doc_ids"]),
+            list(sample_pdf["tfs"]),
+            list(sample_pdf["norms"]),
+        )
+        w_post = np.repeat(sample_pdf["term"].map(weights).to_numpy(dtype=np.float32), sample_pdf["count"].to_numpy())
+        s = bm25.score_tf_norm(tfs, norms, np.float32(1.0), cache) * w_post
+        # per-doc sums over the sample give a sound lower bound of true scores
+        samp = pd.DataFrame({"doc_id": doc_ids, "s": s.astype(np.float64)}).groupby("doc_id")["s"].sum()
+        if len(samp) >= k:
+            theta = float(np.sort(samp.to_numpy())[-k])
+        else:
+            theta = -math.inf
+
+        # phase 2: keep only blocks that can still reach θ
+        total_max = sum(max_ub.values())
+        slack = {t: total_max - max_ub.get(t, 0.0) for t in present}
+        slack_map = dict(slack)
+
+        @F.pandas_udf(T.FloatType())
+        def slack_udf(term: pd.Series) -> pd.Series:
+            return term.map(slack_map).astype("float32")
+
+        survivors = with_ub.filter((F.col("ub") + slack_udf("term")) >= F.lit(theta))
+        scored = survivors.select("term", "run_id", "block_id", "doc_id_base", "count", "doc_ids", "tfs", "norms").mapInPandas(
+            _make_unpack_score(weights, cache), schema=_SCORED_SCHEMA
+        )
+        return scored.groupBy("doc_id").agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+
+    @staticmethod
+    def _as_pure_or(q: Query) -> Optional[dict]:
+        """term -> boost map if q is a TermQuery / pure SHOULD-of-terms."""
+        if isinstance(q, TermQuery):
+            return {q.term: q.boost}
+        if isinstance(q, BooleanQuery) and q.minimum_should_match <= 1:
+            terms = {}
+            for c in q.clauses:
+                if c.occur != "SHOULD" or not isinstance(c.query, TermQuery):
+                    return None
+                if c.query.term in terms:
+                    return None
+                terms[c.query.term] = c.query.boost
+            return terms or None
+        return None
+
+    # --------------------------------------------------------------- search
+    def search(self, query: Query, k: int = 10, prune: bool = True) -> TopDocs:
+        """Top-k search; identical results with prune on or off (tested)."""
+        stats = self._term_stats(query.terms())
+        scored = None
+        if prune:
+            as_or = self._as_pure_or(query)
+            if as_or is not None:
+                scored = self._pruned_or_terms(as_or, k, stats)
+        if scored is None:
+            scored = self._evaluate(query, 1.0, stats)
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return TopDocs(df=ranked, k=k)
+
+    def count(self, query: Query) -> int:
+        """TotalHitCountCollector analog."""
+        stats = self._term_stats(query.terms())
+        return self._evaluate(query, 1.0, stats).count()
+
+    def fetch(self, top: TopDocs, columns: Optional[list] = None) -> DataFrame:
+        """Two-phase stored-field fetch: broadcast the k winners back to the
+        corpus (QueryComponent PURPOSE_GET_FIELDS analog)."""
+        if self.corpus is None:
+            raise ValueError("fetch needs IndexSearcher(corpus=...)")
+        id_col = self.index.config.id_col
+        sel = self.corpus if columns is None else self.corpus.select(id_col, *columns)
+        winners = top.df.select(F.col("doc_id").alias("__hit_id"), "score")
+        joined = sel.join(F.broadcast(winners), F.col(id_col) == F.col("__hit_id")).drop("__hit_id")
+        return joined.orderBy(F.desc("score"), F.asc(id_col))

@@ -1,0 +1,140 @@
+"""Query AST — the analog of the reference's ``org.apache.lucene.search.Query``
+class hierarchy, as plain dataclasses.
+
+Covered query types and their reference semantics:
+
+- :class:`TermQuery` — ``reference lucene/core/src/java/org/apache/lucene/
+  search/TermQuery.java:107-115`` (single term, BM25-scored);
+- :class:`BooleanQuery` — ``search/BooleanQuery.java`` with MUST / SHOULD /
+  FILTER / MUST_NOT occurs and ``minimumNumberShouldMatch``; scores of all
+  matching scoring clauses are summed; when MUST/FILTER clauses exist,
+  SHOULD becomes optional (pure boost) unless minimumNumberShouldMatch > 0;
+- :class:`PhraseQuery` — ``search/PhraseQuery.java`` exact phrase; evaluated
+  two-phase (approximate AND + exact verify), see searcher;
+- :class:`SynonymQuery` — ``search/SynonymQuery.java:54`` (union of terms
+  scored as a single pseudo-term: blended df = max of dfs, tf summed);
+- :class:`PrefixQuery` — ``search/PrefixQuery.java`` via term-dictionary
+  expansion with CONSTANT_SCORE_REWRITE (``MultiTermQuery.java:68,94``);
+- :class:`DisjunctionMaxQuery` — ``search/DisjunctionMaxQuery.java``
+  (max + tieBreaker * (sum - max));
+- :class:`BoostQuery` / :class:`ConstantScoreQuery` /
+  :class:`MatchAllQuery` / :class:`MatchNoDocsQuery` — trivial wrappers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    """Marker base class."""
+
+    def terms(self) -> set[str]:
+        """All index terms this query touches (for stats resolution)."""
+        return set()
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    phrase_terms: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.phrase_terms)
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    synonyms: tuple
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.synonyms)
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+    # CONSTANT_SCORE_REWRITE: matching docs all score boost * 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query = None
+    boost: float = 1.0
+
+    def terms(self):
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query = None
+    boost: float = 1.0
+
+    def terms(self):
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    disjuncts: tuple = ()
+    tie_breaker: float = 0.0
+
+    def terms(self):
+        out = set()
+        for q in self.disjuncts:
+            out |= q.terms()
+        return out
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: str  # 'MUST' | 'SHOULD' | 'MUST_NOT' | 'FILTER'
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple = ()
+    minimum_should_match: int = 0
+
+    @staticmethod
+    def build(must=(), should=(), must_not=(), filter=(), minimum_should_match=0) -> "BooleanQuery":
+        cl = (
+            tuple(BooleanClause(q, "MUST") for q in must)
+            + tuple(BooleanClause(q, "SHOULD") for q in should)
+            + tuple(BooleanClause(q, "MUST_NOT") for q in must_not)
+            + tuple(BooleanClause(q, "FILTER") for q in filter)
+        )
+        return BooleanQuery(clauses=cl, minimum_should_match=minimum_should_match)
+
+    def by_occur(self, occur: str) -> list:
+        return [c.query for c in self.clauses if c.occur == occur]
+
+    def terms(self):
+        out = set()
+        for c in self.clauses:
+            out |= c.query.terms()
+        return out
