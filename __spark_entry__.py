@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over the sf0.001 documents corpus.
+``queries()`` / ``oracle_sql()`` — operator registry from SURVEY.md §2,
+implemented in :mod:`lucene_solr_spark.driver_contract`; every Spark query is
+paired with a DuckDB-runnable ANSI-SQL re-derivation with matching column
+names and integer-typed compare columns.
 """
 
 from __future__ import annotations
@@ -15,24 +15,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-10 for a boolean
+    query over the documents corpus, with stored-field fetch."""
+    from lucene_solr_spark.driver_contract import HOT, MID, doc_searcher
+    from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
+
+    s = doc_searcher(spark, "/root/testdata/sf0.001")
+    q = BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID)])
+    top = s.search(q, 10)
+    return s.fetch(top, columns=["text", "lang"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_solr_spark import driver_contract as dc
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict = {}
+    out.update(dc.ft_queries())
+    for mod_loader in ("agg_queries", "pipeline_queries"):
+        fn = getattr(dc, mod_loader, None)
+        if fn is not None:
+            out.update(fn())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_spark import driver_contract as dc
+
+    out: dict = {}
+    out.update(dc.ft_oracle_sql())
+    for mod_loader in ("agg_oracle_sql", "pipeline_oracle_sql"):
+        fn = getattr(dc, mod_loader, None)
+        if fn is not None:
+            out.update(fn())
+    return out

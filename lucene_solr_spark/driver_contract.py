@@ -1,0 +1,269 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry pairs a Spark evaluation (through the real engine:
+``build_index`` → ``IndexSearcher``) with an independent ANSI-SQL
+re-derivation runnable by DuckDB on the same parquet tables.  The SQL emulates
+the engine's float32 BM25 semantics (reference BM25Similarity.java:188-226)
+with explicit ``CAST(... AS REAL)`` at every float32 operation and reproduces
+the SmallFloat byte4 norm quantization (reference SmallFloat.java:101-169)
+arithmetically, so rank order matches bit-for-bit.
+
+Output columns are integer (rank, doc_id) so value-hash comparison is
+float-free; scores are checked separately by the pytest oracle suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .functions.analysis import simple_analyzer
+from .operators.indexer import IndexConfig, build_index
+from .operators.searcher import IndexSearcher
+from .plans.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    PrefixQuery,
+    SynonymQuery,
+    TermQuery,
+)
+
+# ----------------------------------------------------------- index caching
+_INDEX_CACHE: dict = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Build (once per sf_dir) the inverted index over `documents`."""
+    key = ("documents", sf_dir)
+    if key not in _INDEX_CACHE:
+        corpus = _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        corpus = corpus.persist()
+        idx = build_index(corpus, IndexConfig(analyzer=simple_analyzer(), n_partitions=8)).persist()
+        _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+    return _INDEX_CACHE[key]
+
+
+def _ranked(top_df: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top_df.select(F.row_number().over(w).cast("int").alias("rank"), F.col("doc_id").cast("long"))
+
+
+def _search_q(query, k=10):
+    def fn(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(s.search(query, k).df)
+
+    return fn
+
+
+# ----------------------------------------------------- float32-exact SQL gen
+def _R(x: str) -> str:
+    return f"CAST({x} AS REAL)"
+
+
+def _D(x: str) -> str:
+    return f"CAST({x} AS DOUBLE)"
+
+
+# shared CTEs over `documents`: tokens, lengths, byte4-quantized lengths,
+# collection stats, tf, df — the tokenizer expression is definitionally
+# identical to simple_analyzer() (analysis.py)
+_BASE = """
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dlq AS (SELECT doc_id, CASE WHEN dl < 24 THEN dl
+        ELSE 24 + (CASE WHEN dl-24 < 8 THEN dl-24
+                   ELSE ((dl-24) >> (length(bin(dl-24))-4)) << (length(bin(dl-24))-4) END)
+        END AS dlq FROM dl),
+st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+              (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS sttf),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+_AVGDL = _R("(SELECT sttf FROM st) / (SELECT n FROM st)")
+# cache[dlq] = k1*((1-b) + b*len/avgdl), every op float32 (BM25Similarity.java:188-192)
+_C1 = _R(_R("0.75") + " * " + _R("dlq.dlq"))  # b * LENGTH_TABLE[i]
+_C2 = _R(_C1 + " / " + _AVGDL)  # ... / avgdl
+_C3 = _R(_R("0.25") + " + " + _C2)  # (1-b) + ...
+_CACHE = _R(_R("1.2") + " * " + _C3)  # k1 * ...
+
+
+def _idf(df_expr: str) -> str:
+    # (float) ln(1 + (N - df + 0.5)/(df + 0.5))  (BM25Similarity.java:70-72)
+    return _R(f"ln(1 + ((SELECT n FROM st) - {df_expr} + 0.5) / ({df_expr} + 0.5))")
+
+
+def _term_cte(alias: str, term: str) -> str:
+    # score = weight_f32 * (float)(tf / (tf + (double) cache))  (:222-226)
+    t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    score = _R(f"{_idf('dfreq.df')} * {t32}")
+    return (
+        f"{alias} AS (SELECT tf.doc_id AS doc_id, {score} AS score "
+        f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+        f"WHERE tf.term = '{term}')"
+    )
+
+
+def _topk_sql(body: str, k: int = 10) -> str:
+    return (
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"CAST(doc_id AS BIGINT) AS doc_id FROM ({body}) ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def _with(ctes: list, final: str) -> str:
+    return "WITH " + _BASE.strip().rstrip(",") + (",\n" + ",\n".join(ctes) if ctes else "") + "\n" + final
+
+
+# fixed query terms, present at every scale factor of the documents table
+HOT, HOT2, MID, MID2, RARE = "scan", "merge", "key", "sort", "dup"
+
+
+# --------------------------------------------------------------- registry
+def ft_queries() -> dict:
+    q: dict = {}
+
+    q["ft_term_topk"] = _search_q(TermQuery(HOT))
+    q["ft_term_rare_topk"] = _search_q(TermQuery(RARE))
+    q["ft_bool_and"] = _search_q(BooleanQuery.build(must=[TermQuery(HOT), TermQuery(HOT2)]))
+    q["ft_bool_or"] = _search_q(BooleanQuery.build(should=[TermQuery(MID), TermQuery(RARE)]))
+    q["ft_minshouldmatch"] = _search_q(
+        BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID), TermQuery(RARE)], minimum_should_match=2)
+    )
+    q["ft_must_not"] = _search_q(BooleanQuery.build(must=[TermQuery(RARE)], must_not=[TermQuery(HOT)]))
+    q["ft_phrase"] = _search_q(PhraseQuery((HOT, HOT2)))
+    q["ft_synonym"] = _search_q(SynonymQuery((MID, MID2)))
+    q["ft_dismax"] = _search_q(DisjunctionMaxQuery((TermQuery(MID), TermQuery(RARE)), tie_breaker=0.3))
+
+    def ft_prefix(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(ConstantScoreQuery(PrefixQuery("sc")), 20)
+        return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_prefix"] = ft_prefix
+
+    def ft_count(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        n = s.count(TermQuery(HOT))
+        return spark.createDataFrame([(n,)], "cnt bigint")
+
+    q["ft_count"] = ft_count
+
+    def ft_stats(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return spark.createDataFrame(
+            [(s.index.doc_count, s.index.sum_ttf)], "doc_count bigint, sum_ttf bigint"
+        )
+
+    q["ft_stats"] = ft_stats
+
+    def ft_terms_stats(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        terms = [HOT, HOT2, MID, MID2, RARE]
+        return (
+            s.index.terms.filter(F.col("term").isin(terms))
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+            .orderBy("term")
+        )
+
+    q["ft_terms_stats"] = ft_terms_stats
+    return q
+
+
+def ft_oracle_sql() -> dict:
+    o: dict = {}
+
+    o["ft_term_topk"] = _with([_term_cte("sc", HOT)], _topk_sql("SELECT doc_id, score FROM sc"))
+    o["ft_term_rare_topk"] = _with([_term_cte("sc", RARE)], _topk_sql("SELECT doc_id, score FROM sc"))
+
+    # MUST+MUST: double-sum of the two float32 clause scores, cast back to f32
+    and_sum = _R(_D("a.score") + " + " + _D("b.score"))
+    and_body = f"SELECT a.doc_id AS doc_id, {and_sum} AS score FROM sa a JOIN sb b USING (doc_id)"
+    o["ft_bool_and"] = _with([_term_cte("sa", HOT), _term_cte("sb", HOT2)], _topk_sql(and_body))
+
+    dsum = _R("sum(" + _D("score") + ")")
+    or_body = (
+        f"SELECT doc_id, {dsum} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id"
+    )
+    o["ft_bool_or"] = _with([_term_cte("sa", MID), _term_cte("sb", RARE)], _topk_sql(or_body))
+
+    mm_body = (
+        f"SELECT doc_id, {dsum} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb UNION ALL SELECT * FROM sd) "
+        "GROUP BY doc_id HAVING count(*) >= 2"
+    )
+    o["ft_minshouldmatch"] = _with(
+        [_term_cte("sa", HOT), _term_cte("sb", MID), _term_cte("sd", RARE)], _topk_sql(mm_body)
+    )
+
+    mn_body = "SELECT doc_id, score FROM sa WHERE doc_id NOT IN (SELECT doc_id FROM sb)"
+    o["ft_must_not"] = _with([_term_cte("sa", RARE), _term_cte("sb", HOT)], _topk_sql(mn_body))
+
+    # phrase: reconstruct the token string, double the separators so
+    # consecutive occurrences stay countable, count '  '-separated adjacency
+    phrase_cte = (
+        "ph AS (SELECT doc_id, "
+        f"len(regexp_extract_all(' ' || replace(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), ' ', '  ') || ' ', "
+        f"' {HOT}  {HOT2} ')) AS ptf FROM documents)"
+    )
+    # phrase weight: f32( f64(idf_a_f32) + f64(idf_b_f32) ), then BM25 with tf=ptf
+    idf_a = _idf(f"(SELECT df FROM dfreq WHERE term = '{HOT}')")
+    idf_b = _idf(f"(SELECT df FROM dfreq WHERE term = '{HOT2}')")
+    w_phrase = _R(_D(idf_a) + " + " + _D(idf_b))
+    ph_t32 = _R(f"ph.ptf / (ph.ptf + {_D(_CACHE)})")
+    ph_score = _R(w_phrase + " * " + ph_t32)
+    ph_body = (
+        f"SELECT ph.doc_id AS doc_id, {ph_score} AS score "
+        "FROM ph JOIN dlq ON ph.doc_id = dlq.doc_id WHERE ph.ptf > 0"
+    )
+    o["ft_phrase"] = _with([phrase_cte], _topk_sql(ph_body))
+
+    # synonym: blended df = max over synonyms, tf summed per doc
+    syn_cte = (
+        f"syn AS (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ('{MID}', '{MID2}') GROUP BY doc_id),"
+        f"syndf AS (SELECT max(df) AS df FROM dfreq WHERE term IN ('{MID}', '{MID2}'))"
+    )
+    syn_t32 = _R(f"syn.tf / (syn.tf + {_D(_CACHE)})")
+    syn_score = _R(_idf("(SELECT df FROM syndf)") + " * " + syn_t32)
+    syn_body = (
+        f"SELECT syn.doc_id AS doc_id, {syn_score} AS score "
+        "FROM syn JOIN dlq ON syn.doc_id = dlq.doc_id"
+    )
+    o["ft_synonym"] = _with([syn_cte], _topk_sql(syn_body))
+
+    dmax = "max(" + _D("score") + ")"
+    dtot = "sum(" + _D("score") + ")"
+    dm_score = _R(f"{dmax} + 0.3 * ({dtot} - {dmax})")
+    dm_body = (
+        f"SELECT doc_id, {dm_score} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id"
+    )
+    o["ft_dismax"] = _with([_term_cte("sa", MID), _term_cte("sb", RARE)], _topk_sql(dm_body))
+
+    o["ft_prefix"] = _with(
+        [],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM "
+        "(SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sc%') ORDER BY doc_id LIMIT 20",
+    )
+    o["ft_count"] = _with([], f"SELECT CAST(count(*) AS BIGINT) AS cnt FROM tf WHERE term = '{HOT}'")
+    o["ft_stats"] = _with(
+        [],
+        "SELECT (SELECT n FROM st) AS doc_count, CAST((SELECT sttf FROM st) AS BIGINT) AS sum_ttf",
+    )
+    o["ft_terms_stats"] = _with(
+        [],
+        "SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf.tf) AS BIGINT) AS ttf "
+        f"FROM tf WHERE tf.term IN ('{HOT}', '{HOT2}', '{MID}', '{MID2}', '{RARE}') "
+        "GROUP BY tf.term ORDER BY tf.term",
+    )
+    return o
