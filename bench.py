@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ..., "index_build_turns_per_sec": ...}
+
+Two workloads:
+1. index build throughput (turns/sec) over the deterministic synthetic
+   transcripts corpus (FIXTURES.md §1) — the north-rule headline metric;
+2. BM25 query latency over the sf documents corpus through the full engine
+   (postings scan -> block-max prune -> score -> global top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _build_corpus_and_index(spark, n_convs: int, n_partitions: int):
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.sources.transcripts import transcripts_df
+
+    raw = transcripts_df(spark, n_convs, n_partitions=n_partitions)
+    corpus = assign_doc_ids(raw, ("conv_id", "turn_idx"), n_partitions=n_partitions)
+    idx = build_index(corpus, IndexConfig(n_partitions=n_partitions))
+    # materialize everything the build produces (postings + stats)
+    n_turns = idx.doc_count
+    idx.postings.count()
+    return idx, n_turns
+
+
+def bench_index_build(spark, n_convs: int, n_partitions: int):
+    t0 = time.monotonic()
+    idx, n_turns = _build_corpus_and_index(spark, n_convs, n_partitions)
+    dt = time.monotonic() - t0
+    idx.postings.unpersist()
+    return dt, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_N_CONVS", "30000"))  # ~2.4e5 turns
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from lucene_solr_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # ---- workload 1: index build throughput (turns/sec), warm JVM first
+    _build_corpus_and_index(spark, max(200, n_convs // 20), cpus)  # warm-up
+    build_s, n_turns = bench_index_build(spark, n_convs, cpus)
+    queries["index_build"] = round(build_s, 3)
+    turns_per_sec = n_turns / build_s
+
+    # ---- workload 2: engine query latency over the sf documents corpus
+    from lucene_solr_spark import driver_contract as dc
+
+    searcher = dc.doc_searcher(spark, sf_dir)  # build + persist (timed)
+    t0 = time.monotonic()
+    searcher.index.postings.count()
+    queries["doc_index_build"] = round(time.monotonic() - t0, 3)
+
+    bench_qs = dict(dc.ft_queries())
+    for extra in ("agg_queries", "pipeline_queries"):
+        fn = getattr(dc, extra, None)
+        if fn is not None:
+            bench_qs.update(fn())
+
+    for name, fn in bench_qs.items():
+        t0 = time.monotonic()
+        try:
+            fn(spark, sf_dir).collect()
+            queries[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # never let one query kill the bench
+            print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
+            queries[name] = -1.0
+
+    total = round(sum(v for v in queries.values() if v > 0), 3)
+    out = {
+        "metric": "engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "index_build_turns_per_sec": round(turns_per_sec, 1),
+        "index_build_turns": n_turns,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,10 @@ def doc_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (once per sf_dir) the inverted index over `documents`."""
     key = ("documents", sf_dir)
     if key not in _INDEX_CACHE:
-        corpus = _load(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        raw = _load(spark, sf_dir, "documents")
+        corpus = raw.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            *[c for c in raw.columns if c != "doc_id"],
         )
         corpus = corpus.persist()
         idx = build_index(corpus, IndexConfig(analyzer=simple_analyzer(), n_partitions=8)).persist()
