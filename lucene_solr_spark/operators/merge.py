@@ -1,0 +1,280 @@
+"""Bounded k-way segment (run) merge with a TieredMergePolicy-modeled planner.
+
+The reference merges immutable segments under a tier-geometry budget with a
+skew-scored candidate search (``reference lucene/core/src/java/org/apache/
+lucene/index/TieredMergePolicy.java:96-103`` defaults, ``:380-401`` budget,
+``:566-623`` candidate scoring ``skew * totAfterMergeBytes^0.05`` — the
+delete-ratio factor is 1 here because our runs are immutable and deletes are
+snapshot-level).  We keep the same *decision structure* but re-express the
+merge itself as a Spark job:
+
+- the planner is driver-side pure Python over the **run manifest** (one row
+  per run: id, bytes, postings) — it never sees postings;
+- one merge = ``postings.filter(run_id in candidate) .groupBy(term[, salt])
+  .applyInPandas(repack)`` — a bounded shuffle of at most
+  ``max_merge_at_once`` runs' blocks, producing one new run;
+- **hot-term salting** (north rule / SURVEY §4 skew row): terms whose merged
+  postings would exceed ``salt_block_budget`` postings are split by
+  ``doc_id_base`` *range* (not hash!) so every salted sub-group holds a
+  contiguous doc_id range — delta encoding stays valid and the per-group work
+  is bounded regardless of how Zipf-skewed the term distribution is.  At query
+  time nothing changes: a term's blocks are simply spread over more rows, and
+  block rows are already the unit of parallelism.
+
+Merging never changes doc_ids (they are global, unlike the reference's
+per-segment ids remapped by ``DocIDMerger``), so term/collection statistics
+are invariant under merge — asserted in tests by rank-identity before/after.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.codec import BLOCK_SIZE, pack_postings_blocks, unpack_blocks
+from .indexer import POSTINGS_COLUMNS, InvertedIndex
+
+_POSTINGS_SCHEMA = (
+    "term string, run_id bigint, block_id int, doc_id_base bigint, count int, "
+    "doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint"
+)
+
+
+@dataclass(frozen=True)
+class RunInfo:
+    """One immutable run (segment analog) from the manifest."""
+
+    run_id: int
+    size_bytes: int
+    n_postings: int
+
+
+@dataclass(frozen=True)
+class MergeSpec:
+    """A planned merge: which runs fuse into which new run."""
+
+    inputs: tuple[int, ...]
+    new_run_id: int
+
+
+@dataclass
+class TieredMergePolicy:
+    """Driver-side port of the reference tier-budget + skew scoring.
+
+    Defaults per ``TieredMergePolicy.java:96-103``; the floor is lowered to
+    256 KB because our local runs are far smaller than on-disk Lucene
+    segments (the *geometry* is what matters, not the absolute floor).
+    """
+
+    max_merge_at_once: int = 10
+    segs_per_tier: float = 10.0
+    floor_segment_bytes: int = 256 * 1024
+    max_merged_segment_bytes: int = 5 * 1024**3
+
+    def _floored(self, b: int) -> float:
+        return float(max(b, self.floor_segment_bytes))
+
+    def allowed_seg_count(self, sizes: list[int]) -> int:
+        """Tier-geometry budget (TieredMergePolicy.java:380-401)."""
+        total = sum(self._floored(b) for b in sizes)
+        level = self._floored(self.floor_segment_bytes)
+        allowed = 0.0
+        while True:
+            seg_count_level = total / level
+            if seg_count_level < self.segs_per_tier:
+                allowed += np.ceil(seg_count_level)
+                break
+            allowed += self.segs_per_tier
+            total -= self.segs_per_tier * level
+            level *= self.max_merge_at_once
+        return int(allowed)
+
+    def score(self, cand: list[RunInfo]) -> float:
+        """Candidate score — lower is better (TieredMergePolicy.java:566-623):
+        skew = biggest/floored-total, times totAfterMergeBytes^0.05."""
+        tot = sum(c.size_bytes for c in cand)
+        tot_floored = sum(self._floored(c.size_bytes) for c in cand)
+        skew = self._floored(cand[0].size_bytes) / tot_floored
+        return skew * (tot**0.05)
+
+    def find_merges(self, runs: list[RunInfo]) -> Optional[list[RunInfo]]:
+        """Pick the best single merge, or None if within budget.
+
+        Runs over half the max merged size are "too big" — excluded from
+        both the tier budget and merge eligibility, as in the reference's
+        tooBigCount handling (TieredMergePolicy.java:405-420)."""
+        mergeable = [r for r in runs if r.size_bytes <= self.max_merged_segment_bytes // 2]
+        if len(mergeable) <= self.allowed_seg_count([r.size_bytes for r in mergeable]):
+            return None
+        eligible = sorted(mergeable, key=lambda r: -r.size_bytes)
+        best, best_score = None, None
+        for start in range(len(eligible)):
+            cand: list[RunInfo] = []
+            tot = 0
+            for r in eligible[start:]:
+                if len(cand) >= self.max_merge_at_once:
+                    break
+                if tot + r.size_bytes > self.max_merged_segment_bytes and cand:
+                    continue
+                cand.append(r)
+                tot += r.size_bytes
+            if len(cand) < 2:
+                continue
+            s = self.score(cand)
+            if best_score is None or s < best_score:
+                best, best_score = cand, s
+        return best
+
+
+def run_manifest(index: InvertedIndex) -> list[RunInfo]:
+    """Tiny per-run aggregation (1 row per run) — the SegmentInfos analog."""
+    rows = (
+        index.postings.groupBy("run_id")
+        .agg(
+            (
+                F.sum(F.octet_length("doc_ids") + F.octet_length("tfs") + F.octet_length("norms"))
+            ).alias("bytes"),
+            F.sum("count").alias("np"),
+        )
+        .collect()
+    )
+    return [RunInfo(int(r["run_id"]), int(r["bytes"]), int(r["np"])) for r in rows]
+
+
+def _make_repack(new_run_id: int, block_size: int):
+    """applyInPandas fn: all block rows of one (term[, salt]) group from the
+    candidate runs -> merged, re-blocked rows under `new_run_id`."""
+
+    def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, tfs, norms, _ = unpack_blocks(
+            pdf["doc_id_base"].to_numpy(dtype=np.int64),
+            pdf["count"].to_numpy(dtype=np.int64),
+            list(pdf["doc_ids"]),
+            list(pdf["tfs"]),
+            list(pdf["norms"]),
+        )
+        order = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
+        packed = pack_postings_blocks(
+            np.zeros(doc_ids.size, dtype=np.int64),
+            doc_ids[order],
+            tfs[order],
+            norms[order],
+            block_size=block_size,
+        )
+        n = packed["block_id"].size
+        salt = int(key[1]) if len(key) > 1 else 0
+        return pd.DataFrame(
+            {
+                "term": np.repeat(np.asarray([key[0]], dtype=object), n),
+                "run_id": np.int64(new_run_id),
+                # salt in the high bits keeps block_id unique within the run
+                "block_id": (packed["block_id"] + salt * (1 << 20)).astype(np.int32),
+                "doc_id_base": packed["doc_id_base"],
+                "count": packed["count"],
+                "doc_ids": packed["doc_bytes"],
+                "tfs": packed["tf_bytes"],
+                "norms": packed["norm_bytes"],
+                "max_tf": packed["max_tf"],
+                "min_norm": packed["min_norm"],
+                "sum_tf": packed["sum_tf"],
+            }
+        )
+
+    return repack
+
+
+def merge_runs(
+    index: InvertedIndex,
+    run_ids: list[int],
+    new_run_id: int,
+    salt_block_budget: int = 512 * BLOCK_SIZE,
+) -> DataFrame:
+    """Fuse `run_ids` into one new run; returns the new postings rows.
+
+    Skew control: the shuffle key is (term, salt) where salt buckets a hot
+    term's blocks by doc_id range so no single task ever re-packs more than
+    ~salt_block_budget postings. Cold terms (the overwhelming majority) get
+    salt 0 and merge whole.
+    """
+    cand = index.postings.filter(F.col("run_id").isin([int(r) for r in run_ids]))
+
+    # per-term merged posting count (tiny agg over block summaries)
+    hot = (
+        cand.groupBy("term")
+        .agg(F.sum("count").alias("np"), F.min("doc_id_base").alias("lo"), F.max("doc_id_base").alias("hi"))
+        .filter(F.col("np") > salt_block_budget)
+        .select(
+            "term",
+            (F.ceil(F.col("np") / F.lit(salt_block_budget))).cast("int").alias("n_salts"),
+            "lo",
+            (F.col("hi") - F.col("lo") + 1).alias("span"),
+        )
+    )
+    with_salt = cand.join(F.broadcast(hot), "term", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            F.least(
+                ((F.col("doc_id_base") - F.col("lo")) * F.col("n_salts") / F.col("span")).cast("int"),
+                F.col("n_salts") - 1,
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        with_salt.select(*POSTINGS_COLUMNS, "salt")
+        .groupBy("term", "salt")
+        .applyInPandas(_make_repack(new_run_id, index.config.block_size), schema=_POSTINGS_SCHEMA)
+    )
+
+
+def maybe_merge(index: InvertedIndex, policy: Optional[TieredMergePolicy] = None, max_rounds: int = 20) -> InvertedIndex:
+    """Run the merge loop to budget (findMerges → merge → re-manifest).
+
+    Returns a new InvertedIndex sharing docs/terms/stats (merge is
+    statistics-invariant because doc_ids are global — no remap).
+    """
+    policy = policy or TieredMergePolicy()
+    postings = index.postings
+    runs = run_manifest(index)
+    next_id = max((r.run_id for r in runs), default=0) + 1_000_000_000
+    for _ in range(max_rounds):
+        cand = policy.find_merges(runs)
+        if not cand:
+            break
+        ids = [c.run_id for c in cand]
+        merged = merge_runs(replace(index, postings=postings), ids, next_id)
+        postings = postings.filter(~F.col("run_id").isin(ids)).unionByName(merged).persist()
+        postings.count()
+        runs = [r for r in runs if r.run_id not in set(ids)] + [
+            RunInfo(next_id, sum(c.size_bytes for c in cand), sum(c.n_postings for c in cand))
+        ]
+        next_id += 1
+    return replace(index, postings=postings)
+
+
+def force_merge(index: InvertedIndex, max_runs: int = 1, policy: Optional[TieredMergePolicy] = None) -> InvertedIndex:
+    """forceMerge analog (``IndexWriter.forceMerge``): fuse down to
+    `max_runs` runs with bounded k-way rounds (FixedSizeMergePolicy's
+    uniform-segment goal is the `max_runs=N` case, ``reference lucene/core/
+    src/java/org/apache/lucene/dpu/FixedSizeMergePolicy.java:36,91``)."""
+    policy = policy or TieredMergePolicy()
+    postings = index.postings
+    runs = run_manifest(index)
+    next_id = max((r.run_id for r in runs), default=0) + 2_000_000_000
+    while len(runs) > max_runs:
+        k = min(policy.max_merge_at_once, len(runs) - max_runs + 1)
+        cand = sorted(runs, key=lambda r: r.size_bytes)[:k]
+        ids = [c.run_id for c in cand]
+        merged = merge_runs(replace(index, postings=postings), ids, next_id)
+        postings = postings.filter(~F.col("run_id").isin(ids)).unionByName(merged).persist()
+        postings.count()
+        runs = [r for r in runs if r.run_id not in set(ids)] + [
+            RunInfo(next_id, sum(c.size_bytes for c in cand), sum(c.n_postings for c in cand))
+        ]
+        next_id += 1
+    return replace(index, postings=postings)
