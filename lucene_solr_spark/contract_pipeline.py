@@ -1,0 +1,537 @@
+"""Driver-contract registry, part 2: pipeline + aggregation operators.
+
+``pipeline_queries`` — the training-data operators (dedup families, ANN,
+text analysis, multimodal plumbing) over ``documents`` / ``embeddings``.
+``agg_queries`` — the Solr JSON-facet / streaming-expression relational
+surface (facets, stats, grouping, rollups, time series) over
+``events`` / ``orders`` / ``lineitem``
+(reference ``solr/core/src/java/org/apache/solr/search/facet/`` aggs and
+``solr/solrj/.../io/stream/`` RollupStream/FacetStream/TimeSeriesStream).
+
+Oracle determinism policy: every compared column is an integer or string.
+Doubles only ever appear inside *elementwise* expressions (``floor(x*100)``)
+whose IEEE semantics are identical in Spark and DuckDB; sums/ranks happen on
+the resulting exact integers.  All string hashing follows
+:mod:`.functions.hashing` so the SQL re-derives identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import MINHASH_A, MINHASH_B, N_MINHASH, P_MOD
+
+# --------------------------------------------------------------------------
+# shared oracle SQL fragments
+# --------------------------------------------------------------------------
+# char-level polynomial hash (functions/hashing.py poly31)
+def _H(expr: str, mod: int = P_MOD) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({expr})+1), "
+        f"i -> CAST(unicode(substr({expr}, i, 1)) AS BIGINT)), (a, b) -> (a*31+b) % {mod})"
+    )
+
+
+_TOK = "tok2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)"
+
+_SHINGLES = f"""
+{_TOK},
+shl AS (SELECT doc_id, list_transform(range(1, len(toks)-1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs FROM tok2),
+shd AS (SELECT DISTINCT doc_id, {_H('s')} AS shingle_hash
+        FROM (SELECT doc_id, unnest(shs) AS s FROM shl))
+"""
+
+_QV = (
+    "qv AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings)"
+)
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 5
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i]*{b}[i]))"
+
+
+# --------------------------------------------------------------------------
+# pipeline queries (Spark side)
+# --------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+
+
+def pipeline_queries() -> dict:
+    from .functions import textstats
+    from .operators import dedup, multimodal, similarity
+
+    q: dict = {}
+
+    def dd_exact_stats(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        groups = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("c"))
+        return groups.agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        )
+
+    q["dd_exact_stats"] = dd_exact_stats
+
+    def dd_ngram_jaccard(spark, sf_dir):
+        out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+        return out.select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("n_inter").cast("long"),
+            F.col("sz_a").cast("long"),
+            F.col("sz_b").cast("long"),
+        ).orderBy("doc_a", "doc_b")
+
+    q["dd_ngram_jaccard"] = dd_ngram_jaccard
+
+    def dd_minhash_sigs(spark, sf_dir):
+        sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
+        return sigs.select("doc_id", *[F.col(f"sig_{i}").cast("long") for i in range(N_MINHASH)]).orderBy(
+            "doc_id"
+        )
+
+    q["dd_minhash_sigs"] = dd_minhash_sigs
+
+    def dd_minhash_lsh(spark, sf_dir):
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        return pairs.select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "first_band").orderBy(
+            "doc_a", "doc_b"
+        )
+
+    q["dd_minhash_lsh"] = dd_minhash_lsh
+
+    def dd_simhash(spark, sf_dir):
+        return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["dd_simhash"] = dd_simhash
+
+    def dd_simhash_pairs(spark, sf_dir):
+        pairs = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=2)
+        return pairs.select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "hamming").orderBy(
+            "doc_a", "doc_b"
+        )
+
+    q["dd_simhash_pairs"] = dd_simhash_pairs
+
+    def sim_ann_brute(spark, sf_dir):
+        return similarity.brute_force_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, ANN_K).orderBy(
+            "query_id", "rank"
+        )
+
+    q["sim_ann_brute"] = sim_ann_brute
+
+    def sim_ann_lsh(spark, sf_dir):
+        return similarity.lsh_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, ANN_K).orderBy("query_id", "rank")
+
+    q["sim_ann_lsh"] = sim_ann_lsh
+
+    def ta_langid(spark, sf_dir):
+        return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["ta_langid"] = ta_langid
+
+    def ta_quality(spark, sf_dir):
+        return textstats.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["ta_quality"] = ta_quality
+
+    def ta_token_counts(spark, sf_dir):
+        return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["ta_token_counts"] = ta_token_counts
+
+    def ta_fingerprint(spark, sf_dir):
+        return textstats.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    q["ta_fingerprint"] = ta_fingerprint
+
+    def mm_decode_meta(spark, sf_dir):
+        payloads = multimodal.with_payload(_docs(spark, sf_dir))
+        return multimodal.extract_media_meta(payloads).orderBy("doc_id")
+
+    q["mm_decode_meta"] = mm_decode_meta
+
+    def mm_frame_sample(spark, sf_dir):
+        payloads = multimodal.with_payload(_docs(spark, sf_dir).filter(F.col("doc_id") < 20))
+        return multimodal.sample_frames(payloads).orderBy("doc_id", "offset")
+
+    q["mm_frame_sample"] = mm_frame_sample
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# pipeline oracles (DuckDB SQL)
+# --------------------------------------------------------------------------
+def pipeline_oracle_sql() -> dict:
+    o: dict = {}
+
+    o["dd_exact_stats"] = """
+WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups FROM g
+"""
+
+    o["dd_ngram_jaccard"] = f"""
+WITH {_SHINGLES.strip()},
+sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+cap AS (SELECT shingle_hash FROM shd GROUP BY shingle_hash HAVING count(*) <= 1000),
+j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shd a JOIN shd b USING (shingle_hash) JOIN cap USING (shingle_hash)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter, CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b
+FROM j JOIN sz sa ON j.doc_a = sa.doc_id JOIN sz sb ON j.doc_b = sb.doc_id
+WHERE n_inter >= 0.2 * (sa.sz + sb.sz - n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+    sig_exprs = ", ".join(
+        f"min((CAST({int(MINHASH_A[i])} AS BIGINT)*shingle_hash+{int(MINHASH_B[i])}) % {P_MOD}) AS sig_{i}"
+        for i in range(N_MINHASH)
+    )
+    o["dd_minhash_sigs"] = f"""
+WITH {_SHINGLES.strip()},
+mh AS (SELECT doc_id, {sig_exprs} FROM shd GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {', '.join(f'CAST(sig_{i} AS BIGINT) AS sig_{i}' for i in range(N_MINHASH))}
+FROM mh WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+    band_rows = N_MINHASH // 4
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS band_key FROM mh".format(
+            b=b, cols=", ".join(f"sig_{b * band_rows + r}" for r in range(band_rows))
+        )
+        for b in range(4)
+    )
+    o["dd_minhash_lsh"] = f"""
+WITH {_SHINGLES.strip()},
+mh AS (SELECT doc_id, {sig_exprs} FROM shd GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(min(a.band) AS INT) AS first_band
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+    _SIMHASH = f"""
+{_TOK},
+tokh AS (SELECT doc_id, {_H('t', 1 << 32)} AS th
+         FROM (SELECT doc_id, unnest(toks) AS t FROM tok2)),
+tfh AS (SELECT doc_id, th, count(*) AS tf FROM tokh GROUP BY doc_id, th),
+bits AS (SELECT doc_id, j, CASE WHEN sum(tf * (2*((th >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+         FROM tfh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j),
+sh AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+"""
+    o["dd_simhash"] = f"WITH {_SIMHASH.strip()}\nSELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM sh ORDER BY doc_id"
+
+    o["dd_simhash_pairs"] = f"""
+WITH {_SIMHASH.strip()},
+bands AS (SELECT doc_id, simhash, 0 AS band, simhash % 65536 AS band_key FROM sh
+          UNION ALL SELECT doc_id, simhash, 1, simhash // 65536 FROM sh)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    o["sim_ann_brute"] = f"""
+WITH {_QV},
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id IN ({ids})),
+scored AS (SELECT qs.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qs.qq')} AS dot
+           FROM qv v CROSS JOIN qs WHERE v.vec_id <> qs.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+    o["sim_ann_lsh"] = f"""
+WITH {_QV},
+planes AS (SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN (1103515245*(i + 64*j) + 12345) % 2147483648 < 1073741824
+                THEN 1 ELSE -1 END) AS p
+           FROM (SELECT unnest(range(0, 8)) AS j)),
+proj AS (SELECT v.vec_id, pl.j, {_dot_sql('v.q', 'pl.p')} AS pr FROM qv v CROSS JOIN planes pl),
+bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       FROM proj GROUP BY vec_id),
+qb AS (SELECT qv.vec_id, qv.q, bk.bucket FROM qv JOIN bk USING (vec_id)),
+qs AS (SELECT vec_id AS query_id, q AS qq, bucket FROM qb WHERE vec_id IN ({ids})),
+scored AS (SELECT qs.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qs.qq')} AS dot
+           FROM qb v JOIN qs ON v.bucket = qs.bucket WHERE v.vec_id <> qs.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+    from .functions.textstats import LANG_MARKERS, STOPWORDS
+
+    lang_values = ", ".join(
+        "('{l}', [{ms}])".format(l=lang, ms=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]))
+        for lang in sorted(LANG_MARKERS)
+    )
+    o["ta_langid"] = f"""
+WITH {_TOK},
+langs(lang, markers) AS (VALUES {lang_values}),
+scores AS (SELECT t.doc_id, l.lang,
+           CAST(len(list_filter(t.toks, x -> list_contains(l.markers, x))) AS BIGINT) AS score
+           FROM tok2 t CROSS JOIN langs l),
+best AS (SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scores)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS pred_lang, score FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    o["ta_quality"] = f"""
+WITH {_TOK},
+m AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu,
+      list_sum(list_transform(toks, t -> len(t))) AS tot_len,
+      len(list_filter(toks, t -> list_contains([{stop_list}], t))) AS n_stop
+      FROM tok2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nu AS BIGINT) AS n_unique,
+       CAST((100*tot_len) // greatest(n, 1) AS BIGINT) AS mean_tok_len_x100,
+       CAST((100*n_stop) // greatest(n, 1) AS BIGINT) AS stop_ratio_x100,
+       CAST(least((10*nu) // greatest(n, 1), 10) AS BIGINT) AS quality_bucket
+FROM m ORDER BY doc_id
+"""
+
+    o["ta_token_counts"] = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    o["ta_fingerprint"] = f"""
+WITH {_TOK}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(list_reduce(list_transform(toks, t -> {_H('t')}),
+            (f, h) -> (CAST(f AS BIGINT)*131 + h) % {P_MOD}), 0) AS BIGINT) AS fp
+FROM tok2 ORDER BY doc_id
+"""
+
+    o["mm_decode_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(64 + length(text) % 512 AS BIGINT) AS width,
+       CAST(64 + (length(text)*31) % 512 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(range(1, length(text)+1),
+            i -> unicode(substr(text, i, 1)))) % 2147483648 AS BIGINT) AS checksum
+FROM documents ORDER BY doc_id
+"""
+
+    o["mm_frame_sample"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(o AS BIGINT) AS "offset",
+       CAST(unicode(substr(text, o+1, 1)) AS BIGINT) AS frame_byte
+FROM (SELECT doc_id, text, unnest(range(0, length(text), 64)) AS o FROM documents WHERE doc_id < 20)
+ORDER BY doc_id, o
+"""
+    return o
+
+
+# --------------------------------------------------------------------------
+# aggregation queries (Solr facet / streaming-expression surface)
+# --------------------------------------------------------------------------
+def agg_queries() -> dict:
+    q: dict = {}
+
+    def _events(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def agg_facet_field(spark, sf_dir):
+        """JSON facet: terms facet on event_type with count + sum metrics
+        (SumAgg/MinMaxAgg analogs, reference solr/.../facet/SumAgg.java)."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum(F.floor(F.col("value") * 1e6).cast("long")).cast("bigint").alias("sum_value_x1e6"),
+                F.min("user_id").cast("bigint").alias("min_user"),
+                F.max("user_id").cast("bigint").alias("max_user"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["agg_facet_field"] = agg_facet_field
+
+    def agg_stats_numeric(spark, sf_dir):
+        """StatsComponent analog: count/sum/min/max/exact-median over
+        lineitem.l_extendedprice, integer-quantized."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p100")
+        )
+        n = li.count()
+        med = (
+            li.withColumn("rn", F.row_number().over(Window.orderBy("p100")))
+            .filter(F.col("rn") == (n + 1) // 2)
+            .select(F.col("p100").alias("median_x100"))
+        )
+        stats = li.agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("p100").cast("bigint").alias("sum_x100"),
+            F.min("p100").cast("bigint").alias("min_x100"),
+            F.max("p100").cast("bigint").alias("max_x100"),
+        )
+        return stats.crossJoin(med)
+
+    q["agg_stats_numeric"] = agg_stats_numeric
+
+    def agg_group_topn(spark, sf_dir):
+        """Grouping / field-collapse analog (reference lucene/grouping two-pass
+        collectors): top-3 events by value per event_type."""
+        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            _events(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select("event_type", "rank", F.col("event_id").cast("bigint"))
+            .orderBy("event_type", "rank")
+        )
+
+    q["agg_group_topn"] = agg_group_topn
+
+    def agg_range_facet(spark, sf_dir):
+        """RangeFacetProcessor analog: width-100 buckets over value."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy(F.floor(F.col("value") / 100).cast("long").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy("bucket")
+        )
+
+    q["agg_range_facet"] = agg_range_facet
+
+    def agg_time_series(spark, sf_dir):
+        """TimeSeriesStream analog: daily count + quantized sum."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).cast("bigint").alias("sum_value_x100"),
+            )
+            .orderBy("day")
+        )
+
+    q["agg_time_series"] = agg_time_series
+
+    def agg_pivot(spark, sf_dir):
+        """PivotFacetProcessor analog: event_type x day counts."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy("event_type", "day")
+        )
+
+    q["agg_pivot"] = agg_pivot
+
+    def agg_unique(spark, sf_dir):
+        """UniqueAgg exact path (HLLAgg is the approx variant —
+        approx_count_distinct, not oracle-comparable)."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .orderBy("event_type")
+        )
+
+    q["agg_unique"] = agg_unique
+
+    def agg_join_rollup(spark, sf_dir):
+        """Streaming-expression HashJoinStream + RollupStream analog:
+        revenue per order priority. The dimension side would be broadcast on
+        a cluster; keys are uniform so no salting needed."""
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderpriority")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("rev100"),
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_items"), F.sum("rev100").cast("bigint").alias("revenue_x100"))
+            .orderBy("o_orderpriority")
+        )
+
+    q["agg_join_rollup"] = agg_join_rollup
+
+    return q
+
+
+def agg_oracle_sql() -> dict:
+    o: dict = {}
+    o["agg_facet_field"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(value*1000000.0) AS BIGINT)) AS BIGINT) AS sum_value_x1e6,
+       CAST(min(user_id) AS BIGINT) AS min_user, CAST(max(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["agg_stats_numeric"] = """
+WITH p AS (SELECT CAST(floor(l_extendedprice*100) AS BIGINT) AS p100 FROM lineitem),
+r AS (SELECT p100, row_number() OVER (ORDER BY p100) AS rn FROM p),
+n AS (SELECT count(*) AS n FROM p)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS cnt,
+       CAST((SELECT sum(p100) FROM p) AS BIGINT) AS sum_x100,
+       CAST((SELECT min(p100) FROM p) AS BIGINT) AS min_x100,
+       CAST((SELECT max(p100) FROM p) AS BIGINT) AS max_x100,
+       CAST((SELECT p100 FROM r WHERE rn = ((SELECT n FROM n)+1)//2) AS BIGINT) AS median_x100
+"""
+    o["agg_group_topn"] = """
+WITH r AS (SELECT event_type, event_id,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS INT) AS rank
+           FROM events)
+SELECT event_type, rank, CAST(event_id AS BIGINT) AS event_id FROM r WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+    o["agg_range_facet"] = """
+SELECT CAST(floor(value/100) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+    o["agg_time_series"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1 ORDER BY day
+"""
+    o["agg_pivot"] = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""
+    o["agg_unique"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["agg_join_rollup"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_x100
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    return o

@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from .contract_pipeline import (  # noqa: F401 — re-exported for __spark_entry__
+    agg_oracle_sql,
+    agg_queries,
+    pipeline_oracle_sql,
+    pipeline_queries,
+)
 from .functions.analysis import simple_analyzer
 from .operators.indexer import IndexConfig, build_index
 from .operators.searcher import IndexSearcher

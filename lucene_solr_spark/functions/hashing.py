@@ -1,0 +1,91 @@
+"""Deterministic, oracle-reproducible string hashing kernels (pure numpy).
+
+Every pipeline operator that needs hashing (dedup fingerprints, MinHash,
+SimHash, LSH) uses these kernels so the DuckDB oracle SQL can re-derive the
+exact same integers with plain arithmetic:
+
+- ``poly31(s) = fold(c: h*31 + c mod M)`` over the ASCII codes of ``s`` with
+  ``h0 = c0`` — in SQL: ``list_reduce(list_transform(range(1, len(s)+1),
+  i -> unicode(substr(s,i,1))), (a,b) -> (a*31+b) % M)``;
+- MinHash permutations ``g_i(h) = (A_i*h + B_i) mod P`` with fixed literal
+  constants.
+
+The kernels are vectorized across rows: strings are zero-padded into one
+(n, maxlen) uint8 matrix and the fold loops over *columns* (≤ maxlen numpy
+passes), never over rows.  ASCII-only inputs by construction (the analyzer
+lowercases to [a-z0-9] tokens).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+P_MOD = 1_000_000_007  # prime modulus for poly31 / MinHash
+M32 = 1 << 32  # modulus for SimHash bit source
+
+# fixed MinHash permutation constants (literal in the oracle SQL too)
+MINHASH_A = np.array(
+    [2971, 4621, 7919, 9973, 1409, 3307, 5519, 7177, 8287, 6823, 1013, 2531, 4099, 5903, 7621, 9403],
+    dtype=np.int64,
+)
+MINHASH_B = np.array(
+    [577, 1279, 2017, 2707, 3413, 4139, 4871, 5573, 6301, 7027, 7759, 8501, 9241, 9973, 683, 1453],
+    dtype=np.int64,
+)
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def _pad_matrix(strings: pd.Series) -> np.ndarray:
+    """(n, maxlen) uint8 matrix of ASCII codes, zero-padded on the right."""
+    s = strings.fillna("").astype(str)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    if maxlen == 0:
+        return np.zeros((len(s), 1), dtype=np.uint8)
+    joined = "".join(s.str.pad(maxlen, side="right", fillchar="\x00"))
+    return np.frombuffer(joined.encode("latin-1"), dtype=np.uint8).reshape(len(s), maxlen)
+
+
+def poly31(strings: pd.Series, mod: int = P_MOD) -> np.ndarray:
+    """Vectorized polynomial-31 hash per string: h = fold(h*31 + c) % mod."""
+    m = _pad_matrix(strings).astype(np.int64)
+    h = np.zeros(m.shape[0], dtype=np.int64)
+    started = np.zeros(m.shape[0], dtype=bool)
+    for j in range(m.shape[1]):
+        c = m[:, j]
+        live = c != 0
+        h = np.where(live & started, (h * 31 + c) % mod, np.where(live, c % mod, h))
+        started |= live
+    return h
+
+
+def minhash_sigs(hashes: np.ndarray) -> np.ndarray:
+    """(n, N_MINHASH) permuted hash values g_i(h) = (A_i*h + B_i) % P."""
+    h = np.asarray(hashes, dtype=np.int64)[:, None]
+    return (MINHASH_A[None, :] * h + MINHASH_B[None, :]) % P_MOD
+
+
+def fold_tokens(token_hashes_per_doc: list[np.ndarray], mult: int = 131, mod: int = P_MOD) -> np.ndarray:
+    """Rolling document fingerprint: fp = fold(fp*mult + h) % mod, fp0 = h0.
+
+    Vectorized across docs by folding over token *positions*.
+    """
+    n = len(token_hashes_per_doc)
+    lens = np.array([len(t) for t in token_hashes_per_doc], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    fp = np.zeros(n, dtype=np.int64)
+    if maxlen == 0:
+        return fp
+    m = np.full((n, maxlen), -1, dtype=np.int64)
+    for i, t in enumerate(token_hashes_per_doc):  # cheap: builds the matrix only
+        if len(t):
+            m[i, : len(t)] = t
+    started = np.zeros(n, dtype=bool)
+    for j in range(maxlen):
+        c = m[:, j]
+        live = c >= 0
+        fp = np.where(live & started, (fp * mult + c) % mod, np.where(live, c % mod, fp))
+        started |= live
+    return fp

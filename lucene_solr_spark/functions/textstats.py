@@ -1,0 +1,123 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All four are single-pass, shuffle-free column transforms over ``documents``
+(a mapInPandas/built-in-function scan — the 100 TB plan is embarrassingly
+parallel), with integer/deterministic outputs the DuckDB oracle re-derives:
+
+- **language ID**: marker-word n-gram heuristic — score per language =
+  number of tokens in that language's marker set; argmax with alphabetical
+  tiebreak.  (A real pipeline plugs fasttext/cld3 into the same UDF shape.)
+- **quality scoring**: token count, unique-token count, mean token length,
+  stopword ratio — bucketed to integers.
+- **token counting**: whitespace tokens vs BPE-ish regex tokens
+  (``[a-z]+|[0-9]+|[^a-z0-9\\s]`` — letters, digit runs, punctuation marks).
+- **document fingerprint**: rolling polynomial hash over token hashes
+  (:func:`..functions.hashing.fold_tokens`) — an order-sensitive content id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import fold_tokens, poly31
+
+# marker vocabularies (tiny, broadcast-free literals; same lists in oracle SQL)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "de": ("der", "die", "und", "merge"),
+    "es": ("el", "la", "los", "stream"),
+    "fr": ("le", "la", "les", "join"),
+    "zh": ("de", "shi", "bu", "window"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, score): marker-token language-ID heuristic."""
+    langs = sorted(LANG_MARKERS)
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf[text_col].str.lower().str.findall(r"[a-z0-9]+")
+            scores = np.zeros((len(pdf), len(langs)), dtype=np.int64)
+            for li, lang in enumerate(langs):
+                markers = set(LANG_MARKERS[lang])
+                scores[:, li] = toks.map(lambda t: sum(1 for x in t if x in markers)).to_numpy()
+            best = np.argmax(scores, axis=1)  # ties -> lowest index = alphabetical
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "pred_lang": np.asarray(langs, dtype=object)[best],
+                    "score": scores[np.arange(len(pdf)), best],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(fn, schema="doc_id bigint, pred_lang string, score bigint")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, mean_tok_len_x100, stop_ratio_x100,
+    quality_bucket) — all integers.
+
+    quality_bucket = floor(10 * n_unique / n_tokens) clamped to [0, 10]:
+    a crude type-token-ratio quality signal (repetitive docs score low).
+    """
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf[text_col].str.lower().str.findall(r"[a-z0-9]+")
+            n = toks.str.len().to_numpy(dtype=np.int64)
+            nu = toks.map(lambda t: len(set(t))).to_numpy(dtype=np.int64)
+            tot_len = toks.map(lambda t: sum(len(x) for x in t)).to_numpy(dtype=np.int64)
+            stops = set(STOPWORDS)
+            n_stop = toks.map(lambda t: sum(1 for x in t if x in stops)).to_numpy(dtype=np.int64)
+            safe_n = np.maximum(n, 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "n_tokens": n,
+                    "n_unique": nu,
+                    "mean_tok_len_x100": (100 * tot_len) // safe_n,
+                    "stop_ratio_x100": (100 * n_stop) // safe_n,
+                    "quality_bucket": np.minimum((10 * nu) // safe_n, 10),
+                }
+            )
+
+    schema = (
+        "doc_id bigint, n_tokens bigint, n_unique bigint, mean_tok_len_x100 bigint, "
+        "stop_ratio_x100 bigint, quality_bucket bigint"
+    )
+    return docs.select("doc_id", text_col).mapInPandas(fn, schema=schema)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace split vs BPE-ish regex.
+
+    Pure built-in expressions — stays in whole-stage codegen, no Python.
+    """
+    t = F.lower(F.col(text_col))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_REGEX)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): order-sensitive rolling-hash document fingerprint."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf[text_col].str.lower().str.findall(r"[a-z0-9]+")
+            flat = [t for lst in toks for t in lst]
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            h = poly31(pd.Series(flat)) if flat else np.empty(0, np.int64)
+            splits = np.cumsum(lens)[:-1]
+            fps = fold_tokens(np.split(h, splits) if len(lens) else [])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64), "fp": fps})
+
+    return docs.select("doc_id", text_col).mapInPandas(fn, schema="doc_id bigint, fp bigint")

@@ -1,0 +1,217 @@
+"""Large-scale deduplication operators over a document corpus.
+
+The four standard near-dup families a training-data pipeline needs, each
+Spark-first and shuffle-conscious, over ``documents(doc_id, text, ...)``:
+
+- **exact**: content-hash groupBy — one shuffle keyed by md5(text); at 100 TB
+  the map-side partial agg collapses each duplicate cluster before shuffle.
+- **n-gram Jaccard**: shingle self-join — the classic exact near-dup join;
+  the shingle key is the shuffle axis, so frequent shingles are the skew
+  hazard: a DF cap drops stop-shingles (standard practice, keeps the join
+  linear).
+- **MinHash + LSH**: 16 permutations folded into 4 bands; only docs sharing
+  a band bucket ever meet in the join — the scalable path (candidate count
+  ~ O(n·dup_rate), not O(n²)).
+- **SimHash**: 32-bit weighted fingerprint; near-dups = equal 16-bit halves
+  (Hamming-style banding) verified by full-fingerprint distance.
+
+All hashing goes through :mod:`..functions.hashing` so every operator is
+reproducible by the DuckDB oracle with literal arithmetic.  Token/shingle
+work is vectorized (pandas str ops + numpy folds) inside Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import LSH_BANDS, N_MINHASH, P_MOD, minhash_sigs, poly31
+
+SHINGLE_K = 3  # tokens per shingle
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (content md5, n_copies, keep_id) per duplicate cluster.
+
+    ``keep_id`` = min doc_id is the canonical survivor.  One shuffle, fully
+    partial-aggregated map-side.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.count("*").cast("bigint").alias("n_copies"), F.min("doc_id").cast("bigint").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingle_udf(k: int = SHINGLE_K):
+    """mapInPandas: docs -> distinct (doc_id, shingle_hash) rows."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf["text"].str.lower().str.findall(r"[a-z0-9]+")
+            n_sh = (toks.str.len() - (k - 1)).clip(lower=0).to_numpy(dtype=np.int64)
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), n_sh)
+            sh: list[str] = []
+            for t in toks:  # per-doc (not per-row-of-output); joins are C-speed
+                sh.extend(" ".join(t[i : i + k]) for i in range(max(0, len(t) - k + 1)))
+            if not sh:
+                continue
+            hashes = poly31(pd.Series(sh))
+            out = pd.DataFrame({"doc_id": doc_rep, "shingle_hash": hashes}).drop_duplicates()
+            yield out
+
+    return fn
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct (doc_id, shingle_hash) pairs; the base relation for Jaccard
+    and MinHash."""
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_shingle_udf(k), schema="doc_id bigint, shingle_hash bigint")
+        .dropDuplicates(["doc_id", "shingle_hash"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K, max_shingle_df: int = 1000
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac >= threshold).
+
+    |A∩B| via the shingle self-join; |A∪B| = |A|+|B|-|A∩B|.  Stop-shingles
+    (df > max_shingle_df) are dropped from the *join only* — at web scale they
+    would otherwise quadratically dominate the shuffle (skew control).
+    Sizes still count every shingle, so Jaccard stays exact w.r.t. the kept
+    shingle space.
+    """
+    sh = shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_cap = sh.groupBy("shingle_hash").agg(F.count("*").alias("sdf")).filter(F.col("sdf") <= max_shingle_df)
+    joinable = sh.join(F.broadcast(df_cap.select("shingle_hash")), "shingle_hash")
+
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jac", F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+        .filter(F.col("jac") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
+
+
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sig_0..sig_15): per-doc MinHash signature.
+
+    min over the doc's shingle hashes under each fixed permutation — a single
+    groupBy(doc_id) with 16 min() aggregates (map-side combinable; the
+    shuffle carries 16 ints per doc)."""
+    sh = shingles(docs, k)
+
+    def add_sigs(iterator):
+        for pdf in iterator:
+            sigs = minhash_sigs(pdf["shingle_hash"].to_numpy(dtype=np.int64))
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)})
+            for i in range(N_MINHASH):
+                out[f"sig_{i}"] = sigs[:, i]
+            yield out
+
+    schema = "doc_id bigint, " + ", ".join(f"sig_{i} bigint" for i in range(N_MINHASH))
+    per_shingle = sh.mapInPandas(add_sigs, schema=schema)
+    return per_shingle.groupBy("doc_id").agg(
+        *[F.min(f"sig_{i}").alias(f"sig_{i}") for i in range(N_MINHASH)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
+
+    Band key = the tuple of that band's signature values; the band-bucket
+    groupBy is the only shuffle that can skew (giant buckets of identical
+    docs) — bounded upstream by exact-dedup first in a real pipeline.
+    Returns distinct (doc_a < doc_b) candidates with the matching band id.
+    """
+    sigs = minhash_signatures(docs, k).persist()
+    rows_per_band = N_MINHASH // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key")
+        bands.append(sigs.select("doc_id", F.lit(b).alias("band"), key))
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b_ = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("band").cast("int").alias("first_band"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash bigint): tf-weighted SimHash over token hashes.
+
+    Token hash = poly31 mod 2^32 (bit source); bit j of the fingerprint is 1
+    iff sum over tokens of tf * (2*bit_j(h)-1) > 0.  All numpy: the per-batch
+    work is one (tokens x bits) matmul-shaped reduction.
+    """
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf["text"].str.lower().str.findall(r"[a-z0-9]+")
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            flat = [t for lst in toks for t in lst]
+            if not flat:
+                yield pd.DataFrame({"doc_id": doc_ids, "simhash": np.zeros(len(doc_ids), np.int64)})
+                continue
+            h = poly31(pd.Series(flat), mod=1 << 32)
+            owner = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            # per-(doc, token) tf via unique counting
+            key = owner * (1 << 32) + (h % (1 << 32))
+            uk, inv, tf = np.unique(key, return_inverse=True, return_counts=True)
+            u_owner = (uk >> 32).astype(np.int64)
+            u_hash = (uk & ((1 << 32) - 1)).astype(np.int64)
+            bitmat = ((u_hash[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1  # ±1
+            contrib = bitmat * tf[:, None]
+            acc = np.zeros((len(pdf), bits), dtype=np.int64)
+            np.add.at(acc, u_owner, contrib)
+            fp = ((acc > 0).astype(np.int64) << np.arange(bits)[None, :]).sum(axis=1)
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": fp})
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash banding: candidates share a 16-bit half
+    (pigeonhole: hamming<=3 over 32 bits can miss only if both halves differ
+    by >=1... with 2 bands this guarantees recall for hamming<=1 and is the
+    standard probe structure; verification filters by true distance)."""
+    sh = simhash(docs, bits).persist()
+    half = bits // 2
+    lo = sh.select("doc_id", "simhash", (F.col("simhash") % (1 << half)).alias("band_key"), F.lit(0).alias("band"))
+    hi = sh.select(
+        "doc_id", "simhash", (F.col("simhash") / (1 << half)).cast("bigint").alias("band_key"), F.lit(1).alias("band")
+    )
+    all_bands = lo.unionByName(hi)
+    a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    cand = a.join(b, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
