@@ -30,10 +30,15 @@ from .plans.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
     SynonymQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
 )
 
 # ----------------------------------------------------------- index caching
@@ -184,6 +189,49 @@ def ft_queries() -> dict:
         )
 
     q["ft_terms_stats"] = ft_terms_stats
+
+    # ---- MultiTermQuery family (constant-score doc-id sets)
+    def _const_ids(query, limit=30):
+        def fn(spark, sf_dir):
+            s = doc_searcher(spark, sf_dir)
+            top = s.search(ConstantScoreQuery(query), limit)
+            return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+        return fn
+
+    q["ft_wildcard"] = _const_ids(WildcardQuery("s?an"))
+    q["ft_regexp"] = _const_ids(RegexpQuery("s[ck]an|sort"))
+    q["ft_term_range"] = _const_ids(TermRangeQuery("scan", "sort", True, False))
+    q["ft_term_in_set"] = _const_ids(TermInSetQuery((HOT, MID2, RARE)))
+    q["ft_fuzzy"] = _const_ids(FuzzyQuery("scann", 1))
+
+    def ft_mlt(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        mlt_q = s.more_like_this(7, max_query_terms=5)
+        return _ranked(s.search(mlt_q, 10, exclude_doc_ids=[7]).df)
+
+    q["ft_mlt"] = ft_mlt
+
+    def ft_group_topk(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.group_topk(TermQuery(HOT), "lang", 2).select("lang", "rank", F.col("doc_id").cast("long")).orderBy(
+            "lang", "rank"
+        )
+
+    q["ft_group_topk"] = ft_group_topk
+
+    def ft_facet_lang(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.facet(TermQuery(HOT), "lang").orderBy("lang")
+
+    q["ft_facet_lang"] = ft_facet_lang
+
+    def ft_highlight(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 10)
+        return s.highlight(top, HOT).select(F.col("doc_id").cast("long"), "snippet").orderBy("doc_id")
+
+    q["ft_highlight"] = ft_highlight
     return q
 
 
@@ -273,5 +321,60 @@ def ft_oracle_sql() -> dict:
         "SELECT tf.term AS term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf.tf) AS BIGINT) AS ttf "
         f"FROM tf WHERE tf.term IN ('{HOT}', '{HOT2}', '{MID}', '{MID2}', '{RARE}') "
         "GROUP BY tf.term ORDER BY tf.term",
+    )
+
+    # ---- MultiTermQuery family: constant-score doc-id sets (first 30 ids)
+    def _const_sql(term_pred: str, limit: int = 30) -> str:
+        return _with(
+            [],
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM "
+            f"(SELECT DISTINCT doc_id FROM tf WHERE {term_pred}) ORDER BY doc_id LIMIT {limit}",
+        )
+
+    o["ft_wildcard"] = _const_sql("term LIKE 's_an'")
+    o["ft_regexp"] = _const_sql("regexp_full_match(term, 's[ck]an|sort')")
+    o["ft_term_range"] = _const_sql("term >= 'scan' AND term < 'sort'")
+    o["ft_term_in_set"] = _const_sql(f"term IN ('{HOT}', '{MID2}', '{RARE}')")
+    o["ft_fuzzy"] = _const_sql("levenshtein(term, 'scann') <= 1")
+
+    # more-like-this: OR of doc 7's top-5 tf terms, doc 7 excluded
+    t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    per_term_score = _R(f"{_idf('dfreq.df')} * {t32}")
+    mlt_ctes = [
+        "mlt AS (SELECT term FROM tf WHERE doc_id = 7 ORDER BY tf DESC, term ASC LIMIT 5)",
+        "sc AS (SELECT tf.doc_id AS doc_id, "
+        f"CAST(sum(CAST({per_term_score} AS DOUBLE)) AS REAL) AS score "
+        "FROM tf JOIN mlt USING (term) JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+        "WHERE tf.doc_id <> 7 GROUP BY tf.doc_id)",
+    ]
+    o["ft_mlt"] = _with(mlt_ctes, _topk_sql("SELECT doc_id, score FROM sc"))
+
+    # grouping / collapse: top-2 per lang over the full HOT match set
+    o["ft_group_topk"] = _with(
+        [_term_cte("sc", HOT)],
+        "SELECT lang, rank, CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        "  SELECT d.lang AS lang, sc.doc_id AS doc_id, "
+        "  CAST(row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS INT) AS rank"
+        "  FROM sc JOIN documents d ON sc.doc_id = d.doc_id"
+        ") WHERE rank <= 2 ORDER BY lang, rank",
+    )
+
+    o["ft_facet_lang"] = _with(
+        [],
+        "SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}') m "
+        "JOIN documents d ON m.doc_id = d.doc_id GROUP BY d.lang ORDER BY lang",
+    )
+
+    # highlighter: ±2-token snippet around the first occurrence in the top-10
+    o["ft_highlight"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "top10 AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            "tks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)",
+        ],
+        "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
+        f"array_to_string(k.toks[greatest(1, list_position(k.toks, '{HOT}') - 2) : list_position(k.toks, '{HOT}') + 2], ' ') AS snippet "
+        "FROM top10 t JOIN tks k ON t.doc_id = k.doc_id ORDER BY doc_id",
     )
     return o

@@ -54,14 +54,21 @@ from ..plans.query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllQuery,
     MatchNoDocsQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     SynonymQuery,
+    TermInSetQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
 )
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount analog
 from .indexer import InvertedIndex
 
 _SCORED_SCHEMA = "term string, doc_id bigint, tf int, norm int, score float"
@@ -180,10 +187,46 @@ class IndexSearcher:
 
         return raw.select("doc_id", syn_score("tf", "norm").alias("score"))
 
-    def _eval_prefix(self, q: PrefixQuery, boost: float) -> DataFrame:
+    @staticmethod
+    def _wildcard_to_like(pattern: str) -> str:
+        return (
+            pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("*", "%").replace("?", "_")
+        )
+
+    def _multiterm_predicate(self, q: Query):
+        """Term-dictionary predicate for each MultiTermQuery type — the
+        automaton-over-the-FST analog (``MultiTermQuery.java``,
+        ``AutomatonQuery.java``), expressed as a Catalyst filter over the
+        `terms` table (min/max-pruned parquet scan)."""
+        c = F.col("term")
+        if isinstance(q, PrefixQuery):
+            return c.startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            return c.like(self._wildcard_to_like(q.pattern))
+        if isinstance(q, RegexpQuery):
+            return c.rlike(f"^(?:{q.regex})$")
+        if isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+            return pred
+        if isinstance(q, TermInSetQuery):
+            return c.isin(list(q.in_terms))
+        if isinstance(q, FuzzyQuery):
+            pred = F.levenshtein(c, F.lit(q.term)) <= q.max_edits
+            if q.prefix_length:
+                pred = pred & c.startswith(q.term[: q.prefix_length])
+            return pred
+        raise NotImplementedError(type(q).__name__)
+
+    def _eval_multiterm(self, q: Query, boost: float) -> DataFrame:
         """CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68,94): expand via the
         term dictionary, match the union of postings, constant score."""
-        expanded = [r["term"] for r in self.index.terms.filter(F.col("term").startswith(q.prefix)).collect()]
+        expanded = [r["term"] for r in self.index.terms.filter(self._multiterm_predicate(q)).collect()]
+        if len(expanded) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"multi-term expansion exceeds {MAX_CLAUSE_COUNT} terms (maxClauseCount)")
         if not expanded:
             return self._empty()
         docs = (
@@ -316,8 +359,8 @@ class IndexSearcher:
             return self._eval_synonym(q, boost, stats)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, boost, stats)
-        if isinstance(q, PrefixQuery):
-            return self._eval_prefix(q, boost)
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
+            return self._eval_multiterm(q, boost)
         if isinstance(q, MatchAllQuery):
             return self._eval_match_all(boost * q.boost)
         if isinstance(q, MatchNoDocsQuery):
@@ -415,18 +458,105 @@ class IndexSearcher:
         return None
 
     # --------------------------------------------------------------- search
-    def search(self, query: Query, k: int = 10, prune: bool = True) -> TopDocs:
+    def search(self, query: Query, k: int = 10, prune: bool = True, exclude_doc_ids=()) -> TopDocs:
         """Top-k search; identical results with prune on or off (tested)."""
         stats = self._term_stats(query.terms())
         scored = None
-        if prune:
+        if prune and not exclude_doc_ids:
             as_or = self._as_pure_or(query)
             if as_or is not None:
                 scored = self._pruned_or_terms(as_or, k, stats)
         if scored is None:
             scored = self._evaluate(query, 1.0, stats)
+        if exclude_doc_ids:
+            scored = scored.filter(~F.col("doc_id").isin([int(d) for d in exclude_doc_ids]))
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return TopDocs(df=ranked, k=k)
+
+    # -------------------------------------------------- server-level surface
+    def more_like_this(self, doc_id: int, max_query_terms: int = 5) -> Query:
+        """MoreLikeThis analog (``reference solr/core/.../component/
+        MoreLikeThisComponent.java``): OR-query of the doc's top-tf terms
+        (ties by term asc).  Search it with ``exclude_doc_ids=[doc_id]``."""
+        if self.corpus is None:
+            raise ValueError("more_like_this needs IndexSearcher(corpus=...)")
+        id_col, text_col = self.index.config.id_col, self.index.config.text_col
+        row = self.corpus.filter(F.col(id_col) == int(doc_id)).select(text_col).collect()
+        if not row:
+            return MatchNoDocsQuery()
+        toks = self.index.config.analyzer.tokens(row[0][0])
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_query_terms]
+        return BooleanQuery.build(should=[TermQuery(t) for t, _ in top])
+
+    def group_topk(self, query: Query, group_col: str, k_per_group: int = 2) -> DataFrame:
+        """Field collapse / grouping analog (``reference lucene/grouping/...
+        FirstPassGroupingCollector.java`` two-pass; Solr ExpandComponent):
+        top-k docs per group-field value over the full match set, ranked by
+        (score desc, doc_id asc) — one window, no second pass needed because
+        groups shuffle-partition cleanly."""
+        if self.corpus is None:
+            raise ValueError("group_topk needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), group_col), "doc_id"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k_per_group)
+            .select(group_col, "rank", "doc_id", "score")
+        )
+
+    def facet(self, query: Query, facet_col: str) -> DataFrame:
+        """Facet-on-results (``reference solr/.../component/FacetComponent``):
+        value counts of `facet_col` over the query's full match set."""
+        if self.corpus is None:
+            raise ValueError("facet needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id")
+        id_col = self.index.config.id_col
+        return (
+            matched.join(self.corpus.select(F.col(id_col).alias("doc_id"), facet_col), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    def highlight(self, top: TopDocs, term: str, window: int = 2) -> DataFrame:
+        """UnifiedHighlighter analog (``reference lucene/highlighter/...
+        uhighlight/UnifiedHighlighter.java:92``): re-analyze only the winners'
+        stored text (post-pass over k rows) and cut a ±`window`-token snippet
+        around the first occurrence of `term`."""
+        if self.corpus is None:
+            raise ValueError("highlight needs IndexSearcher(corpus=...)")
+        id_col, text_col = self.index.config.id_col, self.index.config.text_col
+        analyzer = self.index.config.analyzer
+        rows = top.df.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")), "doc_id"
+        )
+
+        def snip(iterator):
+            for pdf in iterator:
+                snippets = []
+                for txt in pdf["_text"]:
+                    toks = analyzer.tokens(txt)
+                    try:
+                        i = toks.index(term)
+                        lo = max(0, i - window)
+                        snippets.append(" ".join(toks[lo : i + window + 1]))
+                    except ValueError:
+                        snippets.append("")
+                out = pdf[["doc_id", "score"]].copy()
+                out["snippet"] = snippets
+                yield out
+
+        return rows.mapInPandas(snip, schema="doc_id bigint, score float, snippet string")
 
     def count(self, query: Query) -> int:
         """TotalHitCountCollector analog."""

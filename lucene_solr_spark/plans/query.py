@@ -70,6 +70,59 @@ class PrefixQuery(Query):
 
 
 @dataclass(frozen=True)
+class WildcardQuery(Query):
+    """``search/WildcardQuery.java``: `*` = any run, `?` = one char; matches
+    the whole term (anchored). CONSTANT_SCORE_REWRITE like all MultiTermQuery
+    (``MultiTermQuery.java:68,94``)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """``search/RegexpQuery.java``: regex anchored to the full term."""
+
+    regex: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """``search/TermRangeQuery.java``: lexicographic term range."""
+
+    lower: str = None
+    upper: str = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """``search/TermInSetQuery.java``: docs containing any of the terms,
+    constant-score."""
+
+    in_terms: tuple = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """``search/FuzzyQuery.java``: terms within `max_edits` of `term`.
+
+    Deviation from the reference: expansion uses plain Levenshtein (Spark/
+    DuckDB ``levenshtein``), not Lucene's Damerau automaton (transposition =
+    1 edit there, 2 here), and rewrite is constant-score rather than
+    top-terms-blended — documented simplification."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

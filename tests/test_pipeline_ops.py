@@ -1,0 +1,120 @@
+"""Unit tests for the training-pipeline operators (dedup / ANN / textstats).
+
+The DuckDB contract gate (scripts/check_contract.py) cross-checks these
+against independent SQL; here we pin the *semantic* properties on tiny
+hand-built corpora.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different text about spark engines and indexes"),
+        (4, "the quick brown fox"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dup_groups(docs):
+    from lucene_solr_spark.operators.dedup import exact_dup_groups
+
+    got = exact_dup_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_copies"] == 2 and got[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from lucene_solr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup: jaccard 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-token change
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    from lucene_solr_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical shingle sets -> identical signature
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_properties(docs):
+    from lucene_solr_spark.operators.dedup import simhash, simhash_near_pairs
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    ham03 = bin(fps[0] ^ fps[3]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated doc
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 8)).astype(np.float32)
+    base[1] = base[0] + 0.001  # vec 1 ~ vec 0
+    pdf = pd.DataFrame({"vec_id": range(10), "embedding": [list(map(float, v)) for v in base]})
+    return spark.createDataFrame(pdf)
+
+
+def test_brute_force_topk(embs):
+    from lucene_solr_spark.operators.similarity import brute_force_topk
+
+    got = brute_force_topk(embs, [0], k=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["neighbor_id"] == 1  # the planted near-duplicate wins
+    assert got[0]["dot"] >= got[1]["dot"] >= got[2]["dot"]
+
+
+def test_lsh_topk_subset_of_brute(embs):
+    from lucene_solr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    brute = {(r["query_id"], r["neighbor_id"]): r["dot"] for r in brute_force_topk(embs, [0], k=9).collect()}
+    lsh = lsh_topk(embs, [0], k=9).collect()
+    # every LSH result is a true neighbor with the exact same dot product
+    for r in lsh:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["dot"]
+    # the planted near-dup shares the bucket (same direction => same signs)
+    assert any(r["neighbor_id"] == 1 for r in lsh)
+
+
+def test_textstats(docs):
+    from lucene_solr_spark.functions.textstats import fingerprint, lang_id, quality_score, token_counts
+
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 9 and q[0]["n_unique"] == 8  # 'the' twice
+    assert q[4]["n_tokens"] == 4 and q[4]["quality_bucket"] == 10
+
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["ws_tokens"] == 9 and tc[0]["bpe_tokens"] == 9
+
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]  # order-sensitive content id
+
+    li = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert li[0] == "en"  # 'the'/'a' markers
+
+
+def test_multimodal_plumbing(docs):
+    from lucene_solr_spark.operators.multimodal import extract_media_meta, sample_frames, with_payload
+
+    p = with_payload(docs)
+    meta = {r["doc_id"]: r for r in extract_media_meta(p).collect()}
+    assert meta[0]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert meta[0]["width"] == 64 + meta[0]["byte_len"] % 512
+    frames = sample_frames(p, every_n_bytes=10).collect()
+    assert all(0 <= r["frame_byte"] < 256 for r in frames)
+    assert {r["doc_id"] for r in frames} == {0, 1, 2, 3, 4}
