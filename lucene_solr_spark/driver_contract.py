@@ -232,6 +232,38 @@ def ft_queries() -> dict:
         return s.highlight(top, HOT).select(F.col("doc_id").cast("long"), "snippet").orderBy("doc_id")
 
     q["ft_highlight"] = ft_highlight
+
+    def ft_rescore(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 20)
+        return _ranked(s.rescore(top, TermQuery(HOT2), weight=2.0))
+
+    q["ft_rescore"] = ft_rescore
+
+    def ft_function_score(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(s.function_score(TermQuery(HOT), "ln(1 + n_chars)", 10).df)
+
+    q["ft_function_score"] = ft_function_score
+
+    def ft_export_sorted(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        out = s.sorted_export(TermQuery(MID), [F.desc("n_chars"), F.asc("doc_id")])
+        return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+    q["ft_export_sorted"] = ft_export_sorted
+
+    def ft_suggest(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.suggest("sc", 10)
+
+    q["ft_suggest"] = ft_suggest
+
+    def ft_significant(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.significant_terms(TermQuery(RARE), n=10, min_df=5)
+
+    q["ft_significant"] = ft_significant
     return q
 
 
@@ -376,5 +408,47 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
         f"array_to_string(k.toks[greatest(1, list_position(k.toks, '{HOT}') - 2) : list_position(k.toks, '{HOT}') + 2], ' ') AS snippet "
         "FROM top10 t JOIN tks k ON t.doc_id = k.doc_id ORDER BY doc_id",
+    )
+
+    # rescorer: top-20 of HOT, combined with 2.0 * HOT2 score
+    combined = _R(_D("t.score") + " + 2.0 * coalesce(" + _D("sb.score") + ", 0.0)")
+    o["ft_rescore"] = _with(
+        [
+            _term_cte("sa", HOT),
+            _term_cte("sb", HOT2),
+            "t AS (SELECT doc_id, score FROM sa ORDER BY score DESC, doc_id ASC LIMIT 20)",
+        ],
+        _topk_sql(
+            f"SELECT t.doc_id AS doc_id, {combined} AS score FROM t LEFT JOIN sb ON t.doc_id = sb.doc_id",
+            k=20,
+        ),
+    )
+
+    # function score: bm25 * ln(1 + n_chars)
+    fs = _R(_D("sc.score") + " * ln(1 + d.n_chars)")
+    o["ft_function_score"] = _with(
+        [_term_cte("sc", HOT)],
+        _topk_sql(f"SELECT sc.doc_id AS doc_id, {fs} AS score FROM sc JOIN documents d ON sc.doc_id = d.doc_id"),
+    )
+
+    o["ft_export_sorted"] = _with(
+        [],
+        "SELECT CAST(m.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
+        f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{MID}') m "
+        "JOIN documents d ON m.doc_id = d.doc_id ORDER BY d.n_chars DESC, m.doc_id ASC",
+    )
+
+    o["ft_suggest"] = _with(
+        [],
+        "SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf WHERE term LIKE 'sc%' "
+        "GROUP BY term ORDER BY df DESC, term ASC LIMIT 10",
+    )
+
+    o["ft_significant"] = _with(
+        [],
+        "SELECT f.term AS term, CAST(f.fg_df AS BIGINT) AS fg_df, CAST(b.df AS BIGINT) AS bg_df FROM "
+        f"(SELECT term, count(*) AS fg_df FROM tf WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = '{RARE}') "
+        "GROUP BY term) f JOIN dfreq b USING (term) WHERE b.df >= 5 "
+        "ORDER BY (f.fg_df * 1.0 / b.df) DESC, f.fg_df DESC, f.term ASC LIMIT 10",
     )
     return o

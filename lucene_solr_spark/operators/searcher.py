@@ -528,6 +528,98 @@ class IndexSearcher:
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
 
+    def rescore(self, top: TopDocs, query: Query, weight: float = 1.0) -> DataFrame:
+        """QueryRescorer analog (``reference lucene/core/src/java/org/apache/
+        lucene/search/QueryRescorer.java``): combine first-pass scores with a
+        costlier query's scores over ONLY the top-N rows.
+
+        combined = f32(f64(first) + weight * f64(second)); docs the rescore
+        query misses keep their first-pass score (Lucene behavior)."""
+        stats = self._term_stats(query.terms())
+        second = self._evaluate(query, 1.0, stats).select("doc_id", F.col("score").alias("s2"))
+        firsts = top.df.select("doc_id", F.col("score").alias("s1"))
+        combined = firsts.join(second, "doc_id", "left")
+        return (
+            combined.select(
+                "doc_id",
+                (
+                    F.col("s1").cast("double")
+                    + F.lit(float(weight)) * F.coalesce(F.col("s2").cast("double"), F.lit(0.0))
+                )
+                .cast("float")
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def function_score(self, query: Query, expr: str, k: int = 10) -> TopDocs:
+        """FunctionScoreQuery / function-query analog (``reference lucene/
+        queries/.../function/FunctionScoreQuery.java``, Solr
+        ``ValueSourceParser.java``): score = f32(f64(bm25) * f64(expr)) where
+        `expr` is any SQL expression over corpus columns — Catalyst is our
+        expression compiler (SURVEY §2.5 expressions row)."""
+        if self.corpus is None:
+            raise ValueError("function_score needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(self.corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        rescored = joined.select(
+            "doc_id",
+            (F.col("score").cast("double") * F.expr(expr).cast("double")).cast("float").alias("score"),
+        )
+        return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
+    def sorted_export(self, query: Query, sort_cols: list, k: Optional[int] = None) -> DataFrame:
+        """TopFieldCollector / Solr ``/export`` analog: the full match set
+        ordered by doc-values columns (Catalyst TakeOrderedAndProject when k
+        is set, a plain global sort for export)."""
+        if self.corpus is None:
+            raise ValueError("sorted_export needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id")
+        id_col = self.index.config.id_col
+        joined = matched.join(self.corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        out = joined.orderBy(*sort_cols)
+        return out.limit(k) if k else out
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Suggester analog (``reference lucene/suggest/.../Lookup.java``):
+        most frequent dictionary terms under a prefix — a pruned scan of the
+        terms table standing in for the suggest FST."""
+        return (
+            self.index.terms.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", F.col("df").cast("long"))
+        )
+
+    def significant_terms(self, query: Query, n: int = 10, min_df: int = 5) -> DataFrame:
+        """SignificantTermsStream analog (``reference solr/solrj/.../io/
+        stream/SignificantTermsStream.java``): terms overrepresented in the
+        match set vs the corpus, scored fg_df/bg_df."""
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id")
+        # candidate terms pruned by background df BEFORE unpacking any blocks
+        cand = self.index.terms.filter(F.col("df") >= min_df).select("term")
+        blocks = self.index.postings.join(F.broadcast(cand), "term")
+        unpacked = blocks.mapInPandas(
+            _make_unpack_score({}, np.zeros(256, np.float32)), schema=_SCORED_SCHEMA
+        )
+        fg = (
+            unpacked.join(matched, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("fg_df"))
+        )
+        out = (
+            fg.join(self.index.terms.select("term", F.col("df").alias("bg_df")), "term")
+            .filter(F.col("bg_df") >= min_df)
+            .withColumn("ratio", F.col("fg_df") / F.col("bg_df"))
+            .orderBy(F.desc("ratio"), F.desc("fg_df"), F.asc("term"))
+            .limit(n)
+        )
+        return out.select("term", "fg_df", F.col("bg_df").cast("long"))
+
     def highlight(self, top: TopDocs, term: str, window: int = 2) -> DataFrame:
         """UnifiedHighlighter analog (``reference lucene/highlighter/...
         uhighlight/UnifiedHighlighter.java:92``): re-analyze only the winners'

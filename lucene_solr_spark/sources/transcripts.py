@@ -45,7 +45,7 @@ def _vocab(rng: np.ndarray | None = None) -> np.ndarray:
     return np.asarray(words, dtype=object)
 
 
-def generate_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+def generate_transcripts(n_convs: int, seed: int = SEED, conv_offset: int = 0) -> pd.DataFrame:
     """Generate the deterministic transcripts corpus as a pandas DataFrame."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
@@ -88,7 +88,7 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:
 
     return pd.DataFrame(
         {
-            "conv_id": np.char.add("conv", np.char.zfill(conv_idx.astype(str), 8)).astype(object),
+            "conv_id": np.char.add("conv", np.char.zfill((conv_idx + conv_offset).astype(str), 8)).astype(object),
             "turn_idx": turn_idx,
             "role": role,
             "text": texts,
@@ -117,3 +117,28 @@ def transcripts_df(spark, n_convs: int, seed: int = SEED, n_partitions: int | No
     if n_partitions:
         df = df.repartition(n_partitions, "conv_id")
     return df
+
+
+def transcripts_df_dist(spark, n_convs: int, n_partitions: int = 64, seed: int = SEED):
+    """Deterministic transcripts corpus generated ON THE EXECUTORS.
+
+    For bench-scale corpora (10^6+ turns) driver-side generation is the
+    bottleneck; here each task generates a disjoint conv-id range with a
+    per-partition seed (seed+pid) — still fully deterministic for a given
+    (n_convs, n_partitions, seed), which is all the bench protocol needs.
+    """
+    import pandas as pd
+
+    per = (n_convs + n_partitions - 1) // n_partitions
+    parts = [(p, p * per, min((p + 1) * per, n_convs)) for p in range(n_partitions) if p * per < n_convs]
+    plan = spark.createDataFrame(pd.DataFrame(parts, columns=["pid", "lo", "hi"])).repartition(len(parts), "pid")
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                n = int(row["hi"]) - int(row["lo"])
+                if n > 0:
+                    yield generate_transcripts(n, seed=seed + int(row["pid"]), conv_offset=int(row["lo"]))
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    return plan.mapInPandas(gen, schema=schema)
