@@ -1,0 +1,77 @@
+"""Physical-plan quality guards — the 100 TB questions, asserted.
+
+These pin the plan shapes that make the engine scale (SURVEY.md §4):
+term lookups must prune at the parquet scan, top-k must compile to
+TakeOrderedAndProject (per-partition heap + driver merge), stored-field
+fetch must broadcast the winners, and nothing in the package may use
+row-at-a-time Python UDFs (BASELINE.json input_hint: vectorized Arrow only).
+"""
+
+import glob
+import re
+
+import numpy as np
+
+from lucene_solr_spark.plans.query import TermQuery
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_written_index_term_lookup_pushdown(spark, index8, searcher, tmp_path_factory):
+    from lucene_solr_spark.operators.indexer import InvertedIndex
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    path = str(tmp_path_factory.mktemp("committed_index"))
+    index8.write(path)
+    idx = InvertedIndex.read(spark, path, index8.config)
+
+    # the term-equality filter must reach the parquet scan (blocktree/FST
+    # analog: file + row-group pruning via min/max on the sorted term column)
+    blocks = idx.postings.filter(idx.postings.term == "the")
+    explained = blocks._sc._jvm.PythonSQLUtils.explainString(
+        blocks._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in explained and "the" in explained
+
+    # round-trip: identical search results from the committed index
+    s2 = IndexSearcher(idx, searcher.corpus)
+    want = [(d, float(np.float32(s))) for d, s in searcher.search(TermQuery("the"), 10).collect()]
+    got = [(d, float(np.float32(s))) for d, s in s2.search(TermQuery("the"), 10).collect()]
+    assert got == want
+
+
+def test_topk_compiles_to_take_ordered(searcher):
+    top = searcher.search(TermQuery("the"), 10, prune=False)
+    assert "TakeOrderedAndProject" in _plan(top.df)
+
+
+def test_fetch_broadcasts_winners(searcher):
+    top = searcher.search(TermQuery("the"), 5)
+    fetched = searcher.fetch(top, columns=["text"])
+    assert "BroadcastHashJoin" in _plan(fetched) or "BroadcastNestedLoopJoin" in _plan(fetched)
+
+
+def test_no_row_wise_python_udf_in_package():
+    """input_hint: vectorized pandas/Arrow UDFs only — no per-row Python.
+
+    Forbids `F.udf(` / `@udf` (row-at-a-time) anywhere in the package;
+    pandas_udf / mapInPandas / applyInPandas are the allowed escape hatches.
+    """
+    offenders = []
+    for path in glob.glob("lucene_solr_spark/**/*.py", recursive=True):
+        src = open(path).read()
+        if re.search(r"(?<!pandas_)\budf\s*\(", src.replace("pandas_udf", "")):
+            offenders.append(path)
+    assert not offenders, f"row-wise udf() found in {offenders}"
+
+
+def test_collect_only_on_small_relations():
+    """Driver-side collect() must only touch tiny relations (stats, term
+    dictionary rows, manifests) — never postings or corpus rows. Guard: no
+    .collect() call in the same statement as `postings` outside tests."""
+    for path in glob.glob("lucene_solr_spark/**/*.py", recursive=True):
+        for i, line in enumerate(open(path).read().splitlines(), 1):
+            if ".collect()" in line and "postings." in line.replace("index.postings.sparkSession", ""):
+                raise AssertionError(f"{path}:{i} collects postings rows")
