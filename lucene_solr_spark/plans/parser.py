@@ -26,10 +26,13 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     BoostQuery,
+    FuzzyQuery,
     MatchNoDocsQuery,
     PhraseQuery,
     PrefixQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
 )
 
 _TOKEN_RE = re.compile(
@@ -39,10 +42,12 @@ _TOKEN_RE = re.compile(
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<phrase>"[^"]*")
+      | (?P<range>[\[{][^\]}]*[\]}])
       | (?P<and>AND\b|&&)
       | (?P<or>OR\b|\|\|)
       | (?P<boost>\^[0-9.]+)
-      | (?P<term>[^\s()+\-^"][^\s()^"]*)
+      | (?P<fuzzy>~[0-9]*)
+      | (?P<term>[^\s()+\-^"~][^\s()^"~]*)
     )""",
     re.VERBOSE,
 )
@@ -131,10 +136,20 @@ class _Parser:
                 q = TermQuery(toks[0])
             else:
                 q = PhraseQuery(tuple(toks))
+        elif kind == "range":
+            # [a TO b] inclusive / {a TO b} exclusive (QueryParser.jj ranges)
+            inner = val[1:-1]
+            m = re.match(r"\s*(\S+)\s+TO\s+(\S+)\s*", inner)
+            if m:
+                lo = None if m.group(1) == "*" else m.group(1).lower()
+                hi = None if m.group(2) == "*" else m.group(2).lower()
+                q = TermRangeQuery(lo, hi, val[0] == "[", val[-1] == "]")
         elif kind == "term":
-            if val.endswith("*") and len(val) > 1:
+            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1] and "?" not in val:
                 norm = self.an.tokens(val[:-1])
                 q = PrefixQuery(norm[0]) if norm else None
+            elif "*" in val or "?" in val:
+                q = WildcardQuery(val.lower())  # Analyzer.normalize = lowercase
             else:
                 toks = self.an.tokens(val)
                 if not toks:
@@ -143,8 +158,14 @@ class _Parser:
                     q = TermQuery(toks[0])
                 else:
                     q = BooleanQuery(clauses=tuple(BooleanClause(TermQuery(t), "SHOULD") for t in toks))
-        # optional ^boost
+        # optional ~fuzzy (terms only, FuzzyQuery default maxEdits=2)
         k2, v2 = self.peek()
+        if isinstance(q, TermQuery) and k2 == "fuzzy":
+            self.next()
+            edits = int(v2[1:]) if len(v2) > 1 else 2
+            q = FuzzyQuery(q.term, max_edits=edits)
+            k2, v2 = self.peek()
+        # optional ^boost
         if q is not None and k2 == "boost":
             self.next()
             q = BoostQuery(q, float(v2[1:]))
