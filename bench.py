@@ -35,7 +35,8 @@ def _build_from_parquet(spark, path: str, n_partitions: int):
 
     corpus = spark.read.parquet(path)
     with_ids = assign_doc_ids(corpus, ("conv_id", "turn_idx"), n_partitions=n_partitions)
-    idx = build_index(with_ids, IndexConfig(n_partitions=n_partitions))
+    # keep assign_doc_ids' range placement — no second corpus shuffle
+    idx = build_index(with_ids, IndexConfig(n_partitions=None))
     n_turns = idx.doc_count
     idx.postings.count()  # materialize the full build
     return idx, n_turns

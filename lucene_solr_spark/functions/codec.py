@@ -51,11 +51,18 @@ def _within_group_ranges(counts: np.ndarray) -> np.ndarray:
 
 
 def varint_sizes(values: np.ndarray) -> np.ndarray:
-    """Byte length of each value's varint encoding (LEB128, 7 bits/byte)."""
+    """Byte length of each value's varint encoding (LEB128, 7 bits/byte).
+
+    Early-exits once no value needs another byte — for postings data
+    (deltas/tfs, overwhelmingly 1-2 bytes) this is ~2 passes, not 9.
+    """
     v = np.asarray(values, dtype=np.uint64)
     sizes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
-        sizes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        more = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not more.any():
+            break
+        sizes += more
     return sizes
 
 
@@ -66,30 +73,55 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def encode_varint_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 encode via one vectorized pass per *byte position* (≤9 passes
+    over shrinking subsets — the Lucene bulk-VInt analog, no per-value work)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
     sizes = varint_sizes(v)
-    j = _within_group_ranges(sizes)  # byte index within each value
-    vals_rep = np.repeat(v, sizes)
-    out = ((vals_rep >> (np.uint64(7) * j.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
-    cont = j < np.repeat(sizes - 1, sizes)
-    out[cont] |= 0x80
+    max_size = int(sizes.max())
+    if max_size == 1:  # fast path: every value is its own byte
+        return v.astype(np.uint8).tobytes(), sizes
+    total = int(sizes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.cumsum(sizes) - sizes  # first-byte offset per value
+    idx = starts  # offsets of byte j for the still-live subset
+    live_v, live_sizes = v, sizes
+    for j in range(max_size):
+        byte = (live_v >> np.uint64(7 * j)).astype(np.uint8) & np.uint8(0x7F)
+        byte |= ((live_sizes > j + 1) * np.uint8(0x80)).astype(np.uint8)
+        out[idx + j] = byte
+        nxt = live_sizes > j + 1
+        if j + 1 < max_size:
+            idx, live_v, live_sizes = idx[nxt], live_v[nxt], live_sizes[nxt]
     return out.tobytes(), sizes
 
 
 def decode_varint(buf: bytes | np.ndarray) -> np.ndarray:
-    """Vectorized LEB128 decode of a byte buffer to an int64 array."""
+    """Vectorized LEB128 decode: one pass per byte position (≤9), mirroring
+    the encoder — no per-value indexing beyond boolean subset selection."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
-    group_starts = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
-    gid = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
-    j = np.arange(b.size, dtype=np.int64) - group_starts[gid]
-    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * j.astype(np.uint64))
-    # values' bytes never overlap in bit ranges -> OR-reduce per group
-    return np.bitwise_or.reduceat(contrib, group_starts).astype(np.int64)
+    if is_last.all():  # fast path: all single-byte values
+        return b.astype(np.int64)
+    last_idx = np.flatnonzero(is_last)
+    starts = np.empty(last_idx.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = last_idx[:-1] + 1
+    sizes = last_idx - starts + 1
+    out = np.zeros(last_idx.size, dtype=np.uint64)
+    idx = starts
+    live = np.arange(last_idx.size)
+    max_size = int(sizes.max())
+    live_sizes = sizes
+    for j in range(max_size):
+        out[live] |= (b[idx + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+        nxt = live_sizes > j + 1
+        if j + 1 < max_size:
+            idx, live, live_sizes = idx[nxt], live[nxt], live_sizes[nxt]
+    return out.astype(np.int64)
 
 
 def pack_postings_blocks(

@@ -49,7 +49,8 @@ def timed_build(cpus: int, runs: int) -> list[float]:
         t0 = time.monotonic()
         corpus = spark.read.parquet(CORPUS)
         with_ids = assign_doc_ids(corpus, ("conv_id", "turn_idx"), n_partitions=cpus)
-        idx = build_index(with_ids, IndexConfig(n_partitions=cpus))
+        # keep assign_doc_ids' range placement — no second corpus shuffle
+        idx = build_index(with_ids, IndexConfig(n_partitions=None))
         idx.postings.count()  # materialize the whole build
         dt = time.monotonic() - t0
         spark.catalog.clearCache()  # drop this run's persisted runs/corpus
@@ -63,23 +64,27 @@ def timed_build(cpus: int, runs: int) -> list[float]:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    hi = 4 * lo  # the north rule's N -> 4N pair; 4N must stay under nproc
+    # to avoid measuring core oversubscription instead of the job
 
     n_turns = make_corpus(n_convs)
     print(f"corpus: {n_turns} turns", file=sys.stderr)
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         med = statistics.median(timed_build(cpus, runs))
         results[cpus] = {"wall_s": round(med, 2), "turns_per_sec": round(n_turns / med, 1)}
 
-    eff = (results[32]["turns_per_sec"] / results[8]["turns_per_sec"]) / 4.0
+    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / 4.0
     out = {
         "metric": "index_build_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_turns": n_turns,
-        "local8": results[8],
-        "local32": results[32],
+        "lo_cores": lo,
+        "lo": results[lo],
+        "hi": results[hi],
     }
     print(json.dumps(out))
 
@@ -97,10 +102,10 @@ Median of {runs} warm runs (1 warm-up discarded).
 
 | config | wall (s) | throughput (turns/sec) |
 |---|---|---|
-| local[8]  | {results[8]['wall_s']} | {results[8]['turns_per_sec']:,} |
-| local[32] | {results[32]['wall_s']} | {results[32]['turns_per_sec']:,} |
+| local[{lo}]  | {results[lo]['wall_s']} | {results[lo]['turns_per_sec']:,} |
+| local[{hi}] | {results[hi]['wall_s']} | {results[hi]['turns_per_sec']:,} |
 
-**Scaling efficiency (8 -> 32 cores) = {eff:.3f}** (target >= 0.8,
+**Scaling efficiency ({lo} -> {hi} cores) = {eff:.3f}** (target >= 0.8,
 BASELINE.json north_rule; efficiency = (tp@4N / tp@N) / 4).
 
 Measured {time.strftime('%Y-%m-%d %H:%M:%S')} on local mode,
