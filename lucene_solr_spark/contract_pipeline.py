@@ -141,6 +141,20 @@ def pipeline_queries() -> dict:
 
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    def sim_ann_ivf(spark, sf_dir):
+        return similarity.ivf_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, ANN_K).orderBy("query_id", "rank")
+
+    q["sim_ann_ivf"] = sim_ann_ivf
+
+    def dd_embedding_neardup(spark, sf_dir):
+        # min_dot ~ cos 0.3 at the floor(1000x) quantized scale (unit vectors)
+        pairs = similarity.embedding_neardup_pairs(_embs(spark, sf_dir), min_dot=300_000)
+        return pairs.select(
+            F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), F.col("dot").cast("long")
+        ).orderBy("vec_a", "vec_b")
+
+    q["dd_embedding_neardup"] = dd_embedding_neardup
+
     def ta_langid(spark, sf_dir):
         return textstats.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -283,6 +297,46 @@ scored AS (SELECT qs.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qs.qq'
 r AS (SELECT query_id, neighbor_id, dot,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
       FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+    _BK = """
+planes AS (SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN (1103515245*(i + 64*j) + 12345) % 2147483648 < 1073741824
+                THEN 1 ELSE -1 END) AS p
+           FROM (SELECT unnest(range(0, 8)) AS j)),
+proj AS (SELECT v.vec_id, pl.j, {dot} AS pr FROM qv v CROSS JOIN planes pl),
+bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       FROM proj GROUP BY vec_id),
+qb AS (SELECT qv.vec_id, qv.q, bk.bucket FROM qv JOIN bk USING (vec_id))
+""".format(dot=_dot_sql("v.q", "pl.p"))
+
+    o["dd_embedding_neardup"] = f"""
+WITH {_QV},
+{_BK.strip()}
+SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       CAST({_dot_sql('a.q', 'b.q')} AS BIGINT) AS dot
+FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_dot_sql('a.q', 'b.q')} >= 300000
+ORDER BY vec_a, vec_b
+"""
+
+    o["sim_ann_ivf"] = f"""
+WITH {_QV},
+cents AS (SELECT vec_id AS cent_id, q AS cvec FROM qv WHERE vec_id < 8),
+sc AS (SELECT v.vec_id, v.q, c.cent_id, {_dot_sql('v.q', 'c.cvec')} AS cdot,
+       row_number() OVER (PARTITION BY v.vec_id ORDER BY {_dot_sql('v.q', 'c.cvec')} DESC, c.cent_id ASC) AS rn
+       FROM qv v CROSS JOIN cents c),
+assigned AS (SELECT vec_id, q, cent_id FROM sc WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, q AS qq, cent_id FROM sc
+           WHERE rn <= 2 AND vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, {_dot_sql('a.q', 'p.qq')} AS dot
+         FROM assigned a JOIN probes p ON a.cent_id = p.cent_id WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM cand)
 SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(dot AS BIGINT) AS dot
 FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank

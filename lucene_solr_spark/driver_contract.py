@@ -264,6 +264,12 @@ def ft_queries() -> dict:
         return s.significant_terms(TermQuery(RARE), n=10, min_df=5)
 
     q["ft_significant"] = ft_significant
+
+    def ft_blockjoin(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.parent_block_join(TermQuery(RARE), "source").orderBy("parent")
+
+    q["ft_blockjoin"] = ft_blockjoin
     return q
 
 
@@ -450,5 +456,15 @@ def ft_oracle_sql() -> dict:
         f"(SELECT term, count(*) AS fg_df FROM tf WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = '{RARE}') "
         "GROUP BY term) f JOIN dfreq b USING (term) WHERE b.df >= 5 "
         "ORDER BY (f.fg_df * 1.0 / b.df) DESC, f.fg_df DESC, f.term ASC LIMIT 10",
+    )
+
+    o["ft_blockjoin"] = _with(
+        [_term_cte("sc", RARE)],
+        "SELECT parent, CAST(count(*) AS BIGINT) AS n_hits, "
+        "CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS best_doc FROM ("
+        "  SELECT d.source AS parent, sc.doc_id AS doc_id, "
+        "  row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id ASC) AS rn"
+        "  FROM sc JOIN documents d ON sc.doc_id = d.doc_id"
+        ") GROUP BY parent ORDER BY parent",
     )
     return o

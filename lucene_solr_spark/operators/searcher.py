@@ -528,6 +528,36 @@ class IndexSearcher:
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
 
+    def parent_block_join(self, child_query: Query, parent_col: str) -> DataFrame:
+        """ToParentBlockJoinQuery analog (``reference lucene/join/src/java/org/
+        apache/lucene/search/join/ToParentBlockJoinQuery.java``): child hits
+        rolled up to their parent (here: any corpus column as the parent key,
+        e.g. conv_id for conversation/turn, source for document groups).
+
+        Returns (parent, n_hits, best_doc) — ScoreMode.Max's winning child and
+        the child hit count per parent. One groupBy on the parent key; child
+        scores never leave their partition before the rollup (map-side
+        combinable)."""
+        if self.corpus is None:
+            raise ValueError("parent_block_join needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(child_query.terms())
+        scored = self._evaluate(child_query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent")), "doc_id"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("parent").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .groupBy("parent")
+            .agg(
+                F.count("*").cast("bigint").alias("n_hits"),
+                F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("bigint").alias("best_doc"),
+            )
+        )
+
     def rescore(self, top: TopDocs, query: Query, weight: float = 1.0) -> DataFrame:
         """QueryRescorer analog (``reference lucene/core/src/java/org/apache/
         lucene/search/QueryRescorer.java``): combine first-pass scores with a

@@ -92,6 +92,70 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = N_PLANES) -> DataFrame:
     return df.join(buckets, "vec_id")
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, min_dot: int, n_planes: int = N_PLANES) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same LSH bucket AND quantized
+    dot >= min_dot (vec_a < vec_b).
+
+    The dedup variant of the ANN path: the bucket join bounds candidates to
+    ~n²/2^planes; the integer dot verify is exact.  At 100 TB this is the
+    embedding-dedup plan: bucket is the shuffle key, verify is map-side.
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    q = lsh_bucket(quantize(embeddings).select("vec_id", "qvec"), dim, n_planes)
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"), "bucket")
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        cand.select("vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot"))
+        .filter(F.col("dot") >= int(min_dot))
+        .distinct()
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int = 8, n_probe: int = 2
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantization to fixed centroids, probe the
+    query's `n_probe` nearest lists, exact rerank inside them.
+
+    Centroids are the first `n_centroids` corpus vectors (deterministic
+    training stand-in; real pipelines plug k-means here — the plan shape is
+    identical).  Assignment/probing use the same exact integer dot products,
+    so the DuckDB oracle replays everything.
+    """
+    q = quantize(embeddings).select("vec_id", "qvec")
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("qvec").alias("cvec")
+    )
+    # assign every vector to its best centroid (broadcast the tiny codebook)
+    scored_c = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qvec", "cent_id", _dot(F.col("qvec"), F.col("cvec")).alias("cdot")
+    )
+    from pyspark.sql.window import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        scored_c.withColumn("rn", F.row_number().over(w_assign)).filter(F.col("rn") == 1).select("vec_id", "qvec", "cent_id")
+    )
+    # queries probe their n_probe closest centroids
+    probes = (
+        scored_c.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _dot(F.col("qvec"), F.col("q_qvec")).alias("dot")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = N_PLANES) -> DataFrame:
     """Bucketed ANN: candidates share the query's LSH bucket, exact rerank.
 
