@@ -270,6 +270,14 @@ def ft_queries() -> dict:
         return s.parent_block_join(TermQuery(RARE), "source").orderBy("parent")
 
     q["ft_blockjoin"] = ft_blockjoin
+
+    def ft_phrase_sloppy(spark, sf_dir):
+        # rows-only check (no oracle): simplified sloppy-match semantics are
+        # procedural — see SloppyPhraseMatcher deviation note in searcher.py
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(s.search(PhraseQuery((HOT, HOT2), slop=2), 10).df)
+
+    q["ft_phrase_sloppy"] = ft_phrase_sloppy
     return q
 
 

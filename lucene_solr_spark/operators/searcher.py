@@ -130,10 +130,29 @@ class IndexSearcher:
     verification; it must carry (config.id_col, config.text_col).
     """
 
-    def __init__(self, index: InvertedIndex, corpus: Optional[DataFrame] = None):
+    def __init__(self, index: InvertedIndex, corpus: Optional[DataFrame] = None, filter_cache_size: int = 32):
         self.index = index
         self.corpus = corpus
         self.spark = index.postings.sparkSession
+        # LRUQueryCache / SolrIndexSearcher.filterCache analog: hot FILTER
+        # doc-sets persisted, LRU-evicted (SolrIndexSearcher.java:119-120)
+        from collections import OrderedDict
+
+        self._filter_cache: "OrderedDict[Query, DataFrame]" = OrderedDict()
+        self._filter_cache_size = filter_cache_size
+
+    def cached_filter(self, query: Query) -> DataFrame:
+        """Doc-id set of `query`, persisted and LRU-cached across searches."""
+        if query in self._filter_cache:
+            self._filter_cache.move_to_end(query)
+            return self._filter_cache[query]
+        stats = self._term_stats(query.terms())
+        ids = self._evaluate(query, 1.0, stats).select("doc_id").distinct().persist()
+        self._filter_cache[query] = ids
+        if len(self._filter_cache) > self._filter_cache_size:
+            _, evicted = self._filter_cache.popitem(last=False)
+            evicted.unpersist()
+        return ids
 
     # ---------------------------------------------------------------- stats
     def _term_stats(self, terms: set[str]) -> dict:
@@ -265,6 +284,40 @@ class IndexSearcher:
         cache = scorer.cache()
         phrase = tuple(terms)
 
+        slop = int(q.slop)
+
+        def _exact_freq(toks) -> int:
+            n = 0
+            for j in range(len(toks) - len(phrase) + 1):
+                if all(
+                    toks[j + m][0] == phrase[m] and toks[j + m][1] == toks[j][1] + m
+                    for m in range(len(phrase))
+                ):
+                    n += 1
+            return n
+
+        def _sloppy_freq(toks) -> int:
+            """Ordered sloppy match count: phrase terms in order with total
+            positional slack <= slop (simplified SloppyPhraseMatcher — the
+            reference weights matches by 1/(1+slack); we count them, a
+            documented deviation)."""
+            n = 0
+            for j, (t0, p0) in enumerate(toks):
+                if t0 != phrase[0]:
+                    continue
+                prev_pos, slack, k = p0, 0, 1
+                for t, p in toks[j + 1 :]:
+                    if k >= len(phrase):
+                        break
+                    if t == phrase[k]:
+                        slack += p - prev_pos - 1
+                        if slack > slop:
+                            break
+                        prev_pos, k = p, k + 1
+                if k == len(phrase) and slack <= slop:
+                    n += 1
+            return n
+
         def verify(iterator):
             for pdf in iterator:
                 if len(pdf) == 0:
@@ -272,14 +325,7 @@ class IndexSearcher:
                 freqs = np.zeros(len(pdf), dtype=np.int64)
                 for i, txt in enumerate(pdf["_text"]):
                     toks = analyzer.tokens_with_positions(txt)
-                    n = 0
-                    for j in range(len(toks) - len(phrase) + 1):
-                        if all(
-                            toks[j + m][0] == phrase[m] and toks[j + m][1] == toks[j][1] + m
-                            for m in range(len(phrase))
-                        ):
-                            n += 1
-                    freqs[i] = n
+                    freqs[i] = _sloppy_freq(toks) if slop > 0 else _exact_freq(toks)
                 keep = freqs > 0
                 if not keep.any():
                     continue
@@ -330,7 +376,7 @@ class IndexSearcher:
             filters = filters[1:]
 
         for sub in filters:
-            out = out.join(self._evaluate(sub, 1.0, stats).select("doc_id").distinct(), "doc_id", "left_semi")
+            out = out.join(self.cached_filter(sub), "doc_id", "left_semi")
         for sub in must_not:
             out = out.join(self._evaluate(sub, 1.0, stats).select("doc_id").distinct(), "doc_id", "left_anti")
         return out
