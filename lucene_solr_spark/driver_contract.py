@@ -59,7 +59,9 @@ def doc_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             *[c for c in raw.columns if c != "doc_id"],
         )
         corpus = corpus.persist()
-        idx = build_index(corpus, IndexConfig(analyzer=simple_analyzer(), n_partitions=8)).persist()
+        idx = build_index(
+            corpus, IndexConfig(analyzer=simple_analyzer(), n_partitions=8, index_positions=True)
+        ).persist()
         _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
     return _INDEX_CACHE[key]
 

@@ -94,12 +94,25 @@ class Analyzer:
     def analyze_batch(self, texts: pd.Series):
         """Vectorized batch analysis for Arrow UDFs.
 
-        Returns ``(flat_terms, row_index, dl)``:
+        Returns ``(flat_terms, row_index, dl)`` — see
+        :meth:`analyze_batch_with_positions` for the position-carrying
+        variant (DOCS_AND_FREQS_AND_POSITIONS).
+        """
+        flat, rows, dl, _ = self.analyze_batch_with_positions(texts)
+        return flat, rows, dl
+
+    def analyze_batch_with_positions(self, texts: pd.Series):
+        """Vectorized batch analysis for Arrow UDFs.
+
+        Returns ``(flat_terms, row_index, dl, positions)``:
         - ``flat_terms``: object ndarray of all kept tokens, document order;
         - ``row_index``: int64 ndarray, the batch row of each token;
         - ``dl``: int64 ndarray per batch row — kept-token count (the BM25
           field length; stopped/overlong tokens excluded, matching
-          FieldInvertState length with discountOverlaps).
+          FieldInvertState length with discountOverlaps);
+        - ``positions``: int64 ndarray per kept token — its token position
+          within the document INCLUDING holes left by stopped/overlong
+          tokens (FilteringTokenFilter.java:48-56 position increments).
         """
         s = texts.fillna("")
         if self.lowercase:
@@ -112,6 +125,7 @@ class Analyzer:
                 np.empty(0, dtype=object),
                 np.empty(0, dtype=np.int64),
                 np.zeros(n_rows, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
             )
         flat = np.empty(int(counts.sum()), dtype=object)
         pos = 0
@@ -121,6 +135,9 @@ class Analyzer:
                 flat[pos : pos + ln] = lst
                 pos += ln
         row_index = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        # token position within its document, BEFORE filtering (holes kept)
+        starts = np.cumsum(counts) - counts
+        positions = np.arange(flat.shape[0], dtype=np.int64) - np.repeat(starts, counts)
 
         keep = np.ones(flat.shape[0], dtype=bool)
         if self.max_token_length:
@@ -130,8 +147,9 @@ class Analyzer:
             keep &= ~np.isin(flat, list(self.stopwords))
         flat = flat[keep]
         row_index = row_index[keep]
+        positions = positions[keep]
         dl = np.bincount(row_index, minlength=n_rows).astype(np.int64)
-        return flat, row_index, dl
+        return flat, row_index, dl, positions
 
 
 def standard_analyzer() -> Analyzer:

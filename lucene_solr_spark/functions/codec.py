@@ -37,6 +37,7 @@ __all__ = [
     "varint_sizes",
     "pack_postings_blocks",
     "unpack_blocks",
+    "unpack_positions",
 ]
 
 
@@ -130,6 +131,7 @@ def pack_postings_blocks(
     tfs: np.ndarray,
     norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ):
     """Pack sorted postings into per-(term, block) compressed rows.
 
@@ -139,7 +141,13 @@ def pack_postings_blocks(
 
     Returns a dict of parallel arrays/lists, one entry per block:
     ``term_code, block_id, doc_id_base, count, doc_bytes, tf_bytes,
-    norm_bytes, max_tf, min_norm``.
+    norm_bytes, max_tf, min_norm`` (+ ``pos_bytes`` when ``positions`` is
+    given — the within-doc position stream, delta-varint per posting with
+    per-posting lengths given by ``tfs``, the .pos-file analog of
+    ``Lucene50PostingsWriter.java:281-350``).
+
+    ``positions`` is the flat occurrence-position array aligned with the
+    occurrence stream that produced ``tfs`` (ascending within each posting).
     """
     n = len(doc_ids)
     term_codes = np.asarray(term_codes, dtype=np.int64)
@@ -158,6 +166,7 @@ def pack_postings_blocks(
             "max_tf": np.empty(0, np.int32),
             "min_norm": np.empty(0, np.int32),
             "sum_tf": np.empty(0, np.int64),
+            "pos_bytes": [] if positions is not None else None,
         }
 
     new_term = np.empty(n, dtype=bool)
@@ -202,7 +211,27 @@ def pack_postings_blocks(
     min_norm = np.minimum.reduceat(norms, block_start_idx).astype(np.int32)
     sum_tf = np.add.reduceat(tfs, block_start_idx).astype(np.int64)
 
+    pos_slices = None
+    if positions is not None:
+        # within-doc delta encoding: first occurrence absolute, then gaps
+        pos = np.asarray(positions, dtype=np.int64)
+        occ_starts = np.cumsum(tfs) - tfs  # occurrence offset per posting
+        pdeltas = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            pdeltas[0] = pos[0]
+            pdeltas[1:] = pos[1:] - pos[:-1]
+            pdeltas[occ_starts] = pos[occ_starts]
+        pos_buf, pos_sizes = encode_varint_with_sizes(pdeltas)
+        # byte range of block b = bytes of occurrences of its postings
+        occ_of_block_start = occ_starts[block_start_idx]
+        byte_ends = np.cumsum(pos_sizes)
+        byte_starts = byte_ends - pos_sizes
+        b_start = byte_starts[occ_of_block_start]
+        b_end = np.concatenate((b_start[1:], byte_ends[-1:]))
+        pos_slices = [pos_buf[a:b] for a, b in zip(b_start.tolist(), b_end.tolist())]
+
     return {
+        "pos_bytes": pos_slices,
         "term_code": term_codes[block_start_idx],
         "block_id": block_of_posting[block_start_idx].astype(np.int32),
         "doc_id_base": doc_ids[block_start_idx],
@@ -247,3 +276,17 @@ def unpack_blocks(
     doc_ids = cs + offset
     block_index = np.repeat(np.arange(n_blocks, dtype=np.int64), counts)
     return doc_ids, tfs, norms, block_index
+
+
+def unpack_positions(tfs: np.ndarray, pos_bytes_list) -> np.ndarray:
+    """Decode the concatenated position streams of N blocks back to flat
+    absolute within-doc positions (aligned with the occurrence stream whose
+    per-posting lengths are ``tfs``)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = decode_varint(b"".join(pos_bytes_list))
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    occ_starts = np.cumsum(tfs) - tfs
+    cs = np.cumsum(deltas)
+    cs_before = cs[occ_starts] - deltas[occ_starts]
+    return cs - np.repeat(cs_before, tfs)

@@ -49,7 +49,8 @@ from ..functions.smallfloat import int_to_byte4
 # row_type 0 = posting block; row_type 1 = doc metadata
 _BUILD_SCHEMA = (
     "row_type int, term string, run_id bigint, block_id int, doc_id_base bigint, "
-    "count int, doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint"
+    "count int, doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
+    "positions binary"
 )
 
 POSTINGS_COLUMNS = [
@@ -64,6 +65,7 @@ POSTINGS_COLUMNS = [
     "max_tf",
     "min_norm",
     "sum_tf",
+    "positions",
 ]
 
 
@@ -74,6 +76,7 @@ class IndexConfig:
     id_col: str = "doc_id"
     block_size: int = BLOCK_SIZE
     n_partitions: Optional[int] = None  # index partitions ("segments"); None = keep input
+    index_positions: bool = False  # DOCS_AND_FREQS vs DOCS_AND_FREQS_AND_POSITIONS
 
 
 @dataclass
@@ -204,7 +207,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
             run_id = np.int64(pid) * 1_000_000 + seq
             seq += 1
             doc_ids_batch = pdf[id_col].to_numpy(dtype=np.int64)
-            flat, rows, dl = analyzer.analyze_batch(pdf[text_col])
+            flat, rows, dl, tok_pos = analyzer.analyze_batch_with_positions(pdf[text_col])
             norm_bytes = int_to_byte4(dl)
 
             # doc metadata rows (norms column-stride analog)
@@ -222,6 +225,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "max_tf": norm_bytes.astype(np.int32),
                     "min_norm": np.int32(0),
                     "sum_tf": np.int64(0),
+                    "positions": None,
                 }
             )
 
@@ -239,7 +243,12 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
             tfs = np.diff(np.append(starts, tc.size)).astype(np.int64)
             u_tc, u_rr = tc[starts], rr[starts]
             packed = pack_postings_blocks(
-                u_tc, doc_ids_batch[u_rr], tfs, norm_bytes[u_rr], block_size=block_size
+                u_tc,
+                doc_ids_batch[u_rr],
+                tfs,
+                norm_bytes[u_rr],
+                block_size=block_size,
+                positions=tok_pos[order] if config.index_positions else None,
             )
             terms_arr = uniques.to_numpy(dtype=object)[packed["term_code"]]
             yield pd.DataFrame(
@@ -256,6 +265,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "max_tf": packed["max_tf"],
                     "min_norm": packed["min_norm"],
                     "sum_tf": packed["sum_tf"],
+                    "positions": packed["pos_bytes"],
                 }
             )
 

@@ -36,12 +36,19 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.codec import BLOCK_SIZE, pack_postings_blocks, unpack_blocks
+from ..functions.codec import (
+    BLOCK_SIZE,
+    _within_group_ranges,
+    pack_postings_blocks,
+    unpack_blocks,
+    unpack_positions,
+)
 from .indexer import POSTINGS_COLUMNS, InvertedIndex
 
 _POSTINGS_SCHEMA = (
     "term string, run_id bigint, block_id int, doc_id_base bigint, count int, "
-    "doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint"
+    "doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
+    "positions binary"
 )
 
 
@@ -159,12 +166,21 @@ def _make_repack(new_run_id: int, block_size: int):
             list(pdf["norms"]),
         )
         order = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
+        has_pos = len(pdf) > 0 and pdf["positions"].notna().all()
+        pos_sorted = None
+        if has_pos:
+            pos = unpack_positions(tfs, list(pdf["positions"]))
+            # reorder the occurrence stream to the merged posting order
+            occ_starts = np.cumsum(tfs) - tfs
+            gather = np.repeat(occ_starts[order], tfs[order]) + _within_group_ranges(tfs[order])
+            pos_sorted = pos[gather]
         packed = pack_postings_blocks(
             np.zeros(doc_ids.size, dtype=np.int64),
             doc_ids[order],
             tfs[order],
             norms[order],
             block_size=block_size,
+            positions=pos_sorted,
         )
         n = packed["block_id"].size
         salt = int(key[1]) if len(key) > 1 else 0
@@ -182,6 +198,7 @@ def _make_repack(new_run_id: int, block_size: int):
                 "max_tf": packed["max_tf"],
                 "min_norm": packed["min_norm"],
                 "sum_tf": packed["sum_tf"],
+                "positions": packed["pos_bytes"],
             }
         )
 

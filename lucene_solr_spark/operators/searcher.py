@@ -255,17 +255,84 @@ class IndexSearcher:
         )
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
+    def _eval_phrase_positional(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
+        """Exact phrase straight from the positional postings — no stored-text
+        re-analysis (``ExactPhraseMatcher`` over the .pos stream).
+
+        Plan: explode each phrase term's occurrences to (doc_id, pos - m)
+        rows, m = the term's offset in the phrase; an m-way equi-join on
+        (doc_id, base) leaves one row per phrase start; count per doc =
+        phrase_tf.  All joins are Catalyst equi-joins on (doc_id, base) —
+        co-partitioned, no UDF in the match path."""
+        from ..functions.codec import unpack_blocks, unpack_positions
+
+        terms = list(q.phrase_terms)
+        scorer = self._scorer()
+        idf_sum = np.float32(sum(float(bm25.idf(stats[t][0], scorer.doc_count)) for t in terms))
+        w = np.float32(np.float32(boost * q.boost) * idf_sum)
+        cache = scorer.cache()
+        uniq = list(dict.fromkeys(terms))
+
+        blocks = self.index.postings.filter(F.col("term").isin(uniq))
+
+        def occurrences(iterator):
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                doc_ids, tfs, norms, _ = unpack_blocks(
+                    pdf["doc_id_base"].to_numpy(dtype=np.int64),
+                    pdf["count"].to_numpy(dtype=np.int64),
+                    list(pdf["doc_ids"]),
+                    list(pdf["tfs"]),
+                    list(pdf["norms"]),
+                )
+                pos = unpack_positions(tfs, list(pdf["positions"]))
+                counts = pdf["count"].to_numpy(dtype=np.int64)
+                term_per_posting = np.repeat(pdf["term"].to_numpy(dtype=object), counts)
+                yield pd.DataFrame(
+                    {
+                        "term": np.repeat(term_per_posting, tfs),
+                        "doc_id": np.repeat(doc_ids, tfs),
+                        "norm": np.repeat(norms.astype(np.int32), tfs),
+                        "pos": pos,
+                    }
+                )
+
+        occ = blocks.mapInPandas(occurrences, schema="term string, doc_id bigint, norm int, pos bigint")
+        occ = occ.persist() if len(uniq) > 1 else occ
+
+        matched = None
+        for m, t in enumerate(terms):
+            part = occ.filter(F.col("term") == t).select(
+                "doc_id", "norm", (F.col("pos") - F.lit(m)).alias("base")
+            )
+            matched = part if matched is None else matched.join(part.select("doc_id", "base"), ["doc_id", "base"])
+        ptf = matched.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("ptf"), F.first("norm").alias("norm")
+        )
+
+        @F.pandas_udf(T.FloatType())
+        def phrase_score(ptf_c: pd.Series, norm_c: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score_tf_norm(ptf_c.to_numpy(), norm_c.to_numpy(), w, cache))
+
+        return ptf.select("doc_id", phrase_score("ptf", "norm").alias("score"))
+
     def _eval_phrase(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
         """Exact phrase, two-phase (TwoPhaseIterator analog, SURVEY §4):
         approximate pass = conjunction of term postings; verify pass =
         re-analyze candidate texts with positions and count adjacent runs
         (ExactPhraseMatcher semantics); score with phrase_tf and summed idf
         (PhraseWeight uses the sum of per-term idfs)."""
-        if self.corpus is None:
-            raise ValueError("PhraseQuery needs IndexSearcher(corpus=...) for the verify pass")
         terms = list(q.phrase_terms)
         if any(t not in stats for t in terms):
             return self._empty()
+        if self.index.config.index_positions and q.slop == 0:
+            return self._eval_phrase_positional(q, boost, stats)
+        if self.corpus is None:
+            raise ValueError(
+                "PhraseQuery needs IndexSearcher(corpus=...) for the verify pass "
+                "(or an index built with index_positions=True)"
+            )
         scored = self._scored_postings({t: 1.0 for t in set(terms)})
         cand = (
             scored.groupBy("doc_id")
