@@ -94,6 +94,10 @@ class InvertedIndex:
     doc_count: int
     sum_ttf: int
     config: IndexConfig
+    # live-docs analog: doc_ids deleted but not yet reclaimed by a merge
+    # (reference index/IndexWriter.java deletes flip bits; stats keep counting
+    # deleted docs until merge reclaims them — same here until expunge)
+    deletes: Optional[DataFrame] = None
 
     @property
     def avgdl(self) -> np.float32:

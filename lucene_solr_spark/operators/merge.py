@@ -153,9 +153,10 @@ def run_manifest(index: InvertedIndex) -> list[RunInfo]:
     return [RunInfo(int(r["run_id"]), int(r["bytes"]), int(r["np"])) for r in rows]
 
 
-def _make_repack(new_run_id: int, block_size: int):
+def _make_repack(new_run_id: int, block_size: int, drop_doc_ids: Optional[np.ndarray] = None):
     """applyInPandas fn: all block rows of one (term[, salt]) group from the
-    candidate runs -> merged, re-blocked rows under `new_run_id`."""
+    candidate runs -> merged, re-blocked rows under `new_run_id`; postings of
+    `drop_doc_ids` (sorted array) are reclaimed (delete expunge)."""
 
     def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         doc_ids, tfs, norms, _ = unpack_blocks(
@@ -165,20 +166,24 @@ def _make_repack(new_run_id: int, block_size: int):
             list(pdf["tfs"]),
             list(pdf["norms"]),
         )
-        order = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
+        sel = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
+        if drop_doc_ids is not None and drop_doc_ids.size:
+            pos_in = np.searchsorted(drop_doc_ids, doc_ids[sel])
+            pos_in[pos_in == drop_doc_ids.size] = 0
+            sel = sel[drop_doc_ids[pos_in] != doc_ids[sel]]
         has_pos = len(pdf) > 0 and pdf["positions"].notna().all()
         pos_sorted = None
         if has_pos:
             pos = unpack_positions(tfs, list(pdf["positions"]))
             # reorder the occurrence stream to the merged posting order
             occ_starts = np.cumsum(tfs) - tfs
-            gather = np.repeat(occ_starts[order], tfs[order]) + _within_group_ranges(tfs[order])
+            gather = np.repeat(occ_starts[sel], tfs[sel]) + _within_group_ranges(tfs[sel])
             pos_sorted = pos[gather]
         packed = pack_postings_blocks(
-            np.zeros(doc_ids.size, dtype=np.int64),
-            doc_ids[order],
-            tfs[order],
-            norms[order],
+            np.zeros(sel.size, dtype=np.int64),
+            doc_ids[sel],
+            tfs[sel],
+            norms[sel],
             block_size=block_size,
             positions=pos_sorted,
         )
@@ -205,11 +210,49 @@ def _make_repack(new_run_id: int, block_size: int):
     return repack
 
 
+def expunge_deletes(index: InvertedIndex) -> InvertedIndex:
+    """Reclaim deleted docs: rewrite every run without them and recompute
+    statistics — the merge-time delete reclamation of the reference
+    (``SegmentMerger`` skipping non-live docs; ``TieredMergePolicy``
+    deletesPctAllowed decides *when*, this is the *how*).
+
+    The delete set rides to executors as a broadcast numpy array (fine for
+    snapshot-scale delete batches; a 100 TB pipeline with massive deletes
+    would anti-join an exploded view instead — same plan shape as repack).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    if index.deletes is None:
+        return index
+    deleted = np.sort(np.array([r["doc_id"] for r in index.deletes.select("doc_id").collect()], dtype=np.int64))
+    if deleted.size == 0:
+        return replace(index, deletes=None)
+
+    ids = [r.run_id for r in run_manifest(index)]
+    kept = merge_runs(index, ids, new_run_id=max(ids) + 3_000_000_000, drop_doc_ids=deleted)
+    kept = kept.persist()
+    docs = index.docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti").persist()
+    terms = kept.groupBy("term").agg(
+        F.sum("count").cast("bigint").alias("df"), F.sum("sum_tf").cast("bigint").alias("ttf")
+    )
+    stats = docs.agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).collect()[0]
+    return replace(
+        index,
+        postings=kept,
+        docs=docs,
+        terms=terms,
+        doc_count=int(stats["n"]),
+        sum_ttf=int(stats["s"]),
+        deletes=None,
+    )
+
+
 def merge_runs(
     index: InvertedIndex,
     run_ids: list[int],
     new_run_id: int,
     salt_block_budget: int = 512 * BLOCK_SIZE,
+    drop_doc_ids: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Fuse `run_ids` into one new run; returns the new postings rows.
 
@@ -245,7 +288,9 @@ def merge_runs(
     return (
         with_salt.select(*POSTINGS_COLUMNS, "salt")
         .groupBy("term", "salt")
-        .applyInPandas(_make_repack(new_run_id, index.config.block_size), schema=_POSTINGS_SCHEMA)
+        .applyInPandas(
+            _make_repack(new_run_id, index.config.block_size, drop_doc_ids), schema=_POSTINGS_SCHEMA
+        )
     )
 
 

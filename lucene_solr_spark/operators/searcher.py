@@ -583,8 +583,21 @@ class IndexSearcher:
             scored = self._evaluate(query, 1.0, stats)
         if exclude_doc_ids:
             scored = scored.filter(~F.col("doc_id").isin([int(d) for d in exclude_doc_ids]))
+        if self.index.deletes is not None:
+            scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return TopDocs(df=ranked, k=k)
+
+    def delete_by_query(self, query: Query) -> None:
+        """IndexWriter.deleteDocuments(Query) analog: mark matches deleted.
+
+        Stats (docCount, df, avgdl) intentionally keep counting deleted docs
+        until :func:`..operators.merge.expunge_deletes` reclaims them — the
+        reference behaves the same until merge."""
+        stats = self._term_stats(query.terms())
+        ids = self._evaluate(query, 1.0, stats).select("doc_id").distinct()
+        prev = self.index.deletes
+        self.index.deletes = (prev.unionByName(ids).distinct() if prev is not None else ids).persist()
 
     # -------------------------------------------------- server-level surface
     def more_like_this(self, doc_id: int, max_query_terms: int = 5) -> Query:
@@ -794,9 +807,12 @@ class IndexSearcher:
         return rows.mapInPandas(snip, schema="doc_id bigint, score float, snippet string")
 
     def count(self, query: Query) -> int:
-        """TotalHitCountCollector analog."""
+        """TotalHitCountCollector analog (live docs only)."""
         stats = self._term_stats(query.terms())
-        return self._evaluate(query, 1.0, stats).count()
+        matched = self._evaluate(query, 1.0, stats)
+        if self.index.deletes is not None:
+            matched = matched.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        return matched.count()
 
     def fetch(self, top: TopDocs, columns: Optional[list] = None) -> DataFrame:
         """Two-phase stored-field fetch: broadcast the k winners back to the
