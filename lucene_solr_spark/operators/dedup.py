@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import LSH_BANDS, N_MINHASH, P_MOD, minhash_sigs, poly31
+from ..functions.hashing import LSH_BANDS, N_MINHASH, minhash_sigs, poly31
 
 SHINGLE_K = 3  # tokens per shingle
 

@@ -28,7 +28,7 @@ are invariant under merge — asserted in tests by rank-identity before/after.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 import numpy as np

@@ -23,7 +23,7 @@ Covered query types and their reference semantics:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class Query:

@@ -14,7 +14,6 @@ formula spec (float32 BM25, BM25Similarity.java:188-226) and the analyzer.
 
 from __future__ import annotations
 
-import math
 from collections import defaultdict
 
 import numpy as np
