@@ -31,11 +31,15 @@ def _stage_corpus(spark, n_convs: int, n_partitions: int, path: str) -> None:
 def _build_from_parquet(spark, path: str, n_partitions: int):
     """The measured job: scan -> stable doc_ids -> analysis -> posting runs
     -> stats. Returns (index, n_turns)."""
-    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.indexer import (
+        IndexConfig,
+        assign_doc_ids_sorted_source,
+        build_index,
+    )
 
-    corpus = spark.read.parquet(path)
-    with_ids = assign_doc_ids(corpus, ("conv_id", "turn_idx"), n_partitions=n_partitions)
-    # keep assign_doc_ids' range placement — no second corpus shuffle
+    # sorted-table fast path (production layout: Iceberg sortedBy) —
+    # doc ids from per-file counts, zero corpus shuffles end-to-end
+    with_ids = assign_doc_ids_sorted_source(spark, path)
     idx = build_index(with_ids, IndexConfig(n_partitions=None))
     n_turns = idx.doc_count
     idx.postings.count()  # materialize the full build

@@ -157,6 +157,8 @@ def assign_doc_ids(df: DataFrame, order_cols=("conv_id", "turn_idx"), n_partitio
     """
     cols = list(order_cols)
     n = n_partitions or df.rdd.getNumPartitions() or 8
+    # one shuffle + columnar cache; the cache feeds both the counting pass and
+    # the id-assignment pass (SQL plans do not reuse exchanges across actions)
     placed = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     placed = placed.persist()
     counts = (
@@ -184,6 +186,85 @@ def assign_doc_ids(df: DataFrame, order_cols=("conv_id", "turn_idx"), n_partitio
             yield out
 
     return placed.mapInPandas(add_ids, schema=out_schema)
+
+
+def assign_doc_ids_sorted_source(
+    spark: SparkSession, path: str, order_cols=("conv_id", "turn_idx")
+) -> DataFrame:
+    """Shuffle-free doc_id assignment for a SORTED source table.
+
+    Fast path for the production layout: the transcripts table is written
+    sorted by the stable key with range-disjoint files (Iceberg ``sortedBy``
+    — SURVEY §4 index-sort row: "our stable (conv_id, turn_idx) sort IS the
+    index sort").  Then global doc_ids follow from per-file row counts alone:
+
+    1. a metadata pass aggregates (file, count, min_key) — a map-side count
+       per file, shuffling ~1 row per file;
+    2. files ordered by min_key give cumulative bases; rows get
+       ``base[file] + position_in_file`` inside ``mapInPandas``.
+
+    File splitting is disabled for the read (one task never sees a partial
+    file), so in-file positions are well-defined.  Produces bit-identical
+    doc_ids to :func:`assign_doc_ids` on the same (sorted) data — tested.
+    """
+    cols = list(order_cols)
+    # one task per file: no splitting (maxPartitionBytes >> file size) and no
+    # packing (openCost == bin size). Session-level on purpose — the setting
+    # must still hold when the returned (lazy) DataFrame is executed.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024**3))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024**3))
+    df = spark.read.parquet(path)
+    meta = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("cnt"),
+            *[F.min(c).alias(f"_min_{c}") for c in cols],
+            *[F.max(c).alias(f"_max_{c}") for c in cols],
+        )
+        .collect()
+    )
+    meta.sort(key=lambda r: tuple(r[f"_min_{c}"] for c in cols))
+    # files must be range-disjoint in the sort key, or doc ids would not
+    # reproduce the global order — refuse and point at the shuffle path
+    for prev_r, r in zip(meta, meta[1:]):
+        prev_max = tuple(prev_r[f"_max_{c}"] for c in cols)
+        cur_min = tuple(r[f"_min_{c}"] for c in cols)
+        if cur_min < prev_max:
+            raise ValueError(
+                "source files overlap in the sort key — not a sorted table; "
+                "use assign_doc_ids (shuffle path) instead"
+            )
+    bases, acc = {}, 0
+    for r in meta:
+        bases[r["file"]] = acc
+        acc += int(r["cnt"])
+
+    src = df.withColumn("_file", F.input_file_name())
+    out_schema = "doc_id bigint, " + ", ".join(
+        f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema.fields
+    )
+
+    def add_ids(iterator):
+        seen: dict = {}
+        for pdf in iterator:
+            files = pdf["_file"].to_numpy(dtype=object)
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # per-batch: files appear in contiguous runs (whole files per task)
+            start = 0
+            while start < len(pdf):
+                f_name = files[start]
+                end = start
+                while end < len(pdf) and files[end] == f_name:
+                    end += 1
+                off = seen.get(f_name, 0)
+                ids[start:end] = bases[f_name] + off + np.arange(end - start, dtype=np.int64)
+                seen[f_name] = off + (end - start)
+                start = end
+            out = pdf.drop(columns=["_file"])
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    return src.mapInPandas(add_ids, schema=out_schema)
 
 
 def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> InvertedIndex:

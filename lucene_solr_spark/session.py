@@ -25,6 +25,9 @@ def get_spark(cpus: int | None = None, app: str = "lucene_solr_spark", shuffle_p
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Arrow streams make humongous G1 allocations; larger regions cut the
+        # GCLocker stalls observed under 16+ concurrent Python workers
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

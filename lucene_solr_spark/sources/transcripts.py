@@ -131,7 +131,14 @@ def transcripts_df_dist(spark, n_convs: int, n_partitions: int = 64, seed: int =
 
     per = (n_convs + n_partitions - 1) // n_partitions
     parts = [(p, p * per, min((p + 1) * per, n_convs)) for p in range(n_partitions) if p * per < n_convs]
-    plan = spark.createDataFrame(pd.DataFrame(parts, columns=["pid", "lo", "hi"])).repartition(len(parts), "pid")
+    # range-place the generation plan so every output file covers one
+    # contiguous, internally-sorted conv range (sorted-table layout — the
+    # property assign_doc_ids_sorted_source relies on)
+    plan = (
+        spark.createDataFrame(pd.DataFrame(parts, columns=["pid", "lo", "hi"]))
+        .repartitionByRange(len(parts), "pid")
+        .sortWithinPartitions("pid")
+    )
 
     def gen(iterator):
         for pdf in iterator:

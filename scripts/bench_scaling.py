@@ -39,7 +39,11 @@ def make_corpus(n_convs: int) -> int:
 
 
 def timed_build(cpus: int, runs: int) -> list[float]:
-    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.indexer import (
+        IndexConfig,
+        assign_doc_ids_sorted_source,
+        build_index,
+    )
     from lucene_solr_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, shuffle_partitions=cpus)
@@ -47,9 +51,9 @@ def timed_build(cpus: int, runs: int) -> list[float]:
     times = []
     for r in range(runs + 1):  # first run is the warm-up
         t0 = time.monotonic()
-        corpus = spark.read.parquet(CORPUS)
-        with_ids = assign_doc_ids(corpus, ("conv_id", "turn_idx"), n_partitions=cpus)
-        # keep assign_doc_ids' range placement — no second corpus shuffle
+        # sorted-table fast path (production layout: Iceberg sortedBy) —
+        # doc ids from per-file counts, zero corpus shuffles end-to-end
+        with_ids = assign_doc_ids_sorted_source(spark, CORPUS)
         idx = build_index(with_ids, IndexConfig(n_partitions=None))
         idx.postings.count()  # materialize the whole build
         dt = time.monotonic() - t0
