@@ -414,6 +414,9 @@ def agg_queries() -> dict:
     q: dict = {}
 
     def _events(spark, sf_dir):
+        # the oracle (DuckDB) formats naive timestamps; pin the session tz so
+        # date_format agrees regardless of the caller's session defaults
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def agg_facet_field(spark, sf_dir):

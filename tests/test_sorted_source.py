@@ -1,0 +1,38 @@
+"""Sorted-table fast path: shuffle-free doc-id assignment."""
+
+import pytest
+
+
+def test_sorted_source_ids_match_shuffle_path(spark, tmp_path_factory):
+    from lucene_solr_spark.operators.indexer import assign_doc_ids, assign_doc_ids_sorted_source
+    from lucene_solr_spark.sources.transcripts import transcripts_df_dist
+
+    path = str(tmp_path_factory.mktemp("sortedsrc") / "corpus.parquet")
+    transcripts_df_dist(spark, 500, n_partitions=8).write.mode("overwrite").parquet(path)
+
+    a = (
+        assign_doc_ids(spark.read.parquet(path), ("conv_id", "turn_idx"), n_partitions=4)
+        .select("doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_doc_ids_sorted_source(spark, path)
+        .select("doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and a.equals(b)
+
+
+def test_sorted_source_rejects_overlapping_files(spark, tmp_path_factory, fixture_corpus_pdf):
+    from lucene_solr_spark.operators.indexer import assign_doc_ids_sorted_source
+
+    path = str(tmp_path_factory.mktemp("unsorted") / "corpus.parquet")
+    # hash-repartitioned write interleaves conv ranges across files
+    df = spark.createDataFrame(fixture_corpus_pdf).repartition(4, "conv_id")
+    df.write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="overlap"):
+        assign_doc_ids_sorted_source(spark, path).count()
