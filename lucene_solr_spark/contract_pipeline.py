@@ -520,6 +520,64 @@ def agg_queries() -> dict:
 
     q["agg_unique"] = agg_unique
 
+    def agg_percentiles(spark, sf_dir):
+        """PercentileAgg analog (reference solr/.../facet/PercentileAgg.java
+        uses t-digest; exact nearest-rank here so the oracle can replay it)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p100")
+        )
+        n = li.count()
+        ranked = li.withColumn("rn", F.row_number().over(Window.orderBy("p100")))
+        qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+        sel = None
+        for name, q in qs.items():
+            idx = max(1, int(n * q))  # nearest-rank (ceil-free: n*q integral here)
+            one = ranked.filter(F.col("rn") == idx).select(F.col("p100").alias(name))
+            sel = one if sel is None else sel.crossJoin(one)
+        return sel
+
+    q["agg_percentiles"] = agg_percentiles
+
+    def agg_intersect(spark, sf_dir):
+        """IntersectStream analog: users with BOTH event types (set intersect)."""
+        e = _events(spark, sf_dir)
+        types = [r[0] for r in e.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
+        a = e.filter(F.col("event_type") == types[0]).select("user_id").distinct()
+        b = e.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+        return a.intersect(b).select(F.col("user_id").cast("long")).orderBy("user_id")
+
+    q["agg_intersect"] = agg_intersect
+
+    def agg_complement(spark, sf_dir):
+        """ComplementStream analog: users of the first event type none of
+        whose events (of that type) exceed value 400."""
+        e = _events(spark, sf_dir)
+        t0 = e.select("event_type").distinct().orderBy("event_type").limit(1).collect()[0][0]
+        a = e.filter(F.col("event_type") == t0).select("user_id").distinct()
+        b = e.filter((F.col("event_type") == t0) & (F.col("value") > 400)).select("user_id").distinct()
+        return a.exceptAll(b).distinct().select(F.col("user_id").cast("long")).orderBy("user_id")
+
+    q["agg_complement"] = agg_complement
+
+    def agg_cartesian(spark, sf_dir):
+        """CartesianProductStream analog: region x nation cross product."""
+        r = spark.read.parquet(f"{sf_dir}/region.parquet").select(F.col("r_name"))
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(F.col("n_name"))
+        return r.crossJoin(n).orderBy("r_name", "n_name")
+
+    q["agg_cartesian"] = agg_cartesian
+
+    def agg_week_facet(spark, sf_dir):
+        """Date-range facet with week gaps (RangeFacetProcessor date path)."""
+        return (
+            _events(spark, sf_dir)
+            .groupBy(F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy("week")
+        )
+
+    q["agg_week_facet"] = agg_week_facet
+
     def agg_join_rollup(spark, sf_dir):
         """Streaming-expression HashJoinStream + RollupStream analog:
         revenue per order priority. The dimension side would be broadcast on
@@ -584,6 +642,37 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, day
     o["agg_unique"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    o["agg_percentiles"] = """
+WITH p AS (SELECT CAST(floor(l_extendedprice*100) AS BIGINT) AS p100 FROM lineitem),
+r AS (SELECT p100, row_number() OVER (ORDER BY p100) AS rn FROM p),
+n AS (SELECT count(*) AS n FROM p)
+SELECT (SELECT p100 FROM r WHERE rn = greatest(1, CAST(floor((SELECT n FROM n)*0.25) AS BIGINT))) AS p25,
+       (SELECT p100 FROM r WHERE rn = greatest(1, CAST(floor((SELECT n FROM n)*0.50) AS BIGINT))) AS p50,
+       (SELECT p100 FROM r WHERE rn = greatest(1, CAST(floor((SELECT n FROM n)*0.75) AS BIGINT))) AS p75,
+       (SELECT p100 FROM r WHERE rn = greatest(1, CAST(floor((SELECT n FROM n)*0.95) AS BIGINT))) AS p95
+"""
+    o["agg_intersect"] = """
+WITH t AS (SELECT event_type FROM events GROUP BY 1 ORDER BY 1 LIMIT 2),
+a AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT min(event_type) FROM t)),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT max(event_type) FROM t))
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+ORDER BY user_id
+"""
+    o["agg_complement"] = """
+WITH t0 AS (SELECT min(event_type) AS t FROM events),
+a AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t FROM t0)),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT t FROM t0) AND value > 400)
+SELECT CAST(user_id AS BIGINT) AS user_id FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+ORDER BY user_id
+"""
+    o["agg_cartesian"] = """
+SELECT r.r_name AS r_name, n.n_name AS n_name FROM region r CROSS JOIN nation n
+ORDER BY r_name, n_name
+"""
+    o["agg_week_facet"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY week
 """
     o["agg_join_rollup"] = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

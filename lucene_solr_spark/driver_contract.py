@@ -280,6 +280,16 @@ def ft_queries() -> dict:
         return _ranked(s.search(PhraseQuery((HOT, HOT2), slop=2), 10).df)
 
     q["ft_phrase_sloppy"] = ft_phrase_sloppy
+
+    def ft_get(spark, sf_dir):
+        """RealTimeGetComponent analog: stored-field point lookup by doc id
+        (Catalyst pushes the id predicate to the parquet scan)."""
+        s = doc_searcher(spark, sf_dir)
+        return s.corpus.filter(F.col("doc_id").isin([7, 42, 123])).select(
+            F.col("doc_id").cast("long"), "text", "lang"
+        ).orderBy("doc_id")
+
+    q["ft_get"] = ft_get
     return q
 
 
@@ -466,6 +476,11 @@ def ft_oracle_sql() -> dict:
         f"(SELECT term, count(*) AS fg_df FROM tf WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = '{RARE}') "
         "GROUP BY term) f JOIN dfreq b USING (term) WHERE b.df >= 5 "
         "ORDER BY (f.fg_df * 1.0 / b.df) DESC, f.fg_df DESC, f.term ASC LIMIT 10",
+    )
+
+    o["ft_get"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang FROM documents "
+        "WHERE doc_id IN (7, 42, 123) ORDER BY doc_id"
     )
 
     o["ft_blockjoin"] = _with(
