@@ -32,8 +32,10 @@ from .plans.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     PhraseQuery,
+    BoostQuery,
     PrefixQuery,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -290,6 +292,36 @@ def ft_queries() -> dict:
         ).orderBy("doc_id")
 
     q["ft_get"] = ft_get
+
+    # ---- span queries (search/spans/*, NearSpansOrdered / NearSpansUnordered)
+    q["ft_span_near"] = _const_ids(SpanNearQuery((HOT, HOT2), slop=2, in_order=True))
+    q["ft_span_near_unordered"] = _const_ids(SpanNearQuery((MID, HOT), slop=3, in_order=False))
+
+    # ---- FILTER occur (non-scoring clause) + boosted SHOULD clause
+    q["ft_filter_clause"] = _search_q(
+        BooleanQuery.build(must=[TermQuery(MID)], filter=[TermQuery(HOT)])
+    )
+    q["ft_boost"] = _search_q(
+        BooleanQuery.build(should=[BoostQuery(TermQuery(MID), 2.0), TermQuery(RARE)])
+    )
+
+    def ft_spellcheck(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.spellcheck("scann", max_edits=2, n=5)
+
+    q["ft_spellcheck"] = ft_spellcheck
+
+    def agg_drill_sideways(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.drill_sideways(TermQuery(HOT), {"lang": "en", "source": "src3"}).orderBy("dim", "value")
+
+    q["agg_drill_sideways"] = agg_drill_sideways
+
+    def agg_collapse_expand(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.expand(TermQuery(HOT), "source", n_expand=2)
+
+    q["agg_collapse_expand"] = agg_collapse_expand
     return q
 
 
@@ -481,6 +513,80 @@ def ft_oracle_sql() -> dict:
     o["ft_get"] = (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang FROM documents "
         "WHERE doc_id IN (7, 42, 123) ORDER BY doc_id"
+    )
+
+    # ---- span near: token positions via parallel unnest (order-aligned)
+    tokp = (
+        "tokp AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term, "
+        "unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos FROM documents)"
+    )
+    o["ft_span_near"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    o["ft_span_near_unordered"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+
+    # FILTER occur: MID scored, HOT required but non-scoring
+    o["ft_filter_clause"] = _with(
+        [_term_cte("sa", MID)],
+        _topk_sql(
+            "SELECT doc_id, score FROM sa WHERE doc_id IN "
+            f"(SELECT doc_id FROM tf WHERE term = '{HOT}')"
+        ),
+    )
+
+    # boosted SHOULD clause: leaf weight = f32(f32(2.0) * idf) (BM25Similarity.java:219)
+    boosted_w = _R("CAST(2.0 AS REAL) * " + _idf("dfreq.df"))
+    b_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    b_score = _R(f"{boosted_w} * {b_t32}")
+    boosted_cte = (
+        f"sa AS (SELECT tf.doc_id AS doc_id, {b_score} AS score "
+        f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+        f"WHERE tf.term = '{MID}')"
+    )
+    boost_body = (
+        f"SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id"
+    )
+    o["ft_boost"] = _with([boosted_cte, _term_cte("sb", RARE)], _topk_sql(boost_body))
+
+    o["ft_spellcheck"] = _with(
+        [],
+        "SELECT term, CAST(levenshtein(term, 'scann') AS INT) AS distance, CAST(df AS BIGINT) AS df "
+        "FROM dfreq WHERE levenshtein(term, 'scann') <= 2 AND term <> 'scann' "
+        "ORDER BY distance ASC, df DESC, term ASC LIMIT 5",
+    )
+
+    o["agg_drill_sideways"] = _with(
+        [f"hot AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')"],
+        "SELECT dim, value, cnt FROM ("
+        "  SELECT 'lang' AS dim, d.lang AS value, CAST(count(*) AS BIGINT) AS cnt FROM documents d "
+        "  WHERE d.doc_id IN (SELECT doc_id FROM hot) AND d.source = 'src3' GROUP BY d.lang"
+        "  UNION ALL "
+        "  SELECT 'source' AS dim, d.source AS value, CAST(count(*) AS BIGINT) AS cnt FROM documents d "
+        "  WHERE d.doc_id IN (SELECT doc_id FROM hot) AND d.lang = 'en' GROUP BY d.source"
+        ") ORDER BY dim, value",
+    )
+
+    o["agg_collapse_expand"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "r AS (SELECT d.source AS grp, sc.doc_id AS doc_id, "
+            "row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id ASC) AS rn "
+            "FROM sc JOIN documents d ON sc.doc_id = d.doc_id)",
+        ],
+        "SELECT grp, CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_doc, "
+        "coalesce(string_agg(CASE WHEN rn > 1 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id), '') AS exp_docs "
+        "FROM r WHERE rn <= 3 GROUP BY grp ORDER BY grp",
     )
 
     o["ft_blockjoin"] = _with(

@@ -61,6 +61,7 @@ from ..plans.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -255,25 +256,13 @@ class IndexSearcher:
         )
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
-    def _eval_phrase_positional(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
-        """Exact phrase straight from the positional postings — no stored-text
-        re-analysis (``ExactPhraseMatcher`` over the .pos stream).
-
-        Plan: explode each phrase term's occurrences to (doc_id, pos - m)
-        rows, m = the term's offset in the phrase; an m-way equi-join on
-        (doc_id, base) leaves one row per phrase start; count per doc =
-        phrase_tf.  All joins are Catalyst equi-joins on (doc_id, base) —
-        co-partitioned, no UDF in the match path."""
+    def _positional_occurrences(self, uniq_terms: list) -> DataFrame:
+        """(term, doc_id, norm, pos) rows for every occurrence of the given
+        terms, bulk-decoded from the positional postings (.pos stream analog)
+        — shared by phrase and span evaluation. No per-row Python."""
         from ..functions.codec import unpack_blocks, unpack_positions
 
-        terms = list(q.phrase_terms)
-        scorer = self._scorer()
-        idf_sum = np.float32(sum(float(bm25.idf(stats[t][0], scorer.doc_count)) for t in terms))
-        w = np.float32(np.float32(boost * q.boost) * idf_sum)
-        cache = scorer.cache()
-        uniq = list(dict.fromkeys(terms))
-
-        blocks = self.index.postings.filter(F.col("term").isin(uniq))
+        blocks = self.index.postings.filter(F.col("term").isin(list(uniq_terms)))
 
         def occurrences(iterator):
             for pdf in iterator:
@@ -298,7 +287,67 @@ class IndexSearcher:
                     }
                 )
 
-        occ = blocks.mapInPandas(occurrences, schema="term string, doc_id bigint, norm int, pos bigint")
+        return blocks.mapInPandas(occurrences, schema="term string, doc_id bigint, norm int, pos bigint")
+
+    def _eval_span_near(self, q, boost: float, stats: dict) -> DataFrame:
+        """SpanNearQuery over single-term clauses (``search/spans/
+        SpanNearQuery.java``, ``NearSpansOrdered.java:?`` ordered chain /
+        ``NearSpansUnordered.java`` two-clause window).
+
+        Plan: occurrence rows from the positional postings, then an n-way
+        chain of doc_id equi-joins with position range conditions — all
+        Catalyst joins, the position inequality rides along the co-partitioned
+        doc_id key.  Ordered total-gap identity:
+        ``sum(p_{i+1}-p_i-1) = p_last - p_first - (n-1)`` for an increasing
+        chain, so one filter at the end suffices.  Constant score (documented
+        deviation — see plans.query.SpanNearQuery)."""
+        terms = list(q.span_terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        if not self.index.config.index_positions:
+            raise ValueError("SpanNearQuery needs an index built with index_positions=True")
+        if not q.in_order and len(terms) != 2:
+            raise NotImplementedError("unordered span-near supported for exactly 2 clauses")
+        uniq = list(dict.fromkeys(terms))
+        occ = self._positional_occurrences(uniq)
+        occ = occ.persist() if len(uniq) > 1 else occ
+
+        parts = [
+            occ.filter(F.col("term") == t).select("doc_id", F.col("pos").alias(f"p{i}"))
+            for i, t in enumerate(terms)
+        ]
+        if q.in_order:
+            m = parts[0]
+            for i in range(1, len(parts)):
+                m = m.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+            m = m.filter(
+                (F.col(f"p{len(terms)-1}") - F.col("p0") - F.lit(len(terms) - 1)) <= F.lit(int(q.slop))
+            )
+        else:
+            m = parts[0].join(parts[1], "doc_id").filter(
+                (F.abs(F.col("p1") - F.col("p0")) - 1 <= F.lit(int(q.slop))) & (F.col("p1") != F.col("p0"))
+            )
+        docs = m.select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_phrase_positional(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
+        """Exact phrase straight from the positional postings — no stored-text
+        re-analysis (``ExactPhraseMatcher`` over the .pos stream).
+
+        Plan: explode each phrase term's occurrences to (doc_id, pos - m)
+        rows, m = the term's offset in the phrase; an m-way equi-join on
+        (doc_id, base) leaves one row per phrase start; count per doc =
+        phrase_tf.  All joins are Catalyst equi-joins on (doc_id, base) —
+        co-partitioned, no UDF in the match path."""
+        from ..functions.codec import unpack_blocks, unpack_positions
+
+        terms = list(q.phrase_terms)
+        scorer = self._scorer()
+        idf_sum = np.float32(sum(float(bm25.idf(stats[t][0], scorer.doc_count)) for t in terms))
+        w = np.float32(np.float32(boost * q.boost) * idf_sum)
+        cache = scorer.cache()
+        uniq = list(dict.fromkeys(terms))
+        occ = self._positional_occurrences(uniq)
         occ = occ.persist() if len(uniq) > 1 else occ
 
         matched = None
@@ -474,6 +523,8 @@ class IndexSearcher:
             return self._eval_phrase(q, boost, stats)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
             return self._eval_multiterm(q, boost)
+        if isinstance(q, SpanNearQuery):
+            return self._eval_span_near(q, boost, stats)
         if isinstance(q, MatchAllQuery):
             return self._eval_match_all(boost * q.boost)
         if isinstance(q, MatchNoDocsQuery):
@@ -616,6 +667,93 @@ class IndexSearcher:
             counts[t] = counts.get(t, 0) + 1
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_query_terms]
         return BooleanQuery.build(should=[TermQuery(t) for t, _ in top])
+
+    def spellcheck(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
+        """DirectSpellChecker analog (``reference solr/core/.../component/
+        SpellCheckComponent.java``; ``lucene/suggest/.../DirectSpellChecker``):
+        correction candidates from the term dictionary within `max_edits`,
+        ranked (edit distance asc, docFreq desc, term asc).
+
+        The terms table is tiny relative to postings — a pruned parquet scan
+        plus TakeOrderedAndProject; no postings are touched."""
+        w = word.lower()
+        cand = self.index.terms.filter(
+            (F.levenshtein(F.col("term"), F.lit(w)) <= max_edits) & (F.col("term") != w)
+        )
+        return (
+            cand.select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(w)).cast("int").alias("distance"),
+                F.col("df").cast("bigint").alias("df"),
+            )
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def drill_sideways(self, base_query: Query, dims: dict) -> DataFrame:
+        """DrillSideways analog (``reference lucene/facet/src/java/org/apache/
+        lucene/facet/DrillSideways.java``): for each drill-down dimension,
+        facet counts computed with *that* dimension's filter removed but every
+        other dimension's filter (and the base query) applied.
+
+        `dims` maps corpus column -> selected value.  One pass per dimension
+        over the cached base match set (the reference likewise runs one
+        DrillSidewaysQuery per dim); each pass is a broadcast-joined
+        groupBy().count() — no corpus shuffle."""
+        if self.corpus is None:
+            raise ValueError("drill_sideways needs IndexSearcher(corpus=...)")
+        ids = self.cached_filter(base_query)
+        id_col = self.index.config.id_col
+        # no broadcast hint: the match set of a hot term is unbounded at
+        # 10^12-doc scale — let AQE pick broadcast vs shuffled semi-join
+        matched = self.corpus.join(ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+        out = None
+        for dim in dims:
+            side = matched
+            for other, value in dims.items():
+                if other != dim:
+                    side = side.filter(F.col(other) == value)
+            counts = side.groupBy(F.col(dim).alias("value")).agg(F.count("*").cast("bigint").alias("cnt"))
+            counts = counts.select(F.lit(dim).alias("dim"), "value", "cnt")
+            out = counts if out is None else out.unionByName(counts)
+        return out
+
+    def expand(self, query: Query, collapse_col: str, n_expand: int = 2) -> DataFrame:
+        """Collapse/ExpandComponent analog (``reference solr/core/.../
+        component/ExpandComponent.java``): collapse the result set to the
+        top-scoring head per group, and return up to `n_expand` expanded
+        member doc ids per group.
+
+        One window over the matched set (rank within group by score desc,
+        doc_id asc); head = rank 1, expanded = ranks 2..n+1 aggregated — a
+        single shuffle on the group key."""
+        if self.corpus is None:
+            raise ValueError("expand needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        joined = scored.join(
+            self.corpus.select(F.col(self.index.config.id_col).alias("doc_id"), F.col(collapse_col).alias("grp")),
+            "doc_id",
+        )
+        from pyspark.sql.window import Window
+
+        wnd = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = joined.withColumn("rn", F.row_number().over(wnd)).filter(F.col("rn") <= 1 + n_expand)
+        return (
+            ranked.groupBy("grp")
+            .agg(
+                F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("bigint").alias("head_doc"),
+                # numeric sort before the string join ("10" < "9" otherwise)
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.when(F.col("rn") > 1, F.col("doc_id")))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("exp_docs"),
+            )
+            .orderBy("grp")
+        )
 
     def group_topk(self, query: Query, group_col: str, k_per_group: int = 2) -> DataFrame:
         """Field collapse / grouping analog (``reference lucene/grouping/...

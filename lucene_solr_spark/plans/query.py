@@ -123,6 +123,32 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """``search/spans/SpanNearQuery.java``: sub-spans (here: single terms)
+    within ``slop`` positions of each other, optionally in order.
+
+    Match semantics (ordered): positions ``p_0 < p_1 < ... < p_{n-1}`` of the
+    clause terms with total gap ``p_{n-1} - p_0 - (n-1) <= slop`` (the sum of
+    the inter-span gaps — ``NearSpansOrdered.java`` width accounting).
+    Unordered is supported for two clauses: ``|p_a - p_b| - 1 <= slop``
+    (``NearSpansUnordered.java`` minimal-window semantics for two unit-width
+    spans).
+
+    Deviation from the reference: evaluated with CONSTANT_SCORE semantics
+    (the reference scores spans via ``sloppyFreq`` over span widths); the
+    matching doc set is identical.
+    """
+
+    span_terms: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.span_terms)
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 
