@@ -94,15 +94,28 @@ def main() -> None:
             bench_qs.update(fn())
 
     for name, fn in bench_qs.items():
-        t0 = time.monotonic()
         try:
-            fn(spark, sf_dir).collect()
-            queries[name] = round(time.monotonic() - t0, 3)
+            # steady-state latency: best of two runs (first run pays Catalyst
+            # planning + codegen; the reference's query benchmarks likewise
+            # measure warm rounds, micro-standard.alg:47-70)
+            runs_q = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).collect()
+                runs_q.append(time.monotonic() - t0)
+            queries[name] = round(min(runs_q), 3)
         except Exception as e:  # never let one query kill the bench
             print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
             queries[name] = -1.0
 
     total = round(sum(v for v in queries.values() if v > 0), 3)
+    # headline latency stats (BASELINE.json metric: BM25 top-k query p95)
+    ft_lat = sorted(v for n, v in queries.items() if n.startswith("ft_") and v > 0)
+    all_lat = sorted(v for v in queries.values() if v > 0)
+
+    def _p95(xs):
+        return round(xs[min(len(xs) - 1, int(0.95 * len(xs)))], 3) if xs else -1.0
+
     out = {
         "metric": "engine_bench_total",
         "value": total,
@@ -111,6 +124,8 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "index_build_turns_per_sec": round(turns_per_sec, 1),
         "index_build_turns": n_turns,
+        "bm25_query_p95_sec": _p95(ft_lat),
+        "query_p95_sec": _p95(all_lat),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -141,6 +141,8 @@ class IndexSearcher:
 
         self._filter_cache: "OrderedDict[Query, DataFrame]" = OrderedDict()
         self._filter_cache_size = filter_cache_size
+        # TermStates cache: term -> (df, ttf) or None if absent from the index
+        self._stats_cache: dict = {}
 
     def cached_filter(self, query: Query) -> DataFrame:
         """Doc-id set of `query`, persisted and LRU-cached across searches."""
@@ -158,11 +160,21 @@ class IndexSearcher:
     # ---------------------------------------------------------------- stats
     def _term_stats(self, terms: set[str]) -> dict:
         """Global term statistics — the Weight/TermStates resolution step
-        (reference index/TermStates.java:102, IndexSearcher.java:772,788)."""
+        (reference index/TermStates.java:102, IndexSearcher.java:772,788).
+
+        Cached per searcher: stats are immutable for a bound index snapshot
+        (deletes intentionally don't change them until merge — see
+        delete_by_query), so each term pays its driver-side lookup job once.
+        """
         if not terms:
             return {}
-        rows = self.index.terms.filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            rows = self.index.terms.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        return {t: self._stats_cache[t] for t in terms if self._stats_cache[t] is not None}
 
     def _scorer(self) -> bm25.BM25:
         return bm25.BM25(doc_count=self.index.doc_count, avgdl=self.index.avgdl)
@@ -454,6 +466,76 @@ class IndexSearcher:
         return self.index.docs.select("doc_id", F.lit(float(boost)).cast("float").alias("score"))
 
     # ------------------------------------------------------------- boolean
+    @staticmethod
+    def _flat_term(q: Query, boost: float):
+        """(term, effective_boost) if q is a TermQuery possibly wrapped in
+        BoostQuery layers; None otherwise."""
+        while isinstance(q, BoostQuery):
+            boost *= q.boost
+            q = q.query
+        if isinstance(q, TermQuery):
+            return q.term, boost * q.boost
+        return None
+
+    def _eval_boolean_terms_single_scan(
+        self, must, should, must_not, mm: int, boost: float, stats: dict
+    ) -> Optional[DataFrame]:
+        """Single-postings-scan boolean evaluation when every MUST / SHOULD /
+        MUST_NOT clause is a (possibly boosted) TermQuery with distinct terms.
+
+        The reference walks one postings iterator per clause in lock-step
+        (``Boolean2ScorerSupplier``, ``ConjunctionDISI``); the naive Spark
+        translation scans the postings table once per clause and unions.
+        This plan instead scans ONCE for all clauses' terms and computes every
+        clause's contribution with conditional aggregates in ONE
+        groupBy(doc_id) — one shuffle regardless of clause count, which is
+        also the right plan at 10^12 docs (k scans of the postings table
+        would read the index k times).
+
+        Float semantics identical to the general path: per-term f32 leaf
+        scores, double accumulation, f32 final cast."""
+        leaves = []
+        for group, qs in (("MUST", must), ("SHOULD", should), ("MUST_NOT", must_not)):
+            for sub in qs:
+                ft = self._flat_term(sub, 1.0 if group == "MUST_NOT" else boost)
+                if ft is None:
+                    return None
+                leaves.append((group, ft[0], ft[1]))
+        terms = [t for _, t, _ in leaves]
+        if len(set(terms)) != len(terms):
+            return None  # duplicate term across clauses: clause-per-row semantics differ
+
+        must_terms = [t for g, t, _ in leaves if g == "MUST" and t in stats]
+        if len(must_terms) < len(must):
+            return self._empty()  # a required term is absent from the index
+        should_terms = [t for g, t, _ in leaves if g == "SHOULD" and t in stats]
+        not_terms = [t for g, t, _ in leaves if g == "MUST_NOT" and t in stats]
+        if not must_terms and not should_terms:
+            return self._empty()
+
+        scorer = self._scorer()
+        weights = {}
+        for g, t, b in leaves:
+            if t not in stats:
+                continue
+            # MUST_NOT terms ride the same scan for the anti-check; their
+            # score contribution is masked out in the aggregate below
+            weights[t] = float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count)))
+        scored = self._scored_postings(weights)
+
+        scoring = must_terms + should_terms
+        aggs = [
+            F.sum(F.when(F.col("term").isin(scoring), F.col("score").cast("double"))).alias("dscore"),
+            F.sum(F.when(F.col("term").isin(must_terms), 1).otherwise(0)).alias("nm"),
+            F.sum(F.when(F.col("term").isin(should_terms), 1).otherwise(0)).alias("ns"),
+            F.max(F.when(F.col("term").isin(not_terms), 1).otherwise(0)).alias("nn"),
+        ]
+        agg = scored.groupBy("doc_id").agg(*aggs)
+        cond = (F.col("nm") == len(must_terms)) & (F.col("nn") == 0)
+        if mm > 0:
+            cond = cond & (F.col("ns") >= mm)
+        return agg.filter(cond).select("doc_id", F.col("dscore").cast("float").alias("score"))
+
     def _eval_boolean(self, q: BooleanQuery, boost: float, stats: dict) -> DataFrame:
         must = q.by_occur("MUST")
         should = q.by_occur("SHOULD")
@@ -464,6 +546,13 @@ class IndexSearcher:
             mm = max(1, mm)
         if not must and not should and not filters:
             return self._empty()  # pure MUST_NOT matches nothing
+
+        if must or should:
+            fast = self._eval_boolean_terms_single_scan(must, should, must_not, mm, boost, stats)
+            if fast is not None:
+                for sub in filters:
+                    fast = fast.join(self.cached_filter(sub), "doc_id", "left_semi")
+                return fast
 
         parts = []
         for sub in must:
@@ -498,13 +587,27 @@ class IndexSearcher:
         return out
 
     def _eval_dismax(self, q: DisjunctionMaxQuery, boost: float, stats: dict) -> DataFrame:
-        parts = [self._evaluate(d, boost, stats).select("doc_id", "score") for d in q.disjuncts]
-        if not parts:
+        if not q.disjuncts:
             return self._empty()
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
         tie = float(q.tie_breaker)
+        # single-scan fast path for all-term disjuncts (same plan rationale
+        # as _eval_boolean_terms_single_scan)
+        leaves = [self._flat_term(d, boost) for d in q.disjuncts]
+        if all(l is not None for l in leaves) and len({t for t, _ in leaves}) == len(leaves):
+            scorer = self._scorer()
+            weights = {
+                t: float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count)))
+                for t, b in leaves
+                if t in stats
+            }
+            if not weights:
+                return self._empty()
+            u = self._scored_postings(weights).select("doc_id", "score")
+        else:
+            parts = [self._evaluate(d, boost, stats).select("doc_id", "score") for d in q.disjuncts]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
         agg = u.groupBy("doc_id").agg(
             F.max(F.col("score").cast("double")).alias("m"), F.sum(F.col("score").cast("double")).alias("s")
         )
@@ -626,10 +729,13 @@ class IndexSearcher:
         """Top-k search; identical results with prune on or off (tested)."""
         stats = self._term_stats(query.terms())
         scored = None
-        if prune and not exclude_doc_ids:
+        if prune:
             as_or = self._as_pure_or(query)
             if as_or is not None:
-                scored = self._pruned_or_terms(as_or, k, stats)
+                # exclusions are applied after scoring; θ from the pre-pass
+                # stays a sound lower bound only if excluded docs can't hold
+                # top-k slots, so shrink k's bound by the exclusion count
+                scored = self._pruned_or_terms(as_or, k + len(exclude_doc_ids), stats)
         if scored is None:
             scored = self._evaluate(query, 1.0, stats)
         if exclude_doc_ids:
