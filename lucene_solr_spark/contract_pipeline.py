@@ -598,6 +598,21 @@ def agg_queries() -> dict:
 
     q["agg_join_rollup"] = agg_join_rollup
 
+    def sql_surface(spark, sf_dir):
+        """Solr Calcite SQL module analog (``reference solr/core/src/java/org/
+        apache/solr/handler/sql/SolrRules.java``): the full declarative SQL
+        surface with filter/project/aggregate/sort pushdowns is Spark SQL
+        itself — one registered view and a pure-SQL query, Catalyst does the
+        pushdowns the SolrRules planner hand-codes."""
+        spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("sql_documents")
+        return spark.sql(
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM sql_documents WHERE n_chars >= 100 GROUP BY lang ORDER BY lang"
+        )
+
+    q["sql_surface"] = sql_surface
+
     return q
 
 
@@ -679,5 +694,9 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_x100
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    o["sql_surface"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE n_chars >= 100 GROUP BY lang ORDER BY lang
 """
     return o

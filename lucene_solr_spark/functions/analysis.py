@@ -151,6 +151,132 @@ class Analyzer:
         dl = np.bincount(row_index, minlength=n_rows).astype(np.int64)
         return flat, row_index, dl, positions
 
+    # ------------------------------------------------- encoded (hot) path
+    def analyze_batch_encoded(self, texts: pd.Series):
+        """Batch analysis returning dictionary-encoded terms:
+        ``(term_codes, uniques, row_index, dl, positions)`` where
+        ``uniques`` is a sorted object array of term strings and
+        ``term_codes[i]`` indexes into it (identical to
+        ``pd.factorize(flat, sort=True)`` of the flat token stream).
+
+        For pure-ASCII batches of the standard/simple patterns this runs a
+        byte-level numpy tokenizer that never materializes per-token Python
+        strings — the index-build hot path at 10^12-turn scale is exactly
+        this loop, and per-token PyObjects are what saturate the memory bus
+        when 16+ workers share one node.  Any other input falls back to the
+        regex path (bit-identical results, property-tested).
+        """
+        fast = self._encode_ascii_batch(texts)
+        if fast is not None:
+            return fast
+        flat, rows, dl, positions = self.analyze_batch_with_positions(texts)
+        codes, uniques = pd.factorize(pd.Series(flat), sort=True)
+        return (
+            codes.astype(np.int64),
+            uniques.to_numpy(dtype=object),
+            rows,
+            dl,
+            positions,
+        )
+
+    _FAST_MAX_TOKEN_BYTES = 32
+
+    def _encode_ascii_batch(self, texts: pd.Series):
+        """Vectorized ASCII tokenizer; None when the batch needs the regex
+        fallback (non-ASCII text, NUL bytes, unsupported pattern, or a kept
+        token longer than the fixed-width dictionary bound)."""
+        if self.pattern == _STANDARD_PATTERN:
+            apostrophe_joins = True
+        elif self.pattern == _SIMPLE_PATTERN:
+            apostrophe_joins = False
+        else:
+            return None
+        vals = texts.fillna("").tolist()
+        n_rows = len(vals)
+        joined = "\x00".join(vals)
+        if not joined.isascii() or joined.count("\x00") != n_rows - 1:
+            return None
+
+        arr = np.frombuffer(joined.encode(), dtype=np.uint8).copy()
+        if arr.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=object), e, np.zeros(n_rows, dtype=np.int64), e
+        if self.lowercase:
+            up = (arr >= 65) & (arr <= 90)
+            arr[up] += 32
+        # word chars per [^\W_] on ASCII: a-z 0-9 (A-Z when not lowercasing)
+        w = ((arr >= 97) & (arr <= 122)) | ((arr >= 48) & (arr <= 57))
+        if not self.lowercase:
+            w |= (arr >= 65) & (arr <= 90)
+        if apostrophe_joins:
+            # ' joins iff both neighbors are word chars (MidLetter rule)
+            a = arr == 39
+            prev_w = np.empty_like(w)
+            prev_w[0] = False
+            prev_w[1:] = w[:-1]
+            next_w = np.empty_like(w)
+            next_w[-1] = False
+            next_w[:-1] = w[1:]
+            eff = w | (a & prev_w & next_w)
+        else:
+            eff = w
+        prev_eff = np.empty_like(eff)
+        prev_eff[0] = False
+        prev_eff[1:] = eff[:-1]
+        starts = np.flatnonzero(eff & ~prev_eff)
+        if starts.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=object), e, np.zeros(n_rows, dtype=np.int64), e
+        next_eff = np.empty_like(eff)
+        next_eff[-1] = False
+        next_eff[:-1] = eff[1:]
+        ends = np.flatnonzero(eff & ~next_eff) + 1
+        lens = ends - starts
+
+        seps = np.flatnonzero(arr == 0)
+        row_index = np.searchsorted(seps, starts, side="left").astype(np.int64)
+        tok_per_row = np.bincount(row_index, minlength=n_rows).astype(np.int64)
+        row_first = np.cumsum(tok_per_row) - tok_per_row
+        positions = np.arange(starts.size, dtype=np.int64) - np.repeat(row_first, tok_per_row)
+
+        keep = np.ones(starts.size, dtype=bool)
+        if self.max_token_length:
+            keep &= lens <= self.max_token_length
+        starts, lens, row_index, positions = starts[keep], lens[keep], row_index[keep], positions[keep]
+        n_tok = starts.size
+        if n_tok == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=object), e, np.zeros(n_rows, dtype=np.int64), e
+        width = int(lens.max())
+        if width > self._FAST_MAX_TOKEN_BYTES:
+            return None  # rare giant tokens: keep the dictionary fixed-width
+
+        # fixed-width dictionary encode: pad tokens into an (n, width) byte
+        # matrix (one vectorized gather per byte column), then np.unique on
+        # the void view — sorted uniques + dense codes, no PyObjects
+        padded = np.zeros((n_tok, width), dtype=np.uint8)
+        for j in range(width):
+            m = lens > j
+            padded[m, j] = arr[starts[m] + j]
+        keys = padded.reshape(n_tok * width).view(np.dtype((np.void, width)))
+        uniq_keys, codes = np.unique(keys, return_inverse=True)
+        codes = codes.astype(np.int64)
+        uniques = np.array(
+            [bytes(k).rstrip(b"\x00").decode() for k in uniq_keys], dtype=object
+        )
+
+        if self.stopwords:
+            stop_codes = np.flatnonzero(np.isin(uniques, list(self.stopwords)))
+            if stop_codes.size:
+                keep_sw = ~np.isin(codes, stop_codes)
+                codes, row_index, positions = codes[keep_sw], row_index[keep_sw], positions[keep_sw]
+                live, codes = np.unique(codes, return_inverse=True)
+                codes = codes.astype(np.int64)
+                uniques = uniques[live]
+
+        dl = np.bincount(row_index, minlength=n_rows).astype(np.int64)
+        return codes, uniques, row_index, dl, positions
+
 
 def standard_analyzer() -> Analyzer:
     """StandardAnalyzer-equivalent: UAX#29-ish + lowercase, no stopwords."""

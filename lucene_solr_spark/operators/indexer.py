@@ -77,6 +77,15 @@ class IndexConfig:
     block_size: int = BLOCK_SIZE
     n_partitions: Optional[int] = None  # index partitions ("segments"); None = keep input
     index_positions: bool = False  # DOCS_AND_FREQS vs DOCS_AND_FREQS_AND_POSITIONS
+    # analysis strategy: "regex" (pandas str.findall + factorize) or
+    # "encoded" (byte-level numpy tokenizer -> dictionary codes, zero
+    # per-token PyObjects).  Both are bit-identical (property-tested).
+    # "regex" is the default: measured on this sandbox's VM, the encoded
+    # path's large fresh-buffer allocations hit a pathological kernel
+    # page-fault cost (~70% sys time) and lose 3x in-context despite
+    # winning on allocation count; on bare-metal executors the encoded
+    # path is the faster choice.
+    analysis_mode: str = "regex"
 
 
 @dataclass
@@ -277,6 +286,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
     analyzer = config.analyzer
     text_col, id_col, block_size = config.text_col, config.id_col, config.block_size
 
+    encoded_analysis = config.analysis_mode == "encoded"
     src = corpus.select(id_col, text_col)
     if config.n_partitions:
         # contiguous doc_id ranges per run keep deltas small and runs balanced
@@ -292,7 +302,14 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
             run_id = np.int64(pid) * 1_000_000 + seq
             seq += 1
             doc_ids_batch = pdf[id_col].to_numpy(dtype=np.int64)
-            flat, rows, dl, tok_pos = analyzer.analyze_batch_with_positions(pdf[text_col])
+            if encoded_analysis:
+                term_codes, uniques, rows, dl, tok_pos = analyzer.analyze_batch_encoded(pdf[text_col])
+            else:
+                flat, rows, dl, tok_pos = analyzer.analyze_batch_with_positions(pdf[text_col])
+                term_codes, uniq_idx = (
+                    pd.factorize(pd.Series(flat), sort=True) if flat.size else (np.empty(0, np.int64), pd.Index([]))
+                )
+                uniques = uniq_idx.to_numpy(dtype=object)
             norm_bytes = int_to_byte4(dl)
 
             # doc metadata rows (norms column-stride analog)
@@ -314,11 +331,10 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                 }
             )
 
-            if flat.size == 0:
+            if term_codes.size == 0:
                 continue
             # in-memory postings + sorted flush (TermsHashPerField /
             # FreqProxTermsWriter analog, all vectorized)
-            term_codes, uniques = pd.factorize(pd.Series(flat), sort=True)
             order = np.lexsort((rows, term_codes))
             tc, rr = term_codes[order], rows[order]
             new = np.empty(tc.size, dtype=bool)
@@ -335,7 +351,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                 block_size=block_size,
                 positions=tok_pos[order] if config.index_positions else None,
             )
-            terms_arr = uniques.to_numpy(dtype=object)[packed["term_code"]]
+            terms_arr = np.asarray(uniques, dtype=object)[packed["term_code"]]
             yield pd.DataFrame(
                 {
                     "row_type": np.int32(0),

@@ -75,3 +75,32 @@ def test_collect_only_on_small_relations():
         for i, line in enumerate(open(path).read().splitlines(), 1):
             if ".collect()" in line and "postings." in line.replace("index.postings.sparkSession", ""):
                 raise AssertionError(f"{path}:{i} collects postings rows")
+
+
+def test_boolean_and_dismax_single_scan(spark, index8, tmp_path_factory):
+    """A multi-clause all-term boolean (and dismax) must scan/decode the
+    postings ONCE (one mapInPandas over one filtered parquet scan), not once
+    per clause — k scans of a 10^12-doc postings table is the wrong plan at
+    scale.  Asserted on a committed index so the plan shows real scans."""
+    from lucene_solr_spark.operators.indexer import InvertedIndex
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import BooleanQuery, DisjunctionMaxQuery
+
+    path = str(tmp_path_factory.mktemp("ss_index"))
+    index8.write(path)
+    s = IndexSearcher(InvertedIndex.read(spark, path, index8.config))
+
+    q = BooleanQuery.build(
+        must=[TermQuery("the"), TermQuery("and")],
+        should=[TermQuery("of")],
+        must_not=[TermQuery("qeli")],
+    )
+    plan = _plan(s._evaluate(q, 1.0, s._term_stats(q.terms())))
+    n = plan.count("MapInPandas")
+    assert n == 1, f"expected 1 postings decode, got {n}:\n{plan}"
+    assert plan.count("Scan parquet") == 1, plan
+
+    dq = DisjunctionMaxQuery((TermQuery("the"), TermQuery("of")), tie_breaker=0.5)
+    plan = _plan(s._evaluate(dq, 1.0, s._term_stats(dq.terms())))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Scan parquet") == 1
