@@ -175,6 +175,33 @@ def pipeline_queries() -> dict:
 
     q["ta_fingerprint"] = ta_fingerprint
 
+    def ta_porter_stem(spark, sf_dir):
+        """Full EnglishAnalyzer chain (possessive → lower → stop → Porter,
+        ``reference analysis/common/.../en/EnglishAnalyzer.java:103-110``)
+        over the documents corpus: top stems by collection frequency.
+        Rows-only contract check (no SQL-expressible Porter oracle); the
+        stemmer itself is verified against the reference's 23,531-word test
+        vocabulary in tests/test_porter.py."""
+        from .functions.analysis import english_analyzer_porter
+
+        an = english_analyzer_porter()
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                flat, _rows, _dl, _pos = an.analyze_batch_with_positions(pdf["text"])
+                if flat.size == 0:
+                    continue
+                vc = _pd.Series(flat).value_counts()
+                yield _pd.DataFrame({"stem": vc.index.to_numpy(dtype=object), "n": vc.to_numpy()})
+
+        docs = _docs(spark, sf_dir).select("text")
+        out = docs.mapInPandas(gen, "stem string, n long").groupBy("stem").agg(F.sum("n").alias("n"))
+        return out.orderBy(F.desc("n"), F.asc("stem")).limit(40).select("stem", F.col("n").cast("long"))
+
+    q["ta_porter_stem"] = ta_porter_stem
+
     def mm_decode_meta(spark, sf_dir):
         payloads = multimodal.with_payload(_docs(spark, sf_dir))
         return multimodal.extract_media_meta(payloads).orderBy("doc_id")

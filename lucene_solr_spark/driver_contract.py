@@ -24,12 +24,20 @@ from .contract_pipeline import (  # noqa: F401 — re-exported for __spark_entry
     pipeline_queries,
 )
 from .functions.analysis import simple_analyzer
+from .functions.similarities import (
+    BooleanSimilarity,
+    ClassicSimilarity,
+    LMDirichletSimilarity,
+)
 from .operators.indexer import IndexConfig, build_index
 from .operators.searcher import IndexSearcher
+from .plans.parser import parse_query
 from .plans.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldRangeQuery,
+    FieldTermQuery,
     FuzzyQuery,
     PhraseQuery,
     BoostQuery,
@@ -322,6 +330,63 @@ def ft_queries() -> dict:
         return s.expand(TermQuery(HOT), "source", n_expand=2)
 
     q["agg_collapse_expand"] = agg_collapse_expand
+
+    # ---- keyword / point fields (StringField + PointRangeQuery analogs:
+    # Catalyst column predicates pushed to the corpus scan) + parsed queries
+    q["ft_field_filter"] = _search_q(
+        BooleanQuery.build(must=[TermQuery(HOT)], filter=[FieldTermQuery("lang", "en")])
+    )
+    q["ft_point_range"] = _search_q(
+        BooleanQuery.build(must=[TermQuery(MID)], filter=[FieldRangeQuery("n_chars", 120, 300)])
+    )
+
+    def ft_parsed_field(spark, sf_dir):
+        """End-to-end classic syntax with a field clause: parser → AST →
+        boolean evaluation (the Solr example shape ``role:assistant +tool:
+        bash error`` over our documents columns)."""
+        s = doc_searcher(spark, sf_dir)
+        query = parse_query(f"lang:en AND {HOT}", simple_analyzer())
+        return _ranked(s.search(query, 10).df)
+
+    q["ft_parsed_field"] = ft_parsed_field
+
+    def ft_funcq(spark, sf_dir):
+        """Named function-query registry (ValueSourceParser surface): boost
+        BM25 by recip of document length and termfreq of another term."""
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(
+            s.function_query_score(
+                TermQuery(HOT),
+                f"product(recip(n_chars,1,1000,1000), sum(termfreq(text,'{HOT2}'), 1))",
+                10,
+            ).df
+        )
+
+    q["ft_funcq"] = ft_funcq
+
+    def ft_search_after(spark, sf_dir):
+        """searchAfter / cursorMark deep paging: page 2 via the (score,
+        doc_id) cursor of page 1's last hit."""
+        s = doc_searcher(spark, sf_dir)
+        last_doc, last_score = s.search(TermQuery(HOT), 10).collect()[-1]
+        top2 = s.search_after(TermQuery(HOT), 10, after=(last_score, last_doc))
+        return _ranked(top2.df)
+
+    q["ft_search_after"] = ft_search_after
+
+    # ---- pluggable similarities (search/similarities/: ClassicSimilarity,
+    # BooleanSimilarity, LMDirichletSimilarity) over the same index
+    def _sim_search_q(query, sim_factory, k=10):
+        def fn(spark, sf_dir):
+            base = doc_searcher(spark, sf_dir)
+            s = IndexSearcher(base.index, base.corpus, similarity=sim_factory())
+            return _ranked(s.search(query, k).df)
+
+        return fn
+
+    q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
+    q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
+    q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
     return q
 
 
@@ -597,5 +662,94 @@ def ft_oracle_sql() -> dict:
         "  row_number() OVER (PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id ASC) AS rn"
         "  FROM sc JOIN documents d ON sc.doc_id = d.doc_id"
         ") GROUP BY parent ORDER BY parent",
+    )
+
+    # function query: f32( f64(bm25) * ( 1000/(n_chars+1000) * (tf2+1) ) )
+    fq_mul = "((1000 / (d.n_chars * 1 + 1000)) * (coalesce(x.mtf, 0) + 1))"
+    fq_score = _R(f"{_D('sc.score')} * {fq_mul}")
+    o["ft_funcq"] = _with(
+        [
+            _term_cte("sc", HOT),
+            f"fqt AS (SELECT doc_id, tf AS mtf FROM tf WHERE term = '{HOT2}')",
+        ],
+        _topk_sql(
+            f"SELECT sc.doc_id AS doc_id, {fq_score} AS score FROM sc "
+            "JOIN documents d ON sc.doc_id = d.doc_id "
+            "LEFT JOIN fqt x ON sc.doc_id = x.doc_id"
+        ),
+    )
+
+    # searchAfter page 2 = global ranks 11..20, rebased to 1..10
+    o["ft_search_after"] = _with(
+        [_term_cte("sc", HOT)],
+        "SELECT CAST(rnk - 10 AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        "  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk, doc_id FROM sc"
+        ") WHERE rnk BETWEEN 11 AND 20 ORDER BY rnk",
+    )
+
+    # keyword / point field filters: FILTER clauses are non-scoring, so the
+    # score is the text clause's alone
+    o["ft_field_filter"] = _with(
+        [_term_cte("sc", HOT)],
+        _topk_sql(
+            "SELECT sc.doc_id AS doc_id, sc.score AS score FROM sc "
+            "JOIN documents d ON sc.doc_id = d.doc_id WHERE d.lang = 'en'"
+        ),
+    )
+    o["ft_point_range"] = _with(
+        [_term_cte("sc", MID)],
+        _topk_sql(
+            "SELECT sc.doc_id AS doc_id, sc.score AS score FROM sc "
+            "JOIN documents d ON sc.doc_id = d.doc_id WHERE d.n_chars BETWEEN 120 AND 300"
+        ),
+    )
+    # parsed `lang:en AND scan`: both MUST; the field clause scores constant
+    # f32(1.0), summed in double with the term clause, cast back f32
+    pf_sum = _R(_D("1.0") + " + " + _D("sc.score"))
+    o["ft_parsed_field"] = _with(
+        [_term_cte("sc", HOT)],
+        _topk_sql(
+            f"SELECT sc.doc_id AS doc_id, {pf_sum} AS score FROM sc "
+            "JOIN documents d ON sc.doc_id = d.doc_id WHERE d.lang = 'en'"
+        ),
+    )
+
+    # ClassicSimilarity: f32(f32(f32(sqrt(tf)) * idf32) * f32(1/sqrt(dlq)))
+    # with idf32 = f32(ln((N+1)/(df+1)) + 1)  (ClassicSimilarity.java:39-63,
+    # TFIDFSimilarity.java:519-552)
+    cl_idf = _R("ln(((SELECT n FROM st) + 1) / (dfreq.df + 1)) + 1.0")
+    cl_raw = _R(f"{_R('sqrt(tf.tf)')} * {cl_idf}")
+    cl_score = _R(f"{cl_raw} * {_R('1.0 / sqrt(dlq.dlq)')}")
+    o["ft_classic_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, {cl_score} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # LMDirichletSimilarity μ=2000: double score = ln(1+tf/(μ·p_c)) +
+    # ln(μ/(dl+μ)), p_c = (ttf+1)/(sttf+1), clamped at 0, f32 cast
+    # (LMDirichletSimilarity.java:73-77, LMSimilarity.java:154-156)
+    lm_pc = "((ttfq.ttf + 1.0) / ((SELECT sttf FROM st) + 1.0))"
+    lm_raw = f"(ln(1.0 + tf.tf / (2000.0 * {lm_pc})) + ln(2000.0 / (dlq.dlq + 2000.0)))"
+    o["ft_lmdirichlet_topk"] = _with(
+        [
+            "ttfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)",
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'CASE WHEN {lm_raw} > 0.0 THEN {lm_raw} ELSE 0.0 END')} AS score "
+            f"FROM tf JOIN ttfq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # BooleanSimilarity: score = boost for every match (BooleanSimilarity.java:59-61)
+    o["ft_boolean_sim"] = _with(
+        [
+            f"sc AS (SELECT doc_id, {_R('1.0')} AS score FROM tf WHERE term = '{RARE}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc", k=20),
     )
     return o

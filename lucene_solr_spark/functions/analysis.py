@@ -34,7 +34,14 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-__all__ = ["Analyzer", "standard_analyzer", "simple_analyzer", "english_analyzer", "ENGLISH_STOP_WORDS"]
+__all__ = [
+    "Analyzer",
+    "standard_analyzer",
+    "simple_analyzer",
+    "english_analyzer",
+    "english_analyzer_porter",
+    "ENGLISH_STOP_WORDS",
+]
 
 # analysis/en/EnglishAnalyzer.java:43-54 (classic 33-word English stop set)
 ENGLISH_STOP_WORDS = frozenset(
@@ -56,9 +63,28 @@ class Analyzer:
     lowercase: bool = True
     stopwords: frozenset = field(default_factory=frozenset)
     max_token_length: int = 255
+    # EnglishPossessiveFilter (``reference lucene/analysis/common/src/java/
+    # org/apache/lucene/analysis/en/EnglishPossessiveFilter.java:45-50``):
+    # strip a trailing {' ’ ＇}s before the stop filter sees the token
+    strip_possessive: bool = False
+    # PorterStemFilter (``en/PorterStemFilter.java``): applied AFTER the stop
+    # filter (EnglishAnalyzer.java:103-110 chain order); None or "porter"
+    stemmer: str | None = None
 
     def _regex(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+    def _strip_poss(self, tok: str) -> str:
+        if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in "'’＇":
+            return tok[:-2]
+        return tok
+
+    def _stem(self, tok: str) -> str:
+        if self.stemmer == "porter":
+            from .porterstem import porter_stem
+
+            return porter_stem(tok)
+        return tok
 
     def tokens(self, text: str) -> list[str]:
         """Analyze one string (driver-side / query normalization path)."""
@@ -71,9 +97,11 @@ class Analyzer:
         for tok in self._regex().findall(text):
             if maxlen and len(tok) > maxlen:
                 continue  # skipped but positions advance (not modeled here)
+            if self.strip_possessive:
+                tok = self._strip_poss(tok)
             if tok in self.stopwords:
                 continue
-            out.append(tok)
+            out.append(self._stem(tok))
         return out
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -86,9 +114,13 @@ class Analyzer:
         maxlen = self.max_token_length or None
         out = []
         for pos, tok in enumerate(self._regex().findall(text)):
-            if (maxlen and len(tok) > maxlen) or tok in self.stopwords:
+            if maxlen and len(tok) > maxlen:
                 continue
-            out.append((tok, pos))
+            if self.strip_possessive:
+                tok = self._strip_poss(tok)
+            if tok in self.stopwords:
+                continue
+            out.append((self._stem(tok), pos))
         return out
 
     def analyze_batch(self, texts: pd.Series):
@@ -143,11 +175,19 @@ class Analyzer:
         if self.max_token_length:
             lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
             keep &= lens <= self.max_token_length
+        if self.strip_possessive:
+            # transform on the batch dictionary, gather back (tokens are
+            # heavily repeated; the dictionary is small)
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._strip_poss(u) for u in uniques], dtype=object)[codes]
         if self.stopwords:
             keep &= ~np.isin(flat, list(self.stopwords))
         flat = flat[keep]
         row_index = row_index[keep]
         positions = positions[keep]
+        if self.stemmer is not None and flat.size:
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._stem(u) for u in uniques], dtype=object)[codes]
         dl = np.bincount(row_index, minlength=n_rows).astype(np.int64)
         return flat, row_index, dl, positions
 
@@ -185,6 +225,8 @@ class Analyzer:
         """Vectorized ASCII tokenizer; None when the batch needs the regex
         fallback (non-ASCII text, NUL bytes, unsupported pattern, or a kept
         token longer than the fixed-width dictionary bound)."""
+        if self.strip_possessive or self.stemmer is not None:
+            return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
             apostrophe_joins = True
         elif self.pattern == _SIMPLE_PATTERN:
@@ -281,6 +323,21 @@ class Analyzer:
 def standard_analyzer() -> Analyzer:
     """StandardAnalyzer-equivalent: UAX#29-ish + lowercase, no stopwords."""
     return Analyzer(pattern=_STANDARD_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=255)
+
+
+def english_analyzer_porter() -> Analyzer:
+    """Full EnglishAnalyzer chain (``reference analysis/common/.../en/
+    EnglishAnalyzer.java:103-110``): StandardTokenizer →
+    EnglishPossessiveFilter → LowerCaseFilter → StopFilter(English 33) →
+    PorterStemFilter."""
+    return Analyzer(
+        pattern=_STANDARD_PATTERN,
+        lowercase=True,
+        stopwords=ENGLISH_STOP_WORDS,
+        max_token_length=255,
+        strip_possessive=True,
+        stemmer="porter",
+    )
 
 
 def english_analyzer() -> Analyzer:

@@ -1,0 +1,113 @@
+"""Pluggable similarities beyond BM25 (reference ``search/similarities/``).
+
+Each similarity reduces to two pieces the searcher's single-scan evaluation
+plumbs through:
+
+- ``term_params(boost, df, ttf, doc_count, sum_ttf) -> (w1, w2)`` — per-term
+  scalars resolved once on the driver from global stats (the Weight/SimScorer
+  construction step);
+- ``score(w1, w2, tfs, norms) -> float32`` — the vectorized per-posting
+  kernel run inside the Arrow unpack UDF.
+
+All three kernels are monotone non-decreasing in tf and non-increasing in
+document length, so block-max pruning with per-block ``(max_tf, min_norm)``
+stays sound under any of them.
+
+Float semantics mirror the reference exactly (rank-identity requirement):
+
+- ``ClassicSimilarity`` (TF-IDF): ``idf = f32(ln((N+1)/(df+1)) + 1)``
+  (``ClassicSimilarity.java:61-63``), ``queryWeight = f32(boost * idf)``
+  (``TFIDFSimilarity.java:543``), ``score = f32(f32(f32(sqrt(tf)) *
+  queryWeight) * normTable[norm])`` (``TFIDFSimilarity.java:548-552``) with
+  ``normTable[i] = f32(1/sqrt(byte4ToInt(i)))`` and ``normTable[0] =
+  1/normTable[255]`` (``TFIDFSimilarity.java:519-525``,
+  ``ClassicSimilarity.java:39-41``).
+- ``BooleanSimilarity``: ``score = boost`` regardless of tf/norm
+  (``BooleanSimilarity.java:59-61``).
+- ``LMDirichletSimilarity`` (μ=2000): double-precision
+  ``score_d = boost * (ln(1 + tf/(μ·p_c)) + ln(μ/(dl+μ)))`` clamped at 0,
+  cast to float32 (``LMDirichletSimilarity.java:73-77``,
+  ``SimilarityBase.java:227-229``), with collection probability
+  ``p_c = (ttf+1)/(sumTotalTermFreq+1)`` (``LMSimilarity.java:154-156``)
+  and ``dl = byte4ToInt(norm)`` (``SimilarityBase.java:177-183,222-224``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .smallfloat import byte4_to_int
+
+__all__ = [
+    "Similarity",
+    "ClassicSimilarity",
+    "BooleanSimilarity",
+    "LMDirichletSimilarity",
+]
+
+
+def _length_table() -> np.ndarray:
+    """LENGTH_TABLE[256]: decoded byte4 lengths (SimilarityBase.java:177-183)."""
+    return byte4_to_int(np.arange(256, dtype=np.int64)).astype(np.float64)
+
+
+class Similarity:
+    """Interface; see module docstring. ``name`` keys caches/logs."""
+
+    name = "base"
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        raise NotImplementedError
+
+    def score(self, w1, w2, tfs, norms):
+        raise NotImplementedError
+
+
+class ClassicSimilarity(Similarity):
+    name = "classic"
+
+    def __init__(self):
+        lt = _length_table()
+        with np.errstate(divide="ignore"):
+            nt = (1.0 / np.sqrt(lt)).astype(np.float32)
+        nt[0] = np.float32(1.0) / nt[255]
+        self._norm_table = nt
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        idf = np.float32(np.log((doc_count + 1) / float(df + 1)) + 1.0)
+        return (float(np.float32(np.float32(boost) * idf)), 0.0)
+
+    def score(self, w1, w2, tfs, norms):
+        tf32 = np.sqrt(tfs.astype(np.float64)).astype(np.float32)
+        raw = (tf32 * w1.astype(np.float32)).astype(np.float32)
+        return (raw * self._norm_table[norms]).astype(np.float32)
+
+
+class BooleanSimilarity(Similarity):
+    name = "boolean"
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        return (float(np.float32(boost)), 0.0)
+
+    def score(self, w1, w2, tfs, norms):
+        return np.broadcast_to(w1.astype(np.float32), tfs.shape).copy()
+
+
+class LMDirichletSimilarity(Similarity):
+    name = "lm_dirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(np.float32(mu))
+        self._length_table = _length_table()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        p_c = (float(ttf) + 1.0) / (float(sum_ttf) + 1.0)
+        return (float(boost), p_c)
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        s = w1 * (
+            np.log1p(tfs.astype(np.float64) / (self.mu * w2))
+            + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0).astype(np.float32)

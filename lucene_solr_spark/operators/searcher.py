@@ -54,6 +54,8 @@ from ..plans.query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FieldRangeQuery,
+    FieldTermQuery,
     FuzzyQuery,
     MatchAllQuery,
     MatchNoDocsQuery,
@@ -113,6 +115,41 @@ def _make_unpack_score(weights: dict, cache: np.ndarray):
     return fn
 
 
+def _make_unpack_score_sim(params: dict, sim):
+    """Generic-similarity variant of :func:`_make_unpack_score`:
+    ``params`` maps term -> (w1, w2) from ``Similarity.term_params`` and the
+    kernel is ``sim.score`` (functions/similarities.py). Same single-scan
+    plan shape; only the scoring arithmetic differs."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["count"].to_numpy(dtype=np.int64)
+            doc_ids, tfs, norms, _ = unpack_blocks(
+                pdf["doc_id_base"].to_numpy(dtype=np.int64),
+                counts,
+                list(pdf["doc_ids"]),
+                list(pdf["tfs"]),
+                list(pdf["norms"]),
+            )
+            w1b = pdf["term"].map({t: p[0] for t, p in params.items()}).to_numpy(dtype=np.float64)
+            w2b = pdf["term"].map({t: p[1] for t, p in params.items()}).to_numpy(dtype=np.float64)
+            w1 = np.repeat(w1b, counts)
+            w2 = np.repeat(w2b, counts)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(dtype=object), counts),
+                    "doc_id": doc_ids,
+                    "tf": tfs.astype(np.int32),
+                    "norm": norms.astype(np.int32),
+                    "score": sim.score(w1, w2, tfs, norms),
+                }
+            )
+
+    return fn
+
+
 @dataclass
 class TopDocs:
     """Search result: DataFrame (doc_id bigint, score float), already ranked."""
@@ -131,10 +168,24 @@ class IndexSearcher:
     verification; it must carry (config.id_col, config.text_col).
     """
 
-    def __init__(self, index: InvertedIndex, corpus: Optional[DataFrame] = None, filter_cache_size: int = 32):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        corpus: Optional[DataFrame] = None,
+        filter_cache_size: int = 32,
+        similarity=None,
+    ):
         self.index = index
         self.corpus = corpus
         self.spark = index.postings.sparkSession
+        # IndexSearcher.setSimilarity analog (``search/IndexSearcher.java:118``
+        # defaults to BM25): None = the float32-exact BM25 engine path; a
+        # ``functions.similarities.Similarity`` swaps the per-term weight
+        # resolution and the posting-score kernel for term/boolean/dismax/
+        # synonym evaluation and block-max pruning (all kernels are monotone,
+        # so pruning stays sound). Phrase/span/multiterm rewrites keep BM25 /
+        # constant-score semantics.
+        self.similarity = similarity
         # LRUQueryCache / SolrIndexSearcher.filterCache analog: hot FILTER
         # doc-sets persisted, LRU-evicted (SolrIndexSearcher.java:119-120)
         from collections import OrderedDict
@@ -179,6 +230,15 @@ class IndexSearcher:
     def _scorer(self) -> bm25.BM25:
         return bm25.BM25(doc_count=self.index.doc_count, avgdl=self.index.avgdl)
 
+    def _leaf_w(self, b: float, term: str, stats: dict):
+        """Per-term weight under the active similarity — the Weight/SimScorer
+        construction step. BM25: float32 ``f32(b) * idf``; others:
+        ``Similarity.term_params``."""
+        df, ttf = stats[term]
+        if self.similarity is None:
+            return float(np.float32(np.float32(b) * bm25.idf(df, self.index.doc_count)))
+        return self.similarity.term_params(b, df, ttf, self.index.doc_count, self.index.sum_ttf)
+
     # ------------------------------------------------------------ leaf plans
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id bigint, score float")
@@ -188,6 +248,8 @@ class IndexSearcher:
         if not weights:
             return self.spark.createDataFrame([], _SCORED_SCHEMA)
         blocks = self.index.postings.filter(F.col("term").isin(list(weights)))
+        if self.similarity is not None:
+            return blocks.mapInPandas(_make_unpack_score_sim(weights, self.similarity), schema=_SCORED_SCHEMA)
         cache = self._scorer().cache()
         return blocks.mapInPandas(_make_unpack_score(weights, cache), schema=_SCORED_SCHEMA)
 
@@ -195,9 +257,8 @@ class IndexSearcher:
         df_ttf = stats.get(q.term)
         if not df_ttf:
             return self._empty()
-        scorer = self._scorer()
-        w = np.float32(np.float32(boost * q.boost) * bm25.idf(df_ttf[0], scorer.doc_count))
-        return self._scored_postings({q.term: float(w)}).select("doc_id", "score")
+        w = self._leaf_w(boost * q.boost, q.term, stats)
+        return self._scored_postings({q.term: w}).select("doc_id", "score")
 
     def _eval_synonym(self, q: SynonymQuery, boost: float, stats: dict) -> DataFrame:
         """SynonymQuery.java:54 — blended stats: df = max over terms, tf summed
@@ -205,17 +266,35 @@ class IndexSearcher:
         present = [t for t in q.synonyms if t in stats]
         if not present:
             return self._empty()
-        scorer = self._scorer()
+        # blended stats: df = max over terms, ttf summed (SynonymQuery.java)
         blended_df = max(stats[t][0] for t in present)
-        w = np.float32(np.float32(boost * q.boost) * bm25.idf(blended_df, scorer.doc_count))
-        cache = scorer.cache()
-        raw = self._scored_postings({t: 1.0 for t in present}).groupBy("doc_id").agg(
+        sim = self.similarity
+        dummy = {t: ((1.0, 1.0) if sim is not None else 1.0) for t in present}
+        raw = self._scored_postings(dummy).groupBy("doc_id").agg(
             F.sum("tf").cast("bigint").alias("tf"), F.first("norm").alias("norm")
         )
 
-        @F.pandas_udf(T.FloatType())
-        def syn_score(tf: pd.Series, norm: pd.Series) -> pd.Series:
-            return pd.Series(bm25.score_tf_norm(tf.to_numpy(), norm.to_numpy(), w, cache))
+        if sim is None:
+            scorer = self._scorer()
+            w = np.float32(np.float32(boost * q.boost) * bm25.idf(blended_df, scorer.doc_count))
+            cache = scorer.cache()
+
+            @F.pandas_udf(T.FloatType())
+            def syn_score(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                return pd.Series(bm25.score_tf_norm(tf.to_numpy(), norm.to_numpy(), w, cache))
+
+        else:
+            blended_ttf = sum(stats[t][1] for t in present)
+            w1s, w2s = sim.term_params(
+                boost * q.boost, blended_df, blended_ttf, self.index.doc_count, self.index.sum_ttf
+            )
+
+            @F.pandas_udf(T.FloatType())
+            def syn_score(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                tfs = tf.to_numpy(dtype=np.int64)
+                return pd.Series(
+                    sim.score(np.full(tfs.shape, w1s), np.full(tfs.shape, w2s), tfs, norm.to_numpy(dtype=np.int64))
+                )
 
         return raw.select("doc_id", syn_score("tf", "norm").alias("score"))
 
@@ -513,14 +592,13 @@ class IndexSearcher:
         if not must_terms and not should_terms:
             return self._empty()
 
-        scorer = self._scorer()
         weights = {}
         for g, t, b in leaves:
             if t not in stats:
                 continue
             # MUST_NOT terms ride the same scan for the anti-check; their
             # score contribution is masked out in the aggregate below
-            weights[t] = float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count)))
+            weights[t] = self._leaf_w(b, t, stats)
         scored = self._scored_postings(weights)
 
         scoring = must_terms + should_terms
@@ -594,12 +672,7 @@ class IndexSearcher:
         # as _eval_boolean_terms_single_scan)
         leaves = [self._flat_term(d, boost) for d in q.disjuncts]
         if all(l is not None for l in leaves) and len({t for t, _ in leaves}) == len(leaves):
-            scorer = self._scorer()
-            weights = {
-                t: float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count)))
-                for t, b in leaves
-                if t in stats
-            }
+            weights = {t: self._leaf_w(b, t, stats) for t, b in leaves if t in stats}
             if not weights:
                 return self._empty()
             u = self._scored_postings(weights).select("doc_id", "score")
@@ -615,9 +688,33 @@ class IndexSearcher:
             "doc_id", (F.col("m") + F.lit(tie) * (F.col("s") - F.col("m"))).cast("float").alias("score")
         )
 
+    def _eval_field(self, q, boost: float) -> DataFrame:
+        """Keyword/point field predicate against corpus columns — the
+        ``StringField``/``PointRangeQuery`` arm (see plans/query.py). The
+        predicate compiles to a Catalyst filter pushed into the corpus scan
+        (PushedFilters on parquet/Iceberg), no postings touched."""
+        if self.corpus is None:
+            raise ValueError("field queries require a searcher bound to a corpus")
+        c = F.col(q.field)
+        if isinstance(q, FieldTermQuery):
+            pred = c == q.value
+        else:
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+        w = float(np.float32(boost * q.boost))
+        return self.corpus.filter(pred).select(
+            F.col(self.index.config.id_col).cast("long").alias("doc_id"),
+            F.lit(w).cast("float").alias("score"),
+        )
+
     def _evaluate(self, q: Query, boost: float, stats: dict) -> DataFrame:
         if isinstance(q, TermQuery):
             return self._eval_term(q, boost, stats)
+        if isinstance(q, (FieldTermQuery, FieldRangeQuery)):
+            return self._eval_field(q, boost)
         if isinstance(q, BooleanQuery):
             return self._eval_boolean(q, boost, stats)
         if isinstance(q, SynonymQuery):
@@ -649,21 +746,28 @@ class IndexSearcher:
         present = {t: b for t, b in term_boosts.items() if t in stats}
         if not present:
             return self._empty()
-        scorer = self._scorer()
-        cache = scorer.cache()
-        weights = {
-            t: float(np.float32(np.float32(b) * bm25.idf(stats[t][0], scorer.doc_count))) for t, b in present.items()
-        }
+        sim = self.similarity
+        cache = self._scorer().cache() if sim is None else None
+        weights = {t: self._leaf_w(b, t, stats) for t, b in present.items()}
 
         blocks = self.index.postings.filter(F.col("term").isin(list(present)))
 
-        w_map = dict(weights)
+        def _score_terms(terms_arr, tfs, norms):
+            # shared by the UB pass and the θ sample pass; every similarity
+            # kernel is monotone (↑tf, ↓length) so (max_tf, min_norm) is a
+            # sound per-block upper bound under any of them
+            tfs = np.asarray(tfs, dtype=np.int64)
+            norms = np.asarray(norms, dtype=np.int64)
+            if sim is None:
+                w = pd.Series(terms_arr).map(weights).to_numpy(dtype=np.float32)
+                return (w * bm25.score_tf_norm(tfs, norms, np.float32(1.0), cache)).astype(np.float32)
+            w1 = pd.Series(terms_arr).map({t: p[0] for t, p in weights.items()}).to_numpy(dtype=np.float64)
+            w2 = pd.Series(terms_arr).map({t: p[1] for t, p in weights.items()}).to_numpy(dtype=np.float64)
+            return sim.score(w1, w2, tfs, norms)
 
         @F.pandas_udf(T.FloatType())
         def ub_udf(term: pd.Series, max_tf: pd.Series, min_norm: pd.Series) -> pd.Series:
-            w = term.map(w_map).to_numpy(dtype=np.float32)
-            t32 = bm25.score_tf_norm(max_tf.to_numpy(), min_norm.to_numpy(), np.float32(1.0), cache)
-            return pd.Series((w * t32).astype(np.float32))
+            return pd.Series(_score_terms(term, max_tf.to_numpy(), min_norm.to_numpy()).astype(np.float32))
 
         with_ub = blocks.withColumn("ub", ub_udf("term", "max_tf", "min_norm"))
 
@@ -684,8 +788,8 @@ class IndexSearcher:
             list(sample_pdf["tfs"]),
             list(sample_pdf["norms"]),
         )
-        w_post = np.repeat(sample_pdf["term"].map(weights).to_numpy(dtype=np.float32), sample_pdf["count"].to_numpy())
-        s = bm25.score_tf_norm(tfs, norms, np.float32(1.0), cache) * w_post
+        terms_post = np.repeat(sample_pdf["term"].to_numpy(dtype=object), sample_pdf["count"].to_numpy())
+        s = _score_terms(terms_post, tfs, norms)
         # per-doc sums over the sample give a sound lower bound of true scores
         samp = pd.DataFrame({"doc_id": doc_ids, "s": s.astype(np.float64)}).groupby("doc_id")["s"].sum()
         if len(samp) >= k:
@@ -703,8 +807,11 @@ class IndexSearcher:
             return term.map(slack_map).astype("float32")
 
         survivors = with_ub.filter((F.col("ub") + slack_udf("term")) >= F.lit(theta))
+        unpack_fn = (
+            _make_unpack_score_sim(weights, sim) if sim is not None else _make_unpack_score(weights, cache)
+        )
         scored = survivors.select("term", "run_id", "block_id", "doc_id_base", "count", "doc_ids", "tfs", "norms").mapInPandas(
-            _make_unpack_score(weights, cache), schema=_SCORED_SCHEMA
+            unpack_fn, schema=_SCORED_SCHEMA
         )
         return scored.groupBy("doc_id").agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
 
@@ -969,6 +1076,48 @@ class IndexSearcher:
             (F.col("score").cast("double") * F.expr(expr).cast("double")).cast("float").alias("score"),
         )
         return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
+    def function_query_score(self, query: Query, func_src: str, k: int = 10) -> TopDocs:
+        """Named Solr function-query surface (``ValueSourceParser.java``
+        registry): rescore matches by ``f32(f64(score) * f64(func))`` where
+        ``func`` is the compiled function-query expression — e.g.
+        ``product(recip(n_chars,1,1000,1000), sum(termfreq(text,'scan'),1))``.
+        See plans/function_queries.py for the supported registry."""
+        from ..plans.function_queries import FunctionContext, compile_function
+
+        if self.corpus is None:
+            raise ValueError("function queries need IndexSearcher(corpus=...)")
+        ctx = FunctionContext(self)
+        col = compile_function(func_src, ctx)
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(self.corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        for aux in ctx.joins.values():
+            joined = joined.join(aux, "doc_id", "left")
+        rescored = joined.select(
+            "doc_id",
+            (F.col("score").cast("double") * col.cast("double")).cast("float").alias("score"),
+        )
+        return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
+    def search_after(self, query: Query, k: int = 10, after: Optional[tuple] = None, prune: bool = True) -> TopDocs:
+        """``IndexSearcher.searchAfter`` / Solr cursorMark deep paging: the
+        page strictly after cursor ``(score, doc_id)`` in (score desc,
+        doc_id asc) order.  Each page is one bounded top-k job — at 10^12
+        docs this replaces the ``start=N`` offset pattern whose cost grows
+        with the offset (every shard would have to return N+k rows)."""
+        if after is None:
+            return self.search(query, k, prune=prune)
+        a_score, a_doc = float(after[0]), int(after[1])
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        if self.index.deletes is not None:
+            scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        cur = F.col("score") < F.lit(a_score)
+        cur = cur | ((F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc)))
+        ranked = scored.filter(cur).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return TopDocs(df=ranked, k=k)
 
     def sorted_export(self, query: Query, sort_cols: list, k: Optional[int] = None) -> DataFrame:
         """TopFieldCollector / Solr ``/export`` analog: the full match set

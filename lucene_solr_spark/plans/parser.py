@@ -26,6 +26,8 @@ from .query import (
     BooleanClause,
     BooleanQuery,
     BoostQuery,
+    FieldRangeQuery,
+    FieldTermQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
     PhraseQuery,
@@ -34,6 +36,20 @@ from .query import (
     TermRangeQuery,
     WildcardQuery,
 )
+
+_FIELD_RE = re.compile(r"[A-Za-z_][\w.]*")
+
+
+def _coerce(v: str):
+    """Numeric range bounds become ints/floats so the Catalyst predicate
+    compares natively (PointRangeQuery vs TermRangeQuery distinction)."""
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -69,10 +85,11 @@ def _tokenize(s: str):
 
 
 class _Parser:
-    def __init__(self, tokens, analyzer):
+    def __init__(self, tokens, analyzer, default_field="text"):
         self.toks = tokens
         self.i = 0
         self.an = analyzer
+        self.default_field = default_field
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -120,6 +137,16 @@ class _Parser:
             return clauses[0].query
         return BooleanQuery(clauses=tuple(clauses))
 
+    def _text_atom(self, val, phrase=False):
+        toks = self.an.tokens(val)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(toks[0])
+        if phrase:
+            return PhraseQuery(tuple(toks))
+        return BooleanQuery(clauses=tuple(BooleanClause(TermQuery(t), "SHOULD") for t in toks))
+
     def parse_atom(self):
         kind, val = self.next()
         q = None
@@ -129,13 +156,7 @@ class _Parser:
             if k2 == "rparen":
                 self.next()
         elif kind == "phrase":
-            toks = self.an.tokens(val.strip('"'))
-            if not toks:
-                q = None
-            elif len(toks) == 1:
-                q = TermQuery(toks[0])
-            else:
-                q = PhraseQuery(tuple(toks))
+            q = self._text_atom(val.strip('"'), phrase=True)
         elif kind == "range":
             # [a TO b] inclusive / {a TO b} exclusive (QueryParser.jj ranges)
             inner = val[1:-1]
@@ -144,6 +165,43 @@ class _Parser:
                 lo = None if m.group(1) == "*" else m.group(1).lower()
                 hi = None if m.group(2) == "*" else m.group(2).lower()
                 q = TermRangeQuery(lo, hi, val[0] == "[", val[-1] == "]")
+        elif kind == "term" and ":" in val and not val.startswith(":"):
+            # [field ":"] clause per the classic grammar (QueryParser.jj:
+            # 196-197). Non-default fields are keyword/point columns
+            # (StringField / PointRangeQuery -> FieldTermQuery /
+            # FieldRangeQuery); the default field re-enters text analysis.
+            fld, rest = val.split(":", 1)
+            if not _FIELD_RE.fullmatch(fld):
+                q = self._text_atom(val)
+            elif rest.startswith(("[", "{")) or (
+                rest == "" and self.peek()[0] == "range"
+            ):
+                if rest == "":
+                    rest = self.next()[1]
+                else:
+                    # the tokenizer split "f:[a TO b]" mid-range: reassemble
+                    while not rest.endswith(("]", "}")) and self.peek()[0] is not None:
+                        rest += " " + self.next()[1]
+                m = re.match(r"[\[{]\s*(\S+)\s+TO\s+(\S+)\s*[\]}]", rest)
+                if m:
+                    lo = None if m.group(1) == "*" else _coerce(m.group(1))
+                    hi = None if m.group(2) == "*" else _coerce(m.group(2))
+                    if fld == self.default_field:
+                        q = TermRangeQuery(
+                            None if lo is None else str(lo).lower(),
+                            None if hi is None else str(hi).lower(),
+                            rest[0] == "[",
+                            rest[-1] == "]",
+                        )
+                    else:
+                        q = FieldRangeQuery(fld, lo, hi, rest[0] == "[", rest[-1] == "]")
+            elif rest == "" and self.peek()[0] == "phrase":
+                v2 = self.next()[1].strip('"')
+                q = self._text_atom(v2, phrase=True) if fld == self.default_field else FieldTermQuery(fld, v2)
+            elif fld == self.default_field:
+                q = self._text_atom(rest)
+            else:
+                q = FieldTermQuery(fld, rest)
         elif kind == "term":
             if val.endswith("*") and len(val) > 1 and "*" not in val[:-1] and "?" not in val:
                 norm = self.an.tokens(val[:-1])
@@ -151,13 +209,7 @@ class _Parser:
             elif "*" in val or "?" in val:
                 q = WildcardQuery(val.lower())  # Analyzer.normalize = lowercase
             else:
-                toks = self.an.tokens(val)
-                if not toks:
-                    q = None
-                elif len(toks) == 1:
-                    q = TermQuery(toks[0])
-                else:
-                    q = BooleanQuery(clauses=tuple(BooleanClause(TermQuery(t), "SHOULD") for t in toks))
+                q = self._text_atom(val)
         # optional ~fuzzy (terms only, FuzzyQuery default maxEdits=2)
         k2, v2 = self.peek()
         if isinstance(q, TermQuery) and k2 == "fuzzy":
@@ -172,6 +224,6 @@ class _Parser:
         return q
 
 
-def parse_query(s: str, analyzer):
+def parse_query(s: str, analyzer, default_field: str = "text"):
     """Parse a classic-syntax query string into a Query AST."""
-    return _Parser(_tokenize(s), analyzer).parse_query()
+    return _Parser(_tokenize(s), analyzer, default_field).parse_query()

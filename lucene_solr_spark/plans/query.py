@@ -108,6 +108,38 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldTermQuery(Query):
+    """Keyword-field exact match — the ``StringField`` + ``TermQuery`` pair
+    (``document/StringField.java``; the Solr example shape
+    ``role:assistant``).
+
+    Spark-first: keyword fields are ordinary DataFrame columns (SURVEY §1.2),
+    so this evaluates as a Catalyst predicate pushed into the corpus scan —
+    the ``IndexOrDocValuesQuery`` column-scan arm
+    (``search/IndexOrDocValuesQuery.java``) chosen statically. Constant-score
+    (the dominant reference usage: Solr ``fq`` / FILTER clauses); not
+    analyzed, like StringField."""
+
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    """Numeric/term range on a typed column — ``PointRangeQuery``
+    (``search/PointRangeQuery.java``, BKD tree) re-expressed as a Catalyst
+    range predicate with parquet min/max pruning. Constant-score."""
+
+    field: str
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """``search/FuzzyQuery.java``: terms within `max_edits` of `term`.
 

@@ -1,0 +1,143 @@
+"""Pluggable similarities: rank- and score-identity vs brute-force oracles.
+
+Each similarity's brute force is recomputed here from the corpus with the
+exact reference float chain (independently of functions/similarities.py), and
+the Spark engine must match on doc_ids AND float32 scores, with pruning on
+and off (the kernels are monotone, so block-max pruning must not change
+results).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.functions.analysis import standard_analyzer
+from lucene_solr_spark.functions.similarities import (
+    BooleanSimilarity,
+    ClassicSimilarity,
+    LMDirichletSimilarity,
+)
+from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_solr_spark.operators.searcher import IndexSearcher
+from lucene_solr_spark.plans.query import BooleanQuery, SynonymQuery, TermQuery
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(fixture_corpus_pdf):
+    """(tf[(doc,term)], df[term], ttf[term], norm_byte[doc], N, sttf)."""
+    an = standard_analyzer()
+    pdf = fixture_corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tf, df, ttf, norm = {}, {}, {}, {}
+    for doc_id, text in enumerate(pdf["text"]):
+        toks = an.tokens(text)
+        norm[doc_id] = int(int_to_byte4(np.array([len(toks)]))[0])
+        seen = {}
+        for t in toks:
+            seen[t] = seen.get(t, 0) + 1
+        for t, f in seen.items():
+            tf[(doc_id, t)] = f
+            df[t] = df.get(t, 0) + 1
+            ttf[t] = ttf.get(t, 0) + f
+    return tf, df, ttf, norm, len(pdf), sum(ttf.values())
+
+
+def _classic_score(tf, df, norm_byte, n_docs):
+    idf = np.float32(math.log((n_docs + 1) / (df + 1)) + 1.0)
+    qw = np.float32(np.float32(1.0) * idf)
+    tf32 = np.float32(math.sqrt(tf))
+    raw = np.float32(tf32 * qw)
+    dl = int(byte4_to_int(np.array([norm_byte]))[0])
+    nt = np.float32(1.0 / math.sqrt(dl)) if dl > 0 else np.float32(0)
+    return np.float32(raw * nt)
+
+
+def _lmd_score(tf, ttf_t, norm_byte, sttf, mu=2000.0):
+    p_c = (ttf_t + 1.0) / (sttf + 1.0)
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    s = 1.0 * (math.log(1.0 + tf / (mu * p_c)) + math.log(mu / (dl + mu)))
+    return np.float32(s if s > 0.0 else 0.0)
+
+
+def _brute_topk(scores: dict, k=10):
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _hot_terms(df, n=3):
+    return [t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
+
+
+def test_classic_term_and_bool(index8, spark_corpus, corpus_stats):
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=ClassicSimilarity())
+
+    expect = {
+        d: float(_classic_score(f, df[hot[0]], norm[d], n_docs))
+        for (d, t), f in tf.items()
+        if t == hot[0]
+    }
+    for prune in (True, False):
+        got = s.search(TermQuery(hot[0]), 10, prune=prune).collect()
+        assert [(d, pytest.approx(sc, abs=0)) for d, sc in _brute_topk(expect)] == got
+
+    # SHOULD-of-two: leaf f32 scores, double sum, f32 cast
+    e2 = {}
+    for t in hot[:2]:
+        for (d, tt), f in tf.items():
+            if tt == t:
+                e2[d] = e2.get(d, 0.0) + float(_classic_score(f, df[t], norm[d], n_docs))
+    e2 = {d: float(np.float32(v)) for d, v in e2.items()}
+    q = BooleanQuery.build(should=[TermQuery(hot[0]), TermQuery(hot[1])])
+    for prune in (True, False):
+        got = s.search(q, 10, prune=prune).collect()
+        assert _brute_topk(e2) == [(d, sc) for d, sc in got]
+
+
+def test_boolean_similarity_constant(index8, spark_corpus, corpus_stats):
+    tf, df, _, _, _, _ = corpus_stats
+    hot = _hot_terms(df)[0]
+    s = IndexSearcher(index8, spark_corpus, similarity=BooleanSimilarity())
+    got = s.search(TermQuery(hot), 10).collect()
+    matching = sorted(d for (d, t) in tf if t == hot)[:10]
+    assert [d for d, _ in got] == matching
+    assert all(sc == 1.0 for _, sc in got)
+
+
+def test_lmdirichlet_term(index8, spark_corpus, corpus_stats):
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=LMDirichletSimilarity())
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_lmd_score(f, ttf[term], norm[d], sttf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got]
+
+
+def test_synonym_under_similarity(index8, spark_corpus, corpus_stats):
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=ClassicSimilarity())
+    # blended: df = max, tf summed per doc, scored as one pseudo-term
+    bdf = max(df[hot[0]], df[hot[1]])
+    sums = {}
+    for t in hot[:2]:
+        for (d, tt), f in tf.items():
+            if tt == t:
+                sums[d] = sums.get(d, 0) + f
+    expect = {d: float(_classic_score(f, bdf, norm[d], n_docs)) for d, f in sums.items()}
+    got = s.search(SynonymQuery((hot[0], hot[1])), 10, prune=False).collect()
+    assert _brute_topk(expect) == [(d, sc) for d, sc in got]
+
+
+def test_default_bm25_unaffected(index8, spark_corpus, corpus_stats):
+    _, df, _, _, _, _ = corpus_stats
+    hot = _hot_terms(df)[0]
+    default = IndexSearcher(index8, spark_corpus)
+    explicit_none = IndexSearcher(index8, spark_corpus, similarity=None)
+    assert default.search(TermQuery(hot), 10).collect() == explicit_none.search(TermQuery(hot), 10).collect()
