@@ -1199,6 +1199,110 @@ class IndexSearcher:
 
         return rows.mapInPandas(snip, schema="doc_id bigint, score float, snippet string")
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """``IndexSearcher.explain`` / ``Weight.explain`` analog (``reference
+        lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java``,
+        ``BM25Similarity.java`` explain): a nested
+        ``{value, description, details}`` breakdown of the document's score
+        under the default BM25 path.  Supported for TermQuery and
+        all-term BooleanQuery / DisjunctionMaxQuery shapes; the per-doc
+        posting lookup is one pushed-predicate scan, never a full decode."""
+        doc_id = int(doc_id)
+
+        def _leaf_expl(term: str, boost: float):
+            stats = self._term_stats({term})
+            if term not in stats:
+                return {"value": 0.0, "description": f"no matching term '{term}'", "details": []}
+            df_, _ttf = stats[term]
+            row = (
+                self._scored_postings({term: self._leaf_w(boost, term, stats)})
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            if not row:
+                return {"value": 0.0, "description": f"no match on doc {doc_id} for '{term}'", "details": []}
+            r = row[0]
+            scorer = self._scorer()
+            idf_v = float(bm25.idf(df_, scorer.doc_count))
+            cache = scorer.cache()
+            t32 = float(np.float32(r["tf"] / (r["tf"] + np.float64(cache[r["norm"]]))))
+            return {
+                "value": float(r["score"]),
+                "description": f"score(term='{term}' doc={doc_id}), product of:",
+                "details": [
+                    {
+                        "value": float(np.float32(np.float32(boost) * idf_v)),
+                        "description": "weight = boost * idf",
+                        "details": [
+                            {"value": boost, "description": "boost", "details": []},
+                            {
+                                "value": idf_v,
+                                "description": f"idf = ln(1+(N-n+0.5)/(n+0.5)), n={df_}, N={scorer.doc_count}",
+                                "details": [],
+                            },
+                        ],
+                    },
+                    {
+                        "value": t32,
+                        "description": (
+                            f"tf = freq/(freq+k1*((1-b)+b*dl/avgdl)), freq={int(r['tf'])}, "
+                            f"norm_byte={int(r['norm'])}, avgdl={float(self.index.avgdl)}"
+                        ),
+                        "details": [],
+                    },
+                ],
+            }
+
+        if isinstance(query, BoostQuery) and isinstance(query.query, TermQuery):
+            return _leaf_expl(query.query.term, float(query.boost * query.query.boost))
+        if isinstance(query, TermQuery):
+            return _leaf_expl(query.term, float(query.boost))
+        if isinstance(query, BooleanQuery):
+            details, total, must_missing = [], 0.0, False
+            for c in query.clauses:
+                sub = c.query
+                b = 1.0
+                while isinstance(sub, BoostQuery):
+                    b *= sub.boost
+                    sub = sub.query
+                if not isinstance(sub, TermQuery):
+                    raise NotImplementedError("explain supports all-term booleans")
+                e = _leaf_expl(sub.term, float(b * sub.boost))
+                matched = bool(e["details"])  # posting exists for this doc
+                if c.occur == "MUST_NOT":
+                    if matched:
+                        return {
+                            "value": 0.0,
+                            "description": f"doc {doc_id} excluded by MUST_NOT '{sub.term}'",
+                            "details": [e],
+                        }
+                    continue
+                if c.occur == "MUST" and not e["details"]:
+                    must_missing = True
+                if c.occur != "FILTER" and e["details"]:
+                    total += np.float64(e["value"])
+                    details.append({**e, "description": f"[{c.occur}] " + e["description"]})
+            if must_missing:
+                return {"value": 0.0, "description": f"doc {doc_id} fails a MUST clause", "details": details}
+            return {
+                "value": float(np.float32(total)),
+                "description": f"sum of clause scores for doc {doc_id}:",
+                "details": details,
+            }
+        if isinstance(query, DisjunctionMaxQuery):
+            subs = [self.explain(d, doc_id) for d in query.disjuncts]
+            hit = [s for s in subs if s["details"]]
+            if not hit:
+                return {"value": 0.0, "description": f"no disjunct matches doc {doc_id}", "details": subs}
+            m = max(np.float64(s["value"]) for s in hit)
+            total = float(np.float32(m + query.tie_breaker * (sum(np.float64(s["value"]) for s in hit) - m)))
+            return {
+                "value": total,
+                "description": f"max plus {query.tie_breaker} times others of:",
+                "details": hit,
+            }
+        raise NotImplementedError(type(query).__name__)
+
     def count(self, query: Query) -> int:
         """TotalHitCountCollector analog (live docs only)."""
         stats = self._term_stats(query.terms())
