@@ -67,8 +67,9 @@ class Analyzer:
     # org/apache/lucene/analysis/en/EnglishPossessiveFilter.java:45-50``):
     # strip a trailing {' ’ ＇}s before the stop filter sees the token
     strip_possessive: bool = False
-    # PorterStemFilter (``en/PorterStemFilter.java``): applied AFTER the stop
-    # filter (EnglishAnalyzer.java:103-110 chain order); None or "porter"
+    # Stemming filter, applied AFTER the stop filter (EnglishAnalyzer.java:
+    # 103-110 chain order): None, "porter" (PorterStemFilter), or
+    # "minimal_english" (EnglishMinimalStemFilter / Harman S-stemmer)
     stemmer: str | None = None
 
     def _regex(self) -> re.Pattern:
@@ -84,6 +85,10 @@ class Analyzer:
             from .porterstem import porter_stem
 
             return porter_stem(tok)
+        if self.stemmer == "minimal_english":
+            from .porterstem import s_stem
+
+            return s_stem(tok)
         return tok
 
     def tokens(self, text: str) -> list[str]:

@@ -195,3 +195,24 @@ def porter_stem(word: str) -> str:
 def porter_stem_unique(uniques) -> np.ndarray:
     """Stem an array of unique terms (object dtype in, object dtype out)."""
     return np.array([porter_stem(u) for u in uniques], dtype=object)
+
+
+def s_stem(word: str) -> str:
+    """Harman S-stemmer — minimal English plural stripping, semantics of the
+    reference's ``EnglishMinimalStemmer`` (``reference lucene/analysis/
+    common/src/java/org/apache/lucene/analysis/en/EnglishMinimalStemmer.java``):
+    only final-``s`` forms change; ``-ies`` → ``-y`` unless preceded by
+    a/e; ``-us``/``-ss`` and vowel+``es`` forms are left alone."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    c2 = word[-2]
+    if c2 in "us":
+        return word
+    if c2 == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in "ae":
+            return word[:-3] + "y"
+        if word[-3] in "iaoe":
+            return word
+        return word[:-1]
+    return word[:-1]

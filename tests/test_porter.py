@@ -107,3 +107,52 @@ def test_standard_analyzer_unchanged():
     # the default chain has no possessive strip / stemmer
     an = standard_analyzer()
     assert an.tokens("the system's agreements") == ["the", "system's", "agreements"]
+
+
+def test_s_stemmer_minimal_english():
+    from lucene_solr_spark.functions.analysis import Analyzer, _STANDARD_PATTERN
+    from lucene_solr_spark.functions.porterstem import s_stem
+
+    # EnglishMinimalStemmer semantics (Harman S-stemmer)
+    cases = {
+        "dogs": "dog", "cats": "cat", "ponies": "pony", "ties": "ty",
+        "caress": "caress", "focus": "focus", "gas": "ga", "as": "as",
+        "dies": "dy", "aes": "aes", "goes": "goes", "does": "does",
+        "classes": "classe", "bus": "bus", "tables": "table",
+    }
+    for w, s in cases.items():
+        assert s_stem(w) == s, (w, s_stem(w), s)
+
+    an = Analyzer(pattern=_STANDARD_PATTERN, stemmer="minimal_english")
+    assert an.tokens("the dogs and ponies") == ["the", "dog", "and", "pony"]
+
+
+def test_porter_chain_rank_identity_spark(spark, fixture_corpus_pdf):
+    """Control-vs-distributed under the FULL English chain: the Spark index
+    built with english_analyzer_porter must be rank- and score-identical to
+    the scalar oracle engine using the same analyzer."""
+    from lucene_solr_spark.functions.analysis import english_analyzer_porter
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
+    from lucene_solr_spark.testing.oracle import OracleEngine
+
+    an = english_analyzer_porter()
+    pdf = fixture_corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = OracleEngine(zip(range(len(pdf)), pdf["text"]), an)
+
+    corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), n_partitions=8)
+    idx = build_index(corpus, IndexConfig(analyzer=an, n_partitions=8))
+    s = IndexSearcher(idx)
+
+    # pick stemmed terms straight from the oracle's dictionary
+    hot = sorted(oracle.postings, key=lambda t: (-len(oracle.postings[t]), t))[:3]
+    queries = [
+        TermQuery(hot[0]),
+        BooleanQuery.build(must=[TermQuery(hot[0]), TermQuery(hot[1])]),
+        BooleanQuery.build(should=[TermQuery(hot[1]), TermQuery(hot[2])]),
+    ]
+    for q in queries:
+        expect = [(d, float(np.float32(sc))) for d, sc in oracle.search(q, 10)]
+        got = [(d, float(np.float32(sc))) for d, sc in s.search(q, 10).collect()]
+        assert got == expect, (q, got[:3], expect[:3])
