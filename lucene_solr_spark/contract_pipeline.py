@@ -469,12 +469,11 @@ def agg_queries() -> dict:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p100")
         )
+        from .operators.ranks import nearest_rank_values
+
         n = li.count()
-        med = (
-            li.withColumn("rn", F.row_number().over(Window.orderBy("p100")))
-            .filter(F.col("rn") == (n + 1) // 2)
-            .select(F.col("p100").alias("median_x100"))
-        )
+        # exact median without a single-partition global window (see ranks.py)
+        med = nearest_rank_values(li, "p100", {"median_x100": (n + 1) // 2})
         stats = li.agg(
             F.count("*").cast("bigint").alias("cnt"),
             F.sum("p100").cast("bigint").alias("sum_x100"),
@@ -553,15 +552,13 @@ def agg_queries() -> dict:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p100")
         )
+        from .operators.ranks import nearest_rank_values
+
         n = li.count()
-        ranked = li.withColumn("rn", F.row_number().over(Window.orderBy("p100")))
         qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
-        sel = None
-        for name, q in qs.items():
-            idx = max(1, int(n * q))  # nearest-rank (ceil-free: n*q integral here)
-            one = ranked.filter(F.col("rn") == idx).select(F.col("p100").alias(name))
-            sel = one if sel is None else sel.crossJoin(one)
-        return sel
+        # exact nearest-rank via value histogram + partitioned running counts —
+        # the full table is never globally windowed (see operators/ranks.py)
+        return nearest_rank_values(li, "p100", {name: max(1, int(n * q)) for name, q in qs.items()})
 
     q["agg_percentiles"] = agg_percentiles
 

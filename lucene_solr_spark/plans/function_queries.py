@@ -143,17 +143,16 @@ class FunctionContext:
     def ord_col(self, field: str, reverse: bool = False) -> Column:
         key = f"_fq_{'r' if reverse else ''}ord_{field}"
         if key not in self.joins:
-            from pyspark.sql.window import Window
+            from ..operators.ranks import global_row_number
 
             corpus = self.searcher.corpus
             if corpus is None:
                 raise ValueError("ord()/rord() need a corpus-bound searcher")
             order = F.desc(field) if reverse else F.asc(field)
-            ranks = (
-                corpus.select(field)
-                .distinct()
-                .withColumn(key, F.dense_rank().over(Window.orderBy(order)))
-            )
+            # ordinal of the distinct value set, computed segment-ordinal +
+            # offset style (ranks.py) — no single-partition window even when
+            # the field is high-cardinality
+            ranks = global_row_number(corpus.select(field).distinct(), order, out=key)
             id_col = self.searcher.index.config.id_col
             self.joins[key] = (
                 corpus.select(F.col(id_col).alias("doc_id"), field)
