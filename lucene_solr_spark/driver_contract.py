@@ -27,7 +27,9 @@ from .functions.analysis import simple_analyzer
 from .functions.similarities import (
     BooleanSimilarity,
     ClassicSimilarity,
+    DFRInL2Similarity,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
 )
 from .operators.indexer import IndexConfig, build_index
 from .operators.searcher import IndexSearcher
@@ -387,6 +389,8 @@ def ft_queries() -> dict:
     q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
     q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
+    q["ft_lmjm_topk"] = _sim_search_q(TermQuery(MID2), LMJelinekMercerSimilarity)
+    q["ft_dfr_inl2_topk"] = _sim_search_q(TermQuery(HOT2), DFRInL2Similarity)
     return q
 
 
@@ -751,5 +755,38 @@ def ft_oracle_sql() -> dict:
             f"sc AS (SELECT doc_id, {_R('1.0')} AS score FROM tf WHERE term = '{RARE}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc", k=20),
+    )
+
+    # LMJelinekMercerSimilarity λ=0.7 (float32 constant): double
+    # score = ln(1 + ((1-λ)·tf/dl) / (λ·p_c)), f32 cast
+    # (LMJelinekMercerSimilarity.java:63-69, LMSimilarity.java:154-156)
+    jm_lam = "CAST(0.7 AS REAL)"
+    jm_pc = "((ttfq.ttf + 1.0) / ((SELECT sttf FROM st) + 1.0))"
+    jm_raw = f"ln(1.0 + (((1.0 - {jm_lam}) * tf.tf / dlq.dlq)) / ({jm_lam} * {jm_pc}))"
+    o["ft_lmjm_topk"] = _with(
+        [
+            "ttfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)",
+            f"sc AS (SELECT tf.doc_id AS doc_id, {_R(jm_raw)} AS score "
+            f"FROM tf JOIN ttfq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # DFR I(n)L2 (c=1): tfn = tf·log2(1 + avgdl/dl),
+    # score = f32(A·(1 − 1/(1+tfn))), A = log2((N+1)/(df+0.5))
+    # (BasicModelIn.java:33-44, NormalizationH2.java:58-60,
+    # DFRSimilarity.java:110-114); avgdl double, log2 = ln(x)/ln(2)
+    dfr_avgdl = _D("(SELECT sttf FROM st) / (SELECT n FROM st)")
+    dfr_a = f"(ln(((SELECT n FROM st) + 1) / (dfreq.df + 0.5)) / ln(2.0))"
+    dfr_tfn = f"(tf.tf * (ln(1.0 + {dfr_avgdl} / dlq.dlq) / ln(2.0)))"
+    o["ft_dfr_inl2_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'{dfr_a} * (1.0 - 1.0 / (1.0 + {dfr_tfn}))')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
     )
     return o

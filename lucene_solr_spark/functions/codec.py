@@ -140,8 +140,8 @@ def pack_postings_blocks(
     java/org/apache/lucene/index/FreqProxTermsWriter.java:69-91``).
 
     Returns a dict of parallel arrays/lists, one entry per block:
-    ``term_code, block_id, doc_id_base, count, doc_bytes, tf_bytes,
-    norm_bytes, max_tf, min_norm`` (+ ``pos_bytes`` when ``positions`` is
+    ``term_code, block_id, doc_id_base, doc_id_max, count, doc_bytes,
+    tf_bytes, norm_bytes, max_tf, min_norm`` (+ ``pos_bytes`` when ``positions`` is
     given — the within-doc position stream, delta-varint per posting with
     per-posting lengths given by ``tfs``, the .pos-file analog of
     ``Lucene50PostingsWriter.java:281-350``).
@@ -159,6 +159,7 @@ def pack_postings_blocks(
             "term_code": np.empty(0, np.int64),
             "block_id": np.empty(0, np.int32),
             "doc_id_base": np.empty(0, np.int64),
+            "doc_id_max": np.empty(0, np.int64),
             "count": np.empty(0, np.int32),
             "doc_bytes": [],
             "tf_bytes": [],
@@ -235,6 +236,10 @@ def pack_postings_blocks(
         "term_code": term_codes[block_start_idx],
         "block_id": block_of_posting[block_start_idx].astype(np.int32),
         "doc_id_base": doc_ids[block_start_idx],
+        # last docID of the block — the skip-entry "doc" of the reference
+        # (``Lucene50SkipWriter.java`` writes the last doc per 128-block);
+        # enables range-targeted delete reclamation and doc-range pruning
+        "doc_id_max": doc_ids[np.concatenate((block_start_idx[1:], np.asarray([n]))) - 1],
         "count": block_counts.astype(np.int32),
         "doc_bytes": [doc_buf[a:b] for a, b in zip(d_start.tolist(), d_end.tolist())],
         "tf_bytes": [tf_buf[a:b] for a, b in zip(t_start.tolist(), t_end.tolist())],

@@ -43,7 +43,13 @@ __all__ = [
     "ClassicSimilarity",
     "BooleanSimilarity",
     "LMDirichletSimilarity",
+    "LMJelinekMercerSimilarity",
+    "DFRInL2Similarity",
 ]
+
+# Java SimilarityBase.log2 divides by a precomputed Math.log(2)
+# (``SimilarityBase.java:46,202``); mirror the exact operation order
+_LOG_2 = float(np.log(2.0))
 
 
 def _length_table() -> np.ndarray:
@@ -111,3 +117,62 @@ class LMDirichletSimilarity(Similarity):
             + np.log(self.mu / (dl + self.mu))
         )
         return np.maximum(s, 0.0).astype(np.float32)
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """Jelinek-Mercer smoothed language model: double-precision
+    ``score_d = boost * ln(1 + ((1-λ)·tf/dl) / (λ·p_c))`` cast to float32
+    (``LMJelinekMercerSimilarity.java:63-69``, ``SimilarityBase.java:228``);
+    ``p_c = (ttf+1)/(sumTotalTermFreq+1)`` (``LMSimilarity.java:154-156``),
+    ``dl = byte4ToInt(norm)`` via LENGTH_TABLE.  Monotone ↑tf / ↓dl ⇒
+    block-max pruning sound."""
+
+    name = "lm_jelinek_mercer"
+
+    def __init__(self, lam: float = 0.7):
+        if not (0.0 < lam <= 1.0):
+            raise ValueError("lambda must be in (0, 1]")
+        self.lam = float(np.float32(lam))
+        self._length_table = _length_table()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        p_c = (float(ttf) + 1.0) / (float(sum_ttf) + 1.0)
+        return (float(boost), p_c)
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        # Math.log(1 + x) literally (not log1p) — mirror Java's rounding
+        s = w1 * np.log(1.0 + ((1.0 - self.lam) * tfs.astype(np.float64) / dl) / (self.lam * w2))
+        return s.astype(np.float32)
+
+
+class DFRInL2Similarity(Similarity):
+    """DFR I(n)L2 — BasicModelIn + AfterEffectL + NormalizationH2(c=1):
+    ``tfn = tf · log2(1 + c·avgdl/dl)`` (``NormalizationH2.java:58-60``),
+    ``score_d = boost · A · (1 − 1/(1+tfn))`` with
+    ``A = log2((N+1)/(df+0.5))`` and aeTimes1pTfn = 1
+    (``BasicModelIn.java:33-44``, ``AfterEffectL.java:32-34``,
+    ``DFRSimilarity.java:110-114``), float32 cast at the end
+    (``SimilarityBase.java:228``).  ``avgdl = sumTotalTermFreq/docCount``
+    in double (``SimilarityBase.java:117-119`` fillBasicStats).  Monotone
+    ↑tf / ↓dl ⇒ block-max pruning sound.
+
+    boost is folded into w1 = boost·A; for boost == 1 (the contract
+    queries) this is bit-identical to the reference's boost·(A·x)."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+        self._length_table = _length_table()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        avgdl = float(sum_ttf) / float(doc_count)
+        a = np.log((doc_count + 1) / (float(df) + 0.5)) / _LOG_2
+        return (float(boost) * float(a), avgdl)
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        tfn = tfs.astype(np.float64) * (np.log(1.0 + self.c * w2 / dl) / _LOG_2)
+        s = w1 * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(np.float32)

@@ -46,6 +46,7 @@ def check_index(index: InvertedIndex, full: bool = True) -> dict:
         | (F.col("max_tf") < 1)
         | (F.col("min_norm") < 0)
         | (F.col("doc_id_base") < 0)
+        | (F.col("doc_id_max") < F.col("doc_id_base"))
         | F.col("doc_ids").isNull()
         | F.col("tfs").isNull()
         | F.col("norms").isNull()
@@ -100,6 +101,10 @@ def check_index(index: InvertedIndex, full: bool = True) -> dict:
                         errs += 1
                     exp_min = np.minimum.reduceat(norms, np.cumsum(g["count"].to_numpy()) - g["count"].to_numpy())
                     if not (exp_min == g["min_norm"].to_numpy()).all():
+                        errs += 1
+                    # skip-entry soundness: stored last doc == decoded last doc
+                    last_idx = np.cumsum(g["count"].to_numpy()) - 1
+                    if not (doc_ids[last_idx] == g["doc_id_max"].to_numpy()).all():
                         errs += 1
             yield pd.DataFrame({"errs": [errs]})
 

@@ -49,6 +49,7 @@ from ..functions.smallfloat import int_to_byte4
 # row_type 0 = posting block; row_type 1 = doc metadata
 _BUILD_SCHEMA = (
     "row_type int, term string, run_id bigint, block_id int, doc_id_base bigint, "
+    "doc_id_max bigint, "
     "count int, doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
     "positions binary"
 )
@@ -58,6 +59,7 @@ POSTINGS_COLUMNS = [
     "run_id",
     "block_id",
     "doc_id_base",
+    "doc_id_max",
     "count",
     "doc_ids",
     "tfs",
@@ -320,6 +322,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "run_id": run_id,
                     "block_id": np.int32(0),
                     "doc_id_base": doc_ids_batch,
+                    "doc_id_max": doc_ids_batch,
                     "count": dl.astype(np.int32),
                     "doc_ids": None,
                     "tfs": None,
@@ -359,6 +362,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "run_id": run_id,
                     "block_id": packed["block_id"],
                     "doc_id_base": packed["doc_id_base"],
+                    "doc_id_max": packed["doc_id_max"],
                     "count": packed["count"],
                     "doc_ids": packed["doc_bytes"],
                     "tfs": packed["tf_bytes"],

@@ -46,7 +46,8 @@ from ..functions.codec import (
 from .indexer import POSTINGS_COLUMNS, InvertedIndex
 
 _POSTINGS_SCHEMA = (
-    "term string, run_id bigint, block_id int, doc_id_base bigint, count int, "
+    "term string, run_id bigint, block_id int, doc_id_base bigint, doc_id_max bigint, "
+    "count int, "
     "doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
     "positions binary"
 )
@@ -153,59 +154,85 @@ def run_manifest(index: InvertedIndex) -> list[RunInfo]:
     return [RunInfo(int(r["run_id"]), int(r["bytes"]), int(r["np"])) for r in rows]
 
 
+def _repack_group(
+    pdf: pd.DataFrame,
+    term: str,
+    run_id: int,
+    salt: int,
+    drop_doc_ids: Optional[np.ndarray],
+    block_size: int,
+) -> pd.DataFrame:
+    """Unpack all block rows of one term group, drop `drop_doc_ids` (sorted
+    array), re-sort by docID, and re-pack into fresh blocks under `run_id`."""
+    doc_ids, tfs, norms, _ = unpack_blocks(
+        pdf["doc_id_base"].to_numpy(dtype=np.int64),
+        pdf["count"].to_numpy(dtype=np.int64),
+        list(pdf["doc_ids"]),
+        list(pdf["tfs"]),
+        list(pdf["norms"]),
+    )
+    sel = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
+    if drop_doc_ids is not None and drop_doc_ids.size:
+        pos_in = np.searchsorted(drop_doc_ids, doc_ids[sel])
+        pos_in[pos_in == drop_doc_ids.size] = 0
+        sel = sel[drop_doc_ids[pos_in] != doc_ids[sel]]
+    has_pos = len(pdf) > 0 and pdf["positions"].notna().all()
+    pos_sorted = None
+    if has_pos:
+        pos = unpack_positions(tfs, list(pdf["positions"]))
+        # reorder the occurrence stream to the merged posting order
+        occ_starts = np.cumsum(tfs) - tfs
+        gather = np.repeat(occ_starts[sel], tfs[sel]) + _within_group_ranges(tfs[sel])
+        pos_sorted = pos[gather]
+    packed = pack_postings_blocks(
+        np.zeros(sel.size, dtype=np.int64),
+        doc_ids[sel],
+        tfs[sel],
+        norms[sel],
+        block_size=block_size,
+        positions=pos_sorted,
+    )
+    n = packed["block_id"].size
+    return pd.DataFrame(
+        {
+            "term": np.repeat(np.asarray([term], dtype=object), n),
+            "run_id": np.int64(run_id),
+            # salt in the high bits keeps block_id unique within the run
+            "block_id": (packed["block_id"] + salt * (1 << 20)).astype(np.int32),
+            "doc_id_base": packed["doc_id_base"],
+            "doc_id_max": packed["doc_id_max"],
+            "count": packed["count"],
+            "doc_ids": packed["doc_bytes"],
+            "tfs": packed["tf_bytes"],
+            "norms": packed["norm_bytes"],
+            "max_tf": packed["max_tf"],
+            "min_norm": packed["min_norm"],
+            "sum_tf": packed["sum_tf"],
+            "positions": packed["pos_bytes"],
+        }
+    )
+
+
 def _make_repack(new_run_id: int, block_size: int, drop_doc_ids: Optional[np.ndarray] = None):
     """applyInPandas fn: all block rows of one (term[, salt]) group from the
     candidate runs -> merged, re-blocked rows under `new_run_id`; postings of
     `drop_doc_ids` (sorted array) are reclaimed (delete expunge)."""
 
     def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, tfs, norms, _ = unpack_blocks(
-            pdf["doc_id_base"].to_numpy(dtype=np.int64),
-            pdf["count"].to_numpy(dtype=np.int64),
-            list(pdf["doc_ids"]),
-            list(pdf["tfs"]),
-            list(pdf["norms"]),
-        )
-        sel = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
-        if drop_doc_ids is not None and drop_doc_ids.size:
-            pos_in = np.searchsorted(drop_doc_ids, doc_ids[sel])
-            pos_in[pos_in == drop_doc_ids.size] = 0
-            sel = sel[drop_doc_ids[pos_in] != doc_ids[sel]]
-        has_pos = len(pdf) > 0 and pdf["positions"].notna().all()
-        pos_sorted = None
-        if has_pos:
-            pos = unpack_positions(tfs, list(pdf["positions"]))
-            # reorder the occurrence stream to the merged posting order
-            occ_starts = np.cumsum(tfs) - tfs
-            gather = np.repeat(occ_starts[sel], tfs[sel]) + _within_group_ranges(tfs[sel])
-            pos_sorted = pos[gather]
-        packed = pack_postings_blocks(
-            np.zeros(sel.size, dtype=np.int64),
-            doc_ids[sel],
-            tfs[sel],
-            norms[sel],
-            block_size=block_size,
-            positions=pos_sorted,
-        )
-        n = packed["block_id"].size
         salt = int(key[1]) if len(key) > 1 else 0
-        return pd.DataFrame(
-            {
-                "term": np.repeat(np.asarray([key[0]], dtype=object), n),
-                "run_id": np.int64(new_run_id),
-                # salt in the high bits keeps block_id unique within the run
-                "block_id": (packed["block_id"] + salt * (1 << 20)).astype(np.int32),
-                "doc_id_base": packed["doc_id_base"],
-                "count": packed["count"],
-                "doc_ids": packed["doc_bytes"],
-                "tfs": packed["tf_bytes"],
-                "norms": packed["norm_bytes"],
-                "max_tf": packed["max_tf"],
-                "min_norm": packed["min_norm"],
-                "sum_tf": packed["sum_tf"],
-                "positions": packed["pos_bytes"],
-            }
-        )
+        return _repack_group(pdf, key[0], new_run_id, salt, drop_doc_ids, block_size)
+
+    return repack
+
+
+def _make_expunge_repack(block_size: int):
+    """applyInPandas fn for the distributed expunge: one (run_id, term) group
+    whose delete ids arrive as a packed int64 ``__dels`` binary column (same
+    value on every row of the group)."""
+
+    def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dels = np.frombuffer(pdf["__dels"].iloc[0], dtype=np.int64)
+        return _repack_group(pdf, key[1], int(key[0]), 0, dels, block_size)
 
     return repack
 
@@ -231,6 +258,120 @@ def expunge_deletes(index: InvertedIndex) -> InvertedIndex:
     ids = [r.run_id for r in run_manifest(index)]
     kept = merge_runs(index, ids, new_run_id=max(ids) + 3_000_000_000, drop_doc_ids=deleted)
     kept = kept.persist()
+    docs = index.docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti").persist()
+    terms = kept.groupBy("term").agg(
+        F.sum("count").cast("bigint").alias("df"), F.sum("sum_tf").cast("bigint").alias("ttf")
+    )
+    stats = docs.agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).collect()[0]
+    return replace(
+        index,
+        postings=kept,
+        docs=docs,
+        terms=terms,
+        doc_count=int(stats["n"]),
+        sum_ttf=int(stats["s"]),
+        deletes=None,
+    )
+
+
+def expunge_deletes_distributed(index: InvertedIndex) -> InvertedIndex:
+    """Delete reclamation at 100 TB scale: delete ids never pass through the
+    driver, and ONLY the (run, term) groups whose per-block docID ranges
+    ``[doc_id_base, doc_id_max]`` overlap a delete are rewritten — every other
+    block row passes through untouched (its bytes never leave the scan).
+
+    This is the live-docs shape of the reference (``SegmentMerger`` skips
+    non-live docs per segment; skip entries carry the block's last doc,
+    ``Lucene50SkipWriter.java``), re-expressed as:
+
+    1. deletes are routed to their run by the run's doc range (runs hold
+       disjoint contiguous doc_id ranges; the run→lo map is manifest-scale,
+       ≤ 1 row per run);
+    2. a metadata-only cogroup per run (term, doc_id_base, doc_id_max — no
+       byte payloads) finds touched terms with numpy searchsorted and slices
+       each term the delete sub-array covering its doc range;
+    3. touched groups join their delete slice and re-pack via applyInPandas;
+       untouched blocks are kept as-is with an anti-join.
+
+    Work scales with the number of delete-adjacent blocks, not index size.
+    (A term whose group was previously salt-split is repacked whole here;
+    re-salting inside expunge would bound that too — the hot path bound is
+    merge_runs' salting, documented there.)
+    """
+    if index.deletes is None:
+        return index
+
+    dels = index.deletes.select(F.col("doc_id").cast("long").alias("__del")).distinct()
+
+    # run → doc-range lower bound (manifest-scale aggregation, ≤ 1 row per run)
+    run_lo = index.postings.groupBy("run_id").agg(F.min("doc_id_base").alias("lo"))
+    lo_rows = run_lo.collect()
+    if not lo_rows:
+        return replace(index, deletes=None)
+    runs_sorted = sorted((int(r["lo"]), int(r["run_id"])) for r in lo_rows)
+    los = [lo for lo, _ in runs_sorted]
+    rids = [rid for _, rid in runs_sorted]
+    run_idx = F.lit(0)
+    for lo in los[1:]:
+        run_idx = run_idx + F.when(F.col("__del") >= F.lit(lo), 1).otherwise(0)
+    dels_by_run = dels.withColumn(
+        "run_id", F.element_at(F.array(*[F.lit(r) for r in rids]), run_idx + 1).cast("bigint")
+    )
+
+    meta = index.postings.select("run_id", "term", "doc_id_base", "doc_id_max")
+
+    def find_touched(key, meta_pdf: pd.DataFrame, dels_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "run_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype=object),
+                "__dels": pd.Series([], dtype=object),
+            }
+        )
+        if meta_pdf.empty or dels_pdf.empty:
+            return empty
+        d = np.sort(dels_pdf["__del"].to_numpy(dtype=np.int64))
+        base = meta_pdf["doc_id_base"].to_numpy(dtype=np.int64)
+        mx = meta_pdf["doc_id_max"].to_numpy(dtype=np.int64)
+        hit = np.searchsorted(d, base, "left") < np.searchsorted(d, mx, "right")
+        if not hit.any():
+            return empty
+        g = (
+            pd.DataFrame({"term": meta_pdf["term"].to_numpy(dtype=object)[hit], "lo": base[hit], "hi": mx[hit]})
+            .groupby("term", sort=False)
+            .agg(lo=("lo", "min"), hi=("hi", "max"))
+        )
+        dels_bytes = [
+            d[np.searchsorted(d, lo, "left") : np.searchsorted(d, hi, "right")].tobytes()
+            for lo, hi in zip(g["lo"], g["hi"])
+        ]
+        return pd.DataFrame(
+            {
+                "run_id": np.int64(key[0]),
+                "term": g.index.to_numpy(dtype=object),
+                "__dels": dels_bytes,
+            }
+        )
+
+    touched = (
+        meta.groupBy("run_id")
+        .cogroup(dels_by_run.groupBy("run_id"))
+        .applyInPandas(find_touched, schema="run_id bigint, term string, __dels binary")
+        .persist()
+    )
+
+    blk = index.postings
+    rewritten = (
+        blk.join(touched, ["run_id", "term"], "inner")
+        .groupBy("run_id", "term")
+        .applyInPandas(_make_expunge_repack(index.config.block_size), schema=_POSTINGS_SCHEMA)
+    )
+    kept = (
+        blk.join(touched.select("run_id", "term"), ["run_id", "term"], "left_anti")
+        .select(*POSTINGS_COLUMNS)
+        .unionByName(rewritten.select(*POSTINGS_COLUMNS))
+        .persist()
+    )
     docs = index.docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti").persist()
     terms = kept.groupBy("term").agg(
         F.sum("count").cast("bigint").alias("df"), F.sum("sum_tf").cast("bigint").alias("ttf")

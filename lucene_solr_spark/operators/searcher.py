@@ -503,36 +503,25 @@ class IndexSearcher:
                     n += 1
             return n
 
-        def _sloppy_freq(toks) -> int:
-            """Ordered sloppy match count: phrase terms in order with total
-            positional slack <= slop (simplified SloppyPhraseMatcher — the
-            reference weights matches by 1/(1+slack); we count them, a
-            documented deviation)."""
-            n = 0
-            for j, (t0, p0) in enumerate(toks):
-                if t0 != phrase[0]:
-                    continue
-                prev_pos, slack, k = p0, 0, 1
-                for t, p in toks[j + 1 :]:
-                    if k >= len(phrase):
-                        break
-                    if t == phrase[k]:
-                        slack += p - prev_pos - 1
-                        if slack > slop:
-                            break
-                        prev_pos, k = p, k + 1
-                if k == len(phrase) and slack <= slop:
-                    n += 1
-            return n
+        def _sloppy_freq(toks) -> np.float32:
+            """Exact SloppyPhraseMatcher semantics (order-insensitive slack,
+            repeat-collision resolution, float32 freq = Σ 1/(1+matchLength)
+            per match) — see functions/sloppyphrase.py."""
+            from ..functions.sloppyphrase import sloppy_phrase_freq
+
+            pos_lists = [[p for t, p in toks if t == ph] for ph in phrase]
+            return sloppy_phrase_freq(list(phrase), pos_lists, slop)
 
         def verify(iterator):
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue
-                freqs = np.zeros(len(pdf), dtype=np.int64)
+                # float freq: the sloppy scorer feeds Σ 1/(1+matchLength) to
+                # BM25 (PhraseScorer.java:71-77); exact match freq is integral
+                freqs = np.zeros(len(pdf), dtype=np.float32)
                 for i, txt in enumerate(pdf["_text"]):
                     toks = analyzer.tokens_with_positions(txt)
-                    freqs[i] = _sloppy_freq(toks) if slop > 0 else _exact_freq(toks)
+                    freqs[i] = _sloppy_freq(toks) if slop > 0 else np.float32(_exact_freq(toks))
                 keep = freqs > 0
                 if not keep.any():
                     continue

@@ -45,3 +45,79 @@ def test_delete_then_expunge(spark_corpus, searcher):
     # every remaining hit is live
     for d, _ in _topk(s2, q):
         assert d not in deleted
+
+
+def test_distributed_expunge_matches_broadcast(spark_corpus, searcher):
+    """The 100 TB expunge path (range-targeted rewrite, deletes never touch
+    the driver) must produce exactly the same index as the broadcast path:
+    same stats, same terms table, same postings after decode, same top-k."""
+    from lucene_solr_spark.operators.checkindex import check_index
+    from lucene_solr_spark.operators.merge import expunge_deletes, expunge_deletes_distributed
+
+    idx = build_index(spark_corpus, IndexConfig(n_partitions=8)).persist()
+    s = IndexSearcher(idx, spark_corpus)
+    s.delete_by_query(TermQuery("wolo"))
+    deleted = {r["doc_id"] for r in idx.deletes.collect()}
+    assert deleted
+
+    a = expunge_deletes(idx)
+    b = expunge_deletes_distributed(idx)
+    assert b.deletes is None
+    assert (a.doc_count, a.sum_ttf) == (b.doc_count, b.sum_ttf)
+
+    ta = {(r["term"], r["df"], r["ttf"]) for r in a.terms.collect()}
+    tb = {(r["term"], r["df"], r["ttf"]) for r in b.terms.collect()}
+    assert ta == tb
+
+    # decoded postings identical (block geometry may differ between paths —
+    # the broadcast path renumbers runs — so compare the logical postings)
+    def decoded(ix):
+        from lucene_solr_spark.functions.codec import unpack_blocks
+
+        rows = ix.postings.collect()
+        out = set()
+        for r in rows:
+            doc_ids, tfs, norms, _ = unpack_blocks(
+                np.asarray([r["doc_id_base"]], dtype=np.int64),
+                np.asarray([r["count"]], dtype=np.int64),
+                [r["doc_ids"]],
+                [r["tfs"]],
+                [r["norms"]],
+            )
+            for d, t, n in zip(doc_ids.tolist(), tfs.tolist(), norms.tolist()):
+                out.add((r["term"], d, t, n))
+        return out
+
+    assert decoded(a) == decoded(b)
+    check_index(b, full=True)
+
+    # rank identity through the full query path
+    q = TermQuery("the")
+    assert _topk(IndexSearcher(a, spark_corpus), q) == _topk(IndexSearcher(b, spark_corpus), q)
+
+
+def test_distributed_expunge_leaves_untouched_blocks_intact(spark_corpus):
+    """Scale property: blocks whose doc range holds no delete are passed
+    through byte-identical (never unpacked/repacked)."""
+    from lucene_solr_spark.operators.merge import expunge_deletes_distributed
+    from lucene_solr_spark.operators.searcher import IndexSearcher as IS
+
+    idx = build_index(spark_corpus, IndexConfig(n_partitions=8)).persist()
+    s = IS(idx, spark_corpus)
+    s.delete_by_query(TermQuery("wolo"))
+    dels = sorted(r["doc_id"] for r in idx.deletes.collect())
+
+    before = {
+        (r["term"], r["run_id"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]))
+        for r in idx.postings.collect()
+    }
+    after_idx = expunge_deletes_distributed(idx)
+    untouched_same = 0
+    for r in after_idx.postings.collect():
+        key = (r["term"], r["run_id"], r["block_id"])
+        lo, hi = r["doc_id_base"], r["doc_id_max"]
+        has_del = any(lo <= d <= hi for d in dels)
+        if key in before and not has_del and before[key] == (bytes(r["doc_ids"]), bytes(r["tfs"])):
+            untouched_same += 1
+    # the overwhelming majority of blocks must ride through unchanged
+    assert untouched_same > 0.5 * len(before)

@@ -16,7 +16,9 @@ from lucene_solr_spark.functions.analysis import standard_analyzer
 from lucene_solr_spark.functions.similarities import (
     BooleanSimilarity,
     ClassicSimilarity,
+    DFRInL2Similarity,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
 )
 from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
 from lucene_solr_spark.operators.searcher import IndexSearcher
@@ -111,6 +113,52 @@ def test_lmdirichlet_term(index8, spark_corpus, corpus_stats):
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_lmd_score(f, ttf[term], norm[d], sttf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got]
+
+
+def _lmjm_score(tf, ttf_t, norm_byte, sttf, lam=None):
+    lam = float(np.float32(0.7)) if lam is None else lam
+    p_c = (ttf_t + 1.0) / (sttf + 1.0)
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    return np.float32(1.0 * math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c)))
+
+
+def _dfr_inl2_score(tf, df_t, norm_byte, n_docs, sttf):
+    log2 = math.log(2.0)
+    avgdl = float(sttf) / float(n_docs)
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    tfn = tf * (math.log(1.0 + avgdl / dl) / log2)
+    a = math.log((n_docs + 1) / (df_t + 0.5)) / log2
+    return np.float32(a * (1.0 - 1.0 / (1.0 + tfn)))
+
+
+def test_lmjm_term(index8, spark_corpus, corpus_stats):
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=LMJelinekMercerSimilarity())
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_lmjm_score(f, ttf[term], norm[d], sttf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got]
+
+
+def test_dfr_inl2_term(index8, spark_corpus, corpus_stats):
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=DFRInL2Similarity())
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_dfr_inl2_score(f, df[term], norm[d], n_docs, sttf))
             for (d, t), f in tf.items()
             if t == term
         }
