@@ -218,6 +218,8 @@ def ft_queries() -> dict:
     q["ft_term_range"] = _const_ids(TermRangeQuery("scan", "sort", True, False))
     q["ft_term_in_set"] = _const_ids(TermInSetQuery((HOT, MID2, RARE)))
     q["ft_fuzzy"] = _const_ids(FuzzyQuery("scann", 1))
+    # default scoring rewrite: TopTermsBlendedFreq (FuzzyQuery.java:100)
+    q["ft_fuzzy_scored"] = _search_q(FuzzyQuery("scann", 2))
 
     def ft_mlt(spark, sf_dir):
         s = doc_searcher(spark, sf_dir)
@@ -495,6 +497,28 @@ def ft_oracle_sql() -> dict:
     o["ft_term_range"] = _const_sql("term >= 'scan' AND term < 'sort'")
     o["ft_term_in_set"] = _const_sql(f"term IN ('{HOT}', '{MID2}', '{RARE}')")
     o["ft_fuzzy"] = _const_sql("levenshtein(term, 'scann') <= 1")
+
+    # fuzzy scoring rewrite: per-term f32 boost 1 - ed/min(|t|,|q|), top-50 by
+    # (boost desc, term asc), blended df = max(df), SHOULD-sum
+    # (FuzzyTermsEnum.java:230-237, TopTermsRewrite.java:202-207,
+    # BlendedTermQuery.java:133,275-284)
+    fz_t, fz_n = "scann", len("scann")
+    fz_div = _R(f"CAST(levenshtein(term, '{fz_t}') AS REAL) / CAST(least(length(term), {fz_n}) AS REAL)")
+    fz_b = f"CASE WHEN term = '{fz_t}' THEN CAST(1.0 AS REAL) ELSE {_R(f'1.0 - {fz_div}')} END"
+    fz_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    fz_w = _R(f"ftop.b * {_idf('(SELECT df FROM fbdf)')}")
+    o["ft_fuzzy_scored"] = _with(
+        [
+            f"fcand AS (SELECT term, df, {fz_b} AS b FROM dfreq WHERE levenshtein(term, '{fz_t}') <= 2)",
+            "ftop AS (SELECT * FROM fcand ORDER BY b DESC, term ASC LIMIT 50)",
+            "fbdf AS (SELECT max(df) AS df FROM ftop)",
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"CAST(SUM(CAST({_R(f'{fz_w} * {fz_t32}')} AS DOUBLE)) AS REAL) AS score "
+            f"FROM tf JOIN ftop USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"GROUP BY tf.doc_id)"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
 
     # more-like-this: OR of doc 7's top-5 tf terms, doc 7 excluded
     t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")

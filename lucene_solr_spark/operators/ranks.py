@@ -169,9 +169,13 @@ def nearest_rank_values(
     )
     sel = None
     for name, k in ranks.items():
-        # value at rank k = first value whose cumulative count reaches k
-        one = cum.filter((F.col("__cum") >= k) & (F.col("__cum") - F.col("__cnt") < k)).select(
-            F.col(col).alias(name)
+        # value at rank k = first value whose cumulative count reaches k.
+        # coalesce(1): each branch is exactly one row — without it the
+        # crossJoin chain MULTIPLIES partition counts (32^4 = 1M empty tasks)
+        one = (
+            cum.filter((F.col("__cum") >= k) & (F.col("__cum") - F.col("__cnt") < k))
+            .select(F.col(col).alias(name))
+            .coalesce(1)
         )
         sel = one if sel is None else sel.crossJoin(one)
     return sel

@@ -332,6 +332,71 @@ class IndexSearcher:
             return pred
         raise NotImplementedError(type(q).__name__)
 
+    def _eval_fuzzy_scored(self, q: FuzzyQuery, boost: float) -> DataFrame:
+        """FuzzyQuery's default TopTermsBlendedFreqScoringRewrite
+        (``FuzzyQuery.java:100``): expand via the term dictionary, keep the
+        top `max_expansions` terms by (boost desc, term asc)
+        (``TopTermsRewrite.java:202-207`` ScoreTerm ordering), blend
+        statistics across them — df = max(df), ttf = Σttf
+        (``BlendedTermQuery.java:275-284``) — then score every term with the
+        blended stats and its fuzzy boost and sum per doc (BOOLEAN_REWRITE
+        SHOULD clauses, ``BlendedTermQuery.java:133``)."""
+        rows = (
+            self.index.terms.filter(self._multiterm_predicate(q))
+            .select("term", "df", "ttf")
+            .collect()
+        )
+        if not rows:
+            return self._empty()
+        if len(rows) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"fuzzy expansion exceeds {MAX_CLAUSE_COUNT} terms (maxClauseCount)")
+
+        def _edit_distance(a: str, b: str) -> int:
+            if a == b:
+                return 0
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        cand = []
+        for r in rows:
+            t = r["term"]
+            ed = _edit_distance(t, q.term)
+            if ed == 0:
+                b_t = np.float32(1.0)
+            else:
+                # 1.0f - (float) ed / (float) minTermLength  (FuzzyTermsEnum.java:230-237)
+                b_t = np.float32(1.0) - np.float32(ed) / np.float32(min(len(t), len(q.term)))
+            cand.append((float(b_t), t, int(r["df"]), int(r["ttf"])))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        sel = cand[: int(q.max_expansions)]
+
+        blended_df = max(c[2] for c in sel)
+        blended_ttf = sum(c[3] for c in sel)
+        weights: dict = {}
+        for b_t, t, _, _ in sel:
+            # float32 boost chain: outer boost × query boost × fuzzy boost
+            total_b = float(np.float32(np.float32(boost * q.boost) * np.float32(b_t)))
+            if self.similarity is None:
+                weights[t] = float(
+                    np.float32(np.float32(total_b) * bm25.idf(blended_df, self.index.doc_count))
+                )
+            else:
+                weights[t] = self.similarity.term_params(
+                    total_b, blended_df, blended_ttf, self.index.doc_count, self.index.sum_ttf
+                )
+        # SHOULD-sum: f32 leaf scores, double accumulation, f32 cast
+        # (DisjunctionSumScorer semantics, as in _eval_boolean)
+        return (
+            self._scored_postings(weights)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+        )
+
     def _eval_multiterm(self, q: Query, boost: float) -> DataFrame:
         """CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68,94): expand via the
         term dictionary, match the union of postings, constant score."""
@@ -710,7 +775,11 @@ class IndexSearcher:
             return self._eval_synonym(q, boost, stats)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q, boost, stats)
-        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery, FuzzyQuery)):
+        if isinstance(q, FuzzyQuery):
+            # default scoring rewrite (TopTermsBlendedFreq); wrapping in
+            # ConstantScoreQuery reaches the same doc set constant-scored
+            return self._eval_fuzzy_scored(q, boost)
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery, TermInSetQuery)):
             return self._eval_multiterm(q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q, boost, stats)
@@ -721,7 +790,12 @@ class IndexSearcher:
         if isinstance(q, BoostQuery):
             return self._evaluate(q.query, boost * q.boost, stats)
         if isinstance(q, ConstantScoreQuery):
-            child = self._evaluate(q.query, 1.0, stats)
+            if isinstance(q.query, FuzzyQuery):
+                # constant-score fuzzy: plain CONSTANT_SCORE_REWRITE over the
+                # full expansion (no top-maxExpansions truncation)
+                child = self._eval_multiterm(q.query, 1.0)
+            else:
+                child = self._evaluate(q.query, 1.0, stats)
             return child.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
         if isinstance(q, DisjunctionMaxQuery):
             return self._eval_dismax(q, boost, stats)

@@ -143,14 +143,22 @@ class FieldRangeQuery(Query):
 class FuzzyQuery(Query):
     """``search/FuzzyQuery.java``: terms within `max_edits` of `term`.
 
+    Scored via the reference's default TopTermsBlendedFreqScoringRewrite
+    (``FuzzyQuery.java:100``, ``MultiTermQuery.java:188-224``,
+    ``BlendedTermQuery.java:133,275-284``): top `max_expansions` terms by
+    (boost desc, term asc), per-term boost 1 − ed/min(|t|,|q|) in float32
+    (``FuzzyTermsEnum.java:230-237``), every term scored against the blended
+    df = max(df) / ttf = Σttf, SHOULD-summed.  Wrapping in ConstantScoreQuery
+    restores CONSTANT_SCORE_REWRITE.
+
     Deviation from the reference: expansion uses plain Levenshtein (Spark/
     DuckDB ``levenshtein``), not Lucene's Damerau automaton (transposition =
-    1 edit there, 2 here), and rewrite is constant-score rather than
-    top-terms-blended — documented simplification."""
+    1 edit there, 2 here) — documented simplification."""
 
     term: str
     max_edits: int = 2
     prefix_length: int = 0
+    max_expansions: int = 50
     boost: float = 1.0
 
 

@@ -97,6 +97,15 @@ def test_percentile_contract_has_no_unpartitioned_window(spark, tmp_path):
                 assert line.count("], [") >= 2, f"{name}: unpartitioned window: {line}"
 
 
+def test_nearest_rank_partition_count_stays_tiny(spark, values_df):
+    """Regression: the crossJoin of single-row rank branches must not
+    multiply partition counts (was 32^4 tasks at local[32])."""
+    out = nearest_rank_values(
+        values_df, "v", {"a": 10, "b": 100, "c": 1000, "d": 10000}, num_partitions=8
+    )
+    assert out.rdd.getNumPartitions() <= 8
+
+
 def test_percentile_contract_matches_oracle(spark):
     import duckdb
     import os
