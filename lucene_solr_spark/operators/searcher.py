@@ -326,7 +326,11 @@ class IndexSearcher:
         if isinstance(q, TermInSetQuery):
             return c.isin(list(q.in_terms))
         if isinstance(q, FuzzyQuery):
-            pred = F.levenshtein(c, F.lit(q.term)) <= q.max_edits
+            # transpositions (OSA) can halve the classic distance, so the
+            # dictionary pre-filter widens to 2*max_edits and the exact OSA
+            # check runs driver-side on the (tiny) expansion
+            bound = q.max_edits * (2 if q.transpositions else 1)
+            pred = F.levenshtein(c, F.lit(q.term)) <= bound
             if q.prefix_length:
                 pred = pred & c.startswith(q.term[: q.prefix_length])
             return pred
@@ -351,27 +355,23 @@ class IndexSearcher:
         if len(rows) > MAX_CLAUSE_COUNT:
             raise ValueError(f"fuzzy expansion exceeds {MAX_CLAUSE_COUNT} terms (maxClauseCount)")
 
-        def _edit_distance(a: str, b: str) -> int:
-            if a == b:
-                return 0
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-                prev = cur
-            return prev[-1]
+        from ..functions.editdist import levenshtein, osa
 
+        dist = osa if q.transpositions else levenshtein
         cand = []
         for r in rows:
             t = r["term"]
-            ed = _edit_distance(t, q.term)
+            ed = dist(t, q.term)
+            if ed > q.max_edits:  # pre-filter is a superset under OSA
+                continue
             if ed == 0:
                 b_t = np.float32(1.0)
             else:
                 # 1.0f - (float) ed / (float) minTermLength  (FuzzyTermsEnum.java:230-237)
                 b_t = np.float32(1.0) - np.float32(ed) / np.float32(min(len(t), len(q.term)))
             cand.append((float(b_t), t, int(r["df"]), int(r["ttf"])))
+        if not cand:
+            return self._empty()
         cand.sort(key=lambda x: (-x[0], x[1]))
         sel = cand[: int(q.max_expansions)]
 
@@ -401,6 +401,10 @@ class IndexSearcher:
         """CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68,94): expand via the
         term dictionary, match the union of postings, constant score."""
         expanded = [r["term"] for r in self.index.terms.filter(self._multiterm_predicate(q)).collect()]
+        if isinstance(q, FuzzyQuery) and q.transpositions:
+            from ..functions.editdist import osa
+
+            expanded = [t for t in expanded if osa(t, q.term) <= q.max_edits]
         if len(expanded) > MAX_CLAUSE_COUNT:
             raise ValueError(f"multi-term expansion exceeds {MAX_CLAUSE_COUNT} terms (maxClauseCount)")
         if not expanded:

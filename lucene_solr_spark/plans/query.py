@@ -151,14 +151,19 @@ class FuzzyQuery(Query):
     df = max(df) / ttf = Σttf, SHOULD-summed.  Wrapping in ConstantScoreQuery
     restores CONSTANT_SCORE_REWRITE.
 
-    Deviation from the reference: expansion uses plain Levenshtein (Spark/
-    DuckDB ``levenshtein``), not Lucene's Damerau automaton (transposition =
-    1 edit there, 2 here) — documented simplification."""
+    ``transpositions=True`` counts a transposition as one edit (optimal
+    string alignment — Lucene's ``LevenshteinAutomata`` with transpositions,
+    the reference default ``FuzzyQuery.defaultTranspositions``); the exact OSA
+    distance is computed driver-side over a levenshtein ≤ 2·max_edits
+    term-dictionary pre-filter (OSA ≥ lev/2).  ``transpositions=False`` uses
+    plain Levenshtein end-to-end (Spark/DuckDB ``levenshtein``) and is this
+    engine's default so SQL oracles can replay the expansion."""
 
     term: str
     max_edits: int = 2
     prefix_length: int = 0
     max_expansions: int = 50
+    transpositions: bool = False
     boost: float = 1.0
 
 
