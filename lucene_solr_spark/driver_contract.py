@@ -388,6 +388,31 @@ def ft_queries() -> dict:
 
         return fn
 
+    def ft_joinutil(spark, sf_dir):
+        """Query-time join (JoinUtil / GlobalOrdinalsWithScoreQuery,
+        ScoreMode.Max): docs sharing a `source` with any RARE-matching doc,
+        scored by the max from-side BM25 score of that source."""
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(s.join_query(TermQuery(RARE), "source", "source", "max", 10).df)
+
+    q["ft_joinutil"] = ft_joinutil
+
+    def cls_naive_bayes(spark, sf_dir):
+        """lucene/classification SimpleNaiveBayesClassifier over the index:
+        assign each document its argmax `lang` class.  Scores are the
+        order-free 2^-20 fixed-point contract path (classify.py docstring)."""
+        from lucene_solr_spark.operators.classify import SimpleNaiveBayesClassifier
+
+        s = doc_searcher(spark, sf_dir)
+        nb = SimpleNaiveBayesClassifier(s.index, s.corpus, "lang")
+        return (
+            nb.classify()
+            .select(F.col("doc_id").cast("long"), "cls", F.col("score").cast("long"))
+            .orderBy("doc_id")
+        )
+
+    q["cls_naive_bayes"] = cls_naive_bayes
+
     q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
     q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
@@ -626,6 +651,51 @@ def ft_oracle_sql() -> dict:
         f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
         f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
         ") ORDER BY doc_id LIMIT 30",
+    )
+
+    # naive Bayes classification: fixed-point (2^-20) integer scores — the
+    # per-word float32 log-contribution quantizes to a BIGINT, so the sum is
+    # order-free and bitwise-identical across engines
+    def _q20(x: str) -> str:
+        return f"CAST(floor(CAST(CAST({x} AS REAL) AS DOUBLE) * 1048576) AS BIGINT)"
+
+    o["cls_naive_bayes"] = _with(
+        [
+            "cstats AS (SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS df_c FROM documents GROUP BY lang)",
+            "gl AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tf) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avg_unique, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_labeled)",
+            "cc AS (SELECT cls, avg_unique * df_c + n_labeled AS den, "
+            + _q20("ln(df_c) - ln(n_labeled)")
+            + " AS prior_q, "
+            + _q20("ln(1.0/(avg_unique * df_c + n_labeled))")
+            + " AS zero_q FROM cstats, gl)",
+            "wc AS (SELECT t.term AS term, d.lang AS cls, count(*) AS hits "
+            "FROM tf t JOIN documents d USING (doc_id) GROUP BY t.term, d.lang)",
+            "dense AS (SELECT dl.doc_id, cc.cls, cc.prior_q + dl.dl * cc.zero_q AS base_q FROM dl, cc)",
+            "sparse AS (SELECT tf.doc_id, wc.cls, sum(tf.tf * ("
+            + _q20("ln((wc.hits + 1) / cc.den)")
+            + " - cc.zero_q)) AS corr_q FROM tf JOIN wc USING (term) "
+            "JOIN cc ON wc.cls = cc.cls GROUP BY tf.doc_id, wc.cls)",
+            "nbsc AS (SELECT dense.doc_id AS doc_id, dense.cls AS cls, "
+            "dense.base_q + coalesce(sparse.corr_q, 0) AS score FROM dense "
+            "LEFT JOIN sparse ON dense.doc_id = sparse.doc_id AND dense.cls = sparse.cls)",
+        ],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM nbsc) "
+        "WHERE rn = 1 ORDER BY doc_id",
+    )
+
+    # query-time join, ScoreMode.Max (max over float32 is order-free ⇒ exact)
+    o["ft_joinutil"] = _with(
+        [
+            _term_cte("sa", RARE),
+            "jv AS (SELECT d.source AS jv, max(sa.score) AS score "
+            "FROM sa JOIN documents d ON sa.doc_id = d.doc_id GROUP BY d.source)",
+        ],
+        _topk_sql(
+            "SELECT d.doc_id AS doc_id, jv.score AS score "
+            "FROM documents d JOIN jv ON d.source = jv.jv"
+        ),
     )
 
     # FILTER occur: MID scored, HOT required but non-scoring

@@ -40,6 +40,7 @@ __all__ = [
     "simple_analyzer",
     "english_analyzer",
     "english_analyzer_porter",
+    "cjk_analyzer",
     "ENGLISH_STOP_WORDS",
 ]
 
@@ -56,6 +57,23 @@ _STANDARD_PATTERN = r"[^\W_]+(?:['’][^\W_]+)*"
 # (regexp_extract_all(lower(text), '[a-z0-9]+')), used for DuckDB-oracle parity.
 _SIMPLE_PATTERN = r"[a-z0-9]+"
 
+# CJK script ranges the reference bigrams by default (``analysis/cjk/
+# CJKBigramFilter.java:113-116``: HAN | HIRAGANA | KATAKANA | HANGUL):
+# Hangul jamo, Hiragana+Katakana (+phonetic ext), CJK ext-A, unified Han,
+# Hangul syllables, compat ideographs.
+_CJK_RANGES = (
+    "ᄀ-ᇿ぀-ヿㇰ-ㇿ㐀-䶿"
+    "一-鿿가-힯豈-﫿"
+)
+# CJK runs tokenize as one run (bigrammed downstream); latin words must NOT
+# absorb adjacent CJK chars (StandardTokenizer script-splits via UAX#29), so
+# the word alternative excludes the CJK ranges explicitly.
+_CJK_PATTERN = (
+    rf"[{_CJK_RANGES}]+"
+    rf"|[^\W_{_CJK_RANGES}]+(?:['’][^\W_{_CJK_RANGES}]+)*"
+)
+_CJK_RUN_RE = re.compile(rf"[{_CJK_RANGES}]")
+
 
 @dataclass(frozen=True)
 class Analyzer:
@@ -71,6 +89,23 @@ class Analyzer:
     # 103-110 chain order): None, "porter" (PorterStemFilter), or
     # "minimal_english" (EnglishMinimalStemFilter / Harman S-stemmer)
     stemmer: str | None = None
+    # CJKBigramFilter (``reference lucene/analysis/common/src/java/org/apache/
+    # lucene/analysis/cjk/CJKBigramFilter.java``): a contiguous CJK run of n
+    # chars emits its n-1 overlapping character bigrams (posIncrement 1 each);
+    # a lone CJK char emits a unigram (the filter's SINGLE_TYPE fallback).
+    # Requires a script-splitting pattern (use :func:`cjk_analyzer`).
+    cjk_bigrams: bool = False
+
+    def _expand_cjk(self, tok: str) -> list[str]:
+        if not _CJK_RUN_RE.match(tok) or len(tok) == 1:
+            return [tok]
+        return [tok[i : i + 2] for i in range(len(tok) - 1)]
+
+    def _expand_cjk_list(self, toks: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in toks:
+            out.extend(self._expand_cjk(t))
+        return out
 
     def _regex(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
@@ -99,7 +134,10 @@ class Analyzer:
             text = text.lower()
         maxlen = self.max_token_length or None
         out = []
-        for tok in self._regex().findall(text):
+        toks = self._regex().findall(text)
+        if self.cjk_bigrams:
+            toks = self._expand_cjk_list(toks)
+        for tok in toks:
             if maxlen and len(tok) > maxlen:
                 continue  # skipped but positions advance (not modeled here)
             if self.strip_possessive:
@@ -118,7 +156,10 @@ class Analyzer:
             text = text.lower()
         maxlen = self.max_token_length or None
         out = []
-        for pos, tok in enumerate(self._regex().findall(text)):
+        toks = self._regex().findall(text)
+        if self.cjk_bigrams:
+            toks = self._expand_cjk_list(toks)
+        for pos, tok in enumerate(toks):
             if maxlen and len(tok) > maxlen:
                 continue
             if self.strip_possessive:
@@ -155,6 +196,8 @@ class Analyzer:
         if self.lowercase:
             s = s.str.lower()
         token_lists = s.str.findall(self._regex())
+        if self.cjk_bigrams:
+            token_lists = token_lists.map(self._expand_cjk_list)
         counts = token_lists.str.len().to_numpy(dtype=np.int64)
         n_rows = len(s)
         if counts.sum() == 0:
@@ -355,3 +398,11 @@ def simple_analyzer() -> Analyzer:
     ``regexp_extract_all(lower(text), '[a-z0-9]+')`` — used for the DuckDB
     oracle parity path."""
     return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0)
+
+
+def cjk_analyzer() -> Analyzer:
+    """CJKAnalyzer analog (``reference lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/cjk/CJKAnalyzer.java``): standard tokenize with
+    script splitting, lowercase, CJK character bigrams, and the reference's
+    (English-word) default stop set applied to the latin tokens."""
+    return Analyzer(pattern=_CJK_PATTERN, stopwords=ENGLISH_STOP_WORDS, cjk_bigrams=True)

@@ -1102,6 +1102,65 @@ class IndexSearcher:
             )
         )
 
+    def join_query(
+        self,
+        from_query: Query,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "max",
+        k: int = 10,
+    ) -> TopDocs:
+        """Query-time join — JoinUtil.createJoinQuery analog (``reference
+        lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java``,
+        ``GlobalOrdinalsWithScoreQuery.java``).
+
+        Evaluate ``from_query``, project each hit's ``from_field`` value,
+        aggregate the hit scores per value (ScoreMode: none / max / min /
+        total / avg — ``join/ScoreMode.java``), then score every to-side doc
+        whose ``to_field`` carries a joined value.
+
+        Scale shape: the value→score map is the global-ordinals structure —
+        it is bounded by the from-side match count, tiny next to the corpus,
+        so it broadcasts; the to-side pass is one broadcast-hash join with
+        the ``to_field`` equality pushed to the scan side (no shuffle of the
+        corpus).  'max'/'min'/'none' are order-free over float32 and thus
+        bitwise-deterministic; 'total'/'avg' accumulate in float64 then
+        round once to float32 (the reference accumulates in float32 in ord
+        order — a sequential detail with no distributed analog, so we pick
+        the deterministic formulation and document the deviation).
+        """
+        if self.corpus is None:
+            raise ValueError("join_query needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(from_query.terms())
+        scored = self._evaluate(from_query, 1.0, stats)
+        id_col = self.index.config.id_col
+        from_vals = scored.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(from_field).alias("__jv")),
+            "doc_id",
+        )
+        if score_mode == "none":
+            vals = from_vals.select("__jv").distinct().withColumn(
+                "score", F.lit(1.0).cast("float")
+            )
+        elif score_mode in ("max", "min"):
+            agg = F.max if score_mode == "max" else F.min
+            vals = from_vals.groupBy("__jv").agg(agg("score").cast("float").alias("score"))
+        elif score_mode in ("total", "avg"):
+            agg = F.sum if score_mode == "total" else F.avg
+            vals = from_vals.groupBy("__jv").agg(
+                agg(F.col("score").cast("double")).cast("float").alias("score")
+            )
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        out = (
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(to_field).alias("__jv"))
+            .join(F.broadcast(vals), "__jv")
+            .select("doc_id", "score")
+        )
+        if self.index.deletes is not None:
+            out = out.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        return TopDocs(df=out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
     def rescore(self, top: TopDocs, query: Query, weight: float = 1.0) -> DataFrame:
         """QueryRescorer analog (``reference lucene/core/src/java/org/apache/
         lucene/search/QueryRescorer.java``): combine first-pass scores with a
