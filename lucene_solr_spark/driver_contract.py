@@ -413,6 +413,25 @@ def ft_queries() -> dict:
 
     q["cls_naive_bayes"] = cls_naive_bayes
 
+    def _itv(terms, ordered, max_gaps):
+        def fn(spark, sf_dir):
+            """IntervalQuery (Intervals.ordered/unordered + maxgaps): rank by
+            the quantized minimal-interval frequency (saturation scoring is
+            strictly monotone in freq, so ranks match the reference's)."""
+            s = doc_searcher(spark, sf_dir)
+            out = s.interval_query(terms, ordered=ordered, max_gaps=max_gaps, k=20, output="freq_q")
+            w = Window.orderBy(F.desc("freq_q"), F.asc("doc_id"))
+            return out.select(
+                F.row_number().over(w).cast("int").alias("rank"),
+                F.col("doc_id").cast("long"),
+                F.col("freq_q").cast("long"),
+            )
+
+        return fn
+
+    q["itv_ordered"] = _itv([HOT, HOT2], True, 3)
+    q["itv_unordered"] = _itv([MID, HOT], False, 2)
+
     q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
     q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
@@ -683,6 +702,42 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score FROM "
         "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM nbsc) "
         "WHERE rn = 1 ORDER BY doc_id",
+    )
+
+    # interval queries: minimal-interval candidates + strict-containment
+    # filter; per-interval float32 contribution 1/max(e-s,1) quantized to a
+    # 2^-20 BIGINT so per-doc sums are order-free exact
+    _itv_contrib = (
+        "CAST(floor(CAST(CAST(1.0 AS REAL)/CAST(greatest(e - s, 1) AS REAL) AS DOUBLE) * 1048576) AS BIGINT)"
+    )
+    _itv_rank = (
+        "SELECT CAST(row_number() OVER (ORDER BY freq_q DESC, doc_id ASC) AS INT) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id, CAST(freq_q AS BIGINT) AS freq_q FROM fqt "
+        "ORDER BY freq_q DESC, doc_id ASC LIMIT 20"
+    )
+    o["itv_ordered"] = _with(
+        [tokp,
+         # ordered(t1, t2): for each t2 occurrence e, s = the latest t1 before it
+         f"cand AS (SELECT b.doc_id AS doc_id, (SELECT max(a.pos) FROM tokp a WHERE a.doc_id = b.doc_id "
+         f"AND a.term = '{HOT}' AND a.pos < b.pos) AS s, b.pos AS e FROM tokp b WHERE b.term = '{HOT2}')",
+         "mini AS (SELECT DISTINCT doc_id, s, e FROM cand c WHERE s IS NOT NULL AND NOT EXISTS ("
+         "SELECT 1 FROM cand c2 WHERE c2.doc_id = c.doc_id AND c2.s IS NOT NULL "
+         "AND c2.s >= c.s AND c2.e <= c.e AND (c2.s <> c.s OR c2.e <> c.e)))",
+         f"fqt AS (SELECT doc_id, sum({_itv_contrib}) AS freq_q FROM mini "
+         "WHERE e - s - 1 <= 3 GROUP BY doc_id)"],
+        _itv_rank,
+    )
+    o["itv_unordered"] = _with(
+        [tokp,
+         # unordered(t1, t2): every occurrence pair spans a candidate window
+         f"cand AS (SELECT a.doc_id AS doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e "
+         f"FROM tokp a JOIN tokp b USING (doc_id) WHERE a.term = '{MID}' AND b.term = '{HOT}')",
+         "mini AS (SELECT DISTINCT doc_id, s, e FROM cand c WHERE NOT EXISTS ("
+         "SELECT 1 FROM cand c2 WHERE c2.doc_id = c.doc_id "
+         "AND c2.s >= c.s AND c2.e <= c.e AND (c2.s <> c.s OR c2.e <> c.e)))",
+         f"fqt AS (SELECT doc_id, sum({_itv_contrib}) AS freq_q FROM mini "
+         "WHERE e - s - 1 <= 2 GROUP BY doc_id)"],
+        _itv_rank,
     )
 
     # query-time join, ScoreMode.Max (max over float32 is order-free ⇒ exact)

@@ -1102,6 +1102,86 @@ class IndexSearcher:
             )
         )
 
+    def interval_query(
+        self,
+        terms: list,
+        ordered: bool = True,
+        max_gaps: Optional[int] = None,
+        boost: float = 1.0,
+        pivot: float = 1.0,
+        k: int = 10,
+        output: str = "score",
+    ) -> DataFrame:
+        """IntervalQuery analog (``reference lucene/sandbox/src/java/org/
+        apache/lucene/search/intervals/IntervalQuery.java``,
+        ``Intervals.ordered/unordered/maxgaps``): minimal-interval semantics
+        over the positional postings, per-doc sloppy frequency
+        Σ 1/max(length - n + 1, 1), scored with the saturation function
+        ``boost * (1 - pivot/(pivot + freq))`` (IntervalScoreFunction).
+
+        output='score' → (doc_id, score float32) top-k;
+        output='freq_q' → (doc_id, freq_q bigint) top-k — the order-free
+        fixed-point contract path (saturation is strictly monotone in freq,
+        so both outputs induce the same ranking up to quantization).
+
+        Plan shape: occurrence rows are bulk-decoded from the .pos stream
+        (no per-row Python), shuffled once on doc_id; each group is one
+        document's occurrences of the query terms (tiny), minimized with the
+        reference's iterator algorithms inside an Arrow batch.
+        """
+        from ..functions.intervals import (
+            interval_freq,
+            interval_freq_quantized,
+            minimal_ordered_intervals,
+            minimal_unordered_intervals,
+            saturation_score,
+        )
+
+        if not self.index.config.index_positions:
+            raise ValueError("interval_query needs an index built with index_positions=True")
+        terms = list(terms)
+        uniq = list(dict.fromkeys(terms))
+        stats = self._term_stats(set(uniq))
+        if any(t not in stats for t in uniq):
+            return self._empty() if output == "score" else self._empty().withColumnRenamed("score", "freq_q")
+        occ = self._positional_occurrences(uniq)
+        n = len(terms)
+        minimize = minimal_ordered_intervals if ordered else minimal_unordered_intervals
+        quantized = output == "freq_q"
+        schema = "doc_id bigint, freq_q bigint" if quantized else "doc_id bigint, score float"
+
+        val_col = "freq_q" if quantized else "score"
+        val_dtype = "int64" if quantized else "float32"
+
+        def _empty_pdf():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    val_col: pd.Series([], dtype=val_dtype),
+                }
+            )
+
+        def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {t: np.sort(pdf.loc[pdf["term"] == t, "pos"].to_numpy()) for t in uniq}
+            if any(len(v) == 0 for v in by_term.values()):
+                return _empty_pdf()
+            iv = minimize([by_term[t] for t in terms])
+            doc = int(pdf["doc_id"].iloc[0])
+            if quantized:
+                fq = interval_freq_quantized(iv, n, max_gaps)
+                if fq == 0:
+                    return _empty_pdf()
+                return pd.DataFrame({"doc_id": [doc], "freq_q": [fq]})
+            f = interval_freq(iv, n, max_gaps)
+            if f == 0:
+                return _empty_pdf()
+            return pd.DataFrame({"doc_id": [doc], "score": [saturation_score(f, boost, pivot)]})
+
+        scored = occ.groupBy("doc_id").applyInPandas(per_doc, schema)
+        if self.index.deletes is not None:
+            scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        return scored.orderBy(F.desc(val_col), F.asc("doc_id")).limit(k)
+
     def join_query(
         self,
         from_query: Query,
