@@ -432,6 +432,44 @@ def ft_queries() -> dict:
     q["itv_ordered"] = _itv([HOT, HOT2], True, 3)
     q["itv_unordered"] = _itv([MID, HOT], False, 2)
 
+    # deterministic synthetic coordinates for the spatial queries: integer
+    # arithmetic on c_custkey (exact in both engines)
+    def _cust_points(spark, sf_dir):
+        cust = _load(spark, sf_dir, "customer")
+        lat = (F.col("c_custkey") * 7919 % 18000) / F.lit(100.0) - F.lit(90.0)
+        lon = (F.col("c_custkey") * 104729 % 36000) / F.lit(100.0) - F.lit(180.0)
+        return cust.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            lat.alias("lat"),
+            lon.alias("lon"),
+        )
+
+    def geo_distance(spark, sf_dir):
+        """LatLonPoint.newDistanceQuery + distance sort key: customers whose
+        synthetic point lies within 3000 km of (37.77, -122.42)."""
+        from lucene_solr_spark.functions.geo import geo_distance_meters, geo_distance_predicate
+
+        pts = _cust_points(spark, sf_dir)
+        out = pts.filter(geo_distance_predicate(F.col("lat"), F.col("lon"), 37.77, -122.42, 3_000_000.0))
+        return out.select(
+            "c_custkey",
+            F.floor(geo_distance_meters(F.col("lat"), F.col("lon"), 37.77, -122.42)).cast("long").alias("dist_m"),
+        ).orderBy("c_custkey")
+
+    def geo_box(spark, sf_dir):
+        """LatLonPoint.newBoxQuery on quantized coordinates."""
+        from lucene_solr_spark.functions.geo import geo_box_predicate
+
+        pts = _cust_points(spark, sf_dir)
+        return (
+            pts.filter(geo_box_predicate(F.col("lat"), F.col("lon"), -10.0, 35.5, 20.25, 140.0))
+            .select("c_custkey")
+            .orderBy("c_custkey")
+        )
+
+    q["geo_distance"] = geo_distance
+    q["geo_box"] = geo_box
+
     q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
     q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
@@ -738,6 +776,35 @@ def ft_oracle_sql() -> dict:
          f"fqt AS (SELECT doc_id, sum({_itv_contrib}) AS freq_q FROM mini "
          "WHERE e - s - 1 <= 2 GROUP BY doc_id)"],
         _itv_rank,
+    )
+
+    # spatial: quantize to the reference's 32-bit grid (exact double ops),
+    # haversine on the mean earth radius; formula shape mirrors geo.py
+    # term-for-term so both engines perform the same IEEE operations
+    _geo_pts = (
+        "pts AS (SELECT c_custkey, (c_custkey * 7919 % 18000)/100.0 - 90.0 AS lat, "
+        "(c_custkey * 104729 % 36000)/100.0 - 180.0 AS lon FROM customer)"
+    )
+    _geo_q = (
+        "q AS (SELECT c_custkey, floor(lat / (180.0/4294967296.0)) * (180.0/4294967296.0) AS qlat, "
+        "floor(lon / (360.0/4294967296.0)) * (360.0/4294967296.0) AS qlon FROM pts)"
+    )
+    _hav = (
+        "2 * 6371008.7714 * asin(least(1.0, sqrt("
+        "sin(radians(37.77 - qlat)/2) * sin(radians(37.77 - qlat)/2) + "
+        "cos(radians(qlat)) * cos(radians(37.77)) * sin(radians(-122.42 - qlon)/2) * sin(radians(-122.42 - qlon)/2)"
+        ")))"
+    )
+    o["geo_distance"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        f"SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(floor({_hav}) AS BIGINT) AS dist_m "
+        f"FROM q WHERE {_hav} <= 3000000.0 ORDER BY c_custkey"
+    )
+    o["geo_box"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM q "
+        "WHERE qlat >= -10.0 AND qlat <= 35.5 AND qlon >= 20.25 AND qlon <= 140.0 "
+        "ORDER BY c_custkey"
     )
 
     # query-time join, ScoreMode.Max (max over float32 is order-free ⇒ exact)
