@@ -470,6 +470,22 @@ def ft_queries() -> dict:
     q["geo_distance"] = geo_distance
     q["geo_box"] = geo_box
 
+    def tl_igain(spark, sf_dir):
+        """FeaturesSelectionStream / igain QParser: top terms by information
+        gain about lang='en'; score emitted as the order-free 2^-20
+        fixed-point BIGINT of its float32 rounding."""
+        from lucene_solr_spark.operators.textml import igain_terms
+
+        s = doc_searcher(spark, sf_dir)
+        out = igain_terms(s.index, s.corpus, "lang", "en", top_n=20)
+        return out.select(
+            "term",
+            F.floor(F.col("score").cast("float").cast("double") * 1048576).cast("long").alias("score_q"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+
+    q["tl_igain"] = tl_igain
+
     q["ft_classic_topk"] = _sim_search_q(TermQuery(HOT), ClassicSimilarity)
     q["ft_lmdirichlet_topk"] = _sim_search_q(TermQuery(MID), LMDirichletSimilarity)
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
@@ -776,6 +792,27 @@ def ft_oracle_sql() -> dict:
          f"fqt AS (SELECT doc_id, sum({_itv_contrib}) AS freq_q FROM mini "
          "WHERE e - s - 1 <= 2 GROUP BY doc_id)"],
         _itv_rank,
+    )
+
+    # information-gain feature selection (IGainTermsQParserPlugin formula)
+    def _H(p: str) -> str:
+        return (
+            f"CASE WHEN ({p}) <= 0 OR ({p}) >= 1 THEN 0.0 "
+            f"ELSE -({p})*ln({p}) - (1.0-({p}))*ln(1.0-({p})) END"
+        )
+
+    o["tl_igain"] = _with(
+        [
+            "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents)",
+            "gs AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS np FROM lab)",
+            "tc AS (SELECT tf.term AS term, CAST(sum(lab.y) AS DOUBLE) AS xc, CAST(count(*) AS DOUBLE) AS df "
+            "FROM tf JOIN lab USING (doc_id) GROUP BY tf.term)",
+            "sc AS (SELECT term, " + _H("np/n") + " - ((df/n)*(" + _H("xc/df") + ") + (1.0 - df/n)*("
+            + _H("(np - xc)/(n - df + 1)")
+            + ")) AS score, df FROM tc, gs)",
+        ],
+        "SELECT term, CAST(floor(CAST(CAST(score AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS score_q, "
+        "CAST(df AS BIGINT) AS doc_freq FROM sc ORDER BY score DESC, term ASC LIMIT 20",
     )
 
     # spatial: quantize to the reference's 32-bit grid (exact double ops),
