@@ -71,21 +71,31 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # ---- workload 1: index build throughput (turns/sec), warm JVM first
-    corpus_path = "/tmp/bench_corpus_r.parquet"
-    _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
-    bench_index_build(spark, corpus_path, cpus)  # warm-up run (cold cache/JIT)
-    runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(2))
-    build_s, n_turns = runs[0]
-    queries["index_build"] = round(build_s, 3)
-    turns_per_sec = n_turns / build_s
+    # (never let a build failure kill the bench — the driver needs the JSON line)
+    build_s, n_turns, turns_per_sec = -1.0, 0, -1.0
+    try:
+        corpus_path = "/tmp/bench_corpus_r.parquet"
+        _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
+        bench_index_build(spark, corpus_path, cpus)  # warm-up run (cold cache/JIT)
+        runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(2))
+        build_s, n_turns = runs[0]
+        queries["index_build"] = round(build_s, 3)
+        turns_per_sec = n_turns / build_s
+    except Exception as e:
+        print(f"BENCH_ERROR index_build: {e}", file=sys.stderr)
+        queries["index_build"] = -1.0
 
     # ---- workload 2: engine query latency over the sf documents corpus
     from lucene_solr_spark import driver_contract as dc
 
-    searcher = dc.doc_searcher(spark, sf_dir)  # build + persist (timed)
-    t0 = time.monotonic()
-    searcher.index.postings.count()
-    queries["doc_index_build"] = round(time.monotonic() - t0, 3)
+    try:
+        searcher = dc.doc_searcher(spark, sf_dir)  # build + persist (timed)
+        t0 = time.monotonic()
+        searcher.index.postings.count()
+        queries["doc_index_build"] = round(time.monotonic() - t0, 3)
+    except Exception as e:
+        print(f"BENCH_ERROR doc_index_build: {e}", file=sys.stderr)
+        queries["doc_index_build"] = -1.0
 
     bench_qs = dict(dc.ft_queries())
     for extra in ("agg_queries", "pipeline_queries"):

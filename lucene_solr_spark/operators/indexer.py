@@ -373,6 +373,12 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "positions": packed["pos_bytes"],
                 }
             )
+        # reused workers keep the high-water-mark RSS of the biggest batch;
+        # hand freed arena pages back so 32 concurrent workers don't ratchet
+        # the host into the OOM killer over repeated builds
+        from lucene_solr_spark.memutil import trim_task_memory
+
+        trim_task_memory()
 
     raw = src.mapInPandas(build, schema=_BUILD_SCHEMA)
     raw = raw.persist()

@@ -111,6 +111,9 @@ def _make_unpack_score(weights: dict, cache: np.ndarray):
                     "score": (w * t32).astype(np.float32),
                 }
             )
+        from lucene_solr_spark.memutil import trim_task_memory
+
+        trim_task_memory()
 
     return fn
 
@@ -146,6 +149,9 @@ def _make_unpack_score_sim(params: dict, sim):
                     "score": sim.score(w1, w2, tfs, norms),
                 }
             )
+        from lucene_solr_spark.memutil import trim_task_memory
+
+        trim_task_memory()
 
     return fn
 

@@ -23,7 +23,19 @@ def get_spark(cpus: int | None = None, app: str = "lucene_solr_spark", shuffle_p
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 4096, NOT the 10k default / 65536 we first shipped: the analysis
+        # UDF's per-batch working set scales with rows × tokens, and once the
+        # per-batch allocations cross the glibc mmap threshold every batch
+        # becomes mmap/munmap + page-fault churn.  With 32 concurrent workers
+        # the munmap TLB shootdowns serialize the whole host in sys time —
+        # measured 8.4k turns/s at 65536 vs 208k turns/s at 4096 on the same
+        # 4M-turn build (local[32]).  Batches of 4096 rows × ~60 tokens still
+        # vectorize fully; the cliff, not vectorization width, dominates.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # real tracebacks when a Python worker dies (segfault/OOM) instead of
+        # an opaque "worker exited unexpectedly"
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Arrow streams make humongous G1 allocations; larger regions cut the
         # GCLocker stalls observed under 16+ concurrent Python workers

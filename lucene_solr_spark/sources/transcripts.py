@@ -146,6 +146,9 @@ def transcripts_df_dist(spark, n_convs: int, n_partitions: int = 64, seed: int =
                 n = int(row["hi"]) - int(row["lo"])
                 if n > 0:
                     yield generate_transcripts(n, seed=seed + int(row["pid"]), conv_offset=int(row["lo"]))
+        from lucene_solr_spark.memutil import trim_task_memory
+
+        trim_task_memory()
 
     schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     return plan.mapInPandas(gen, schema=schema)
