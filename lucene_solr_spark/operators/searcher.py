@@ -1159,31 +1159,77 @@ class IndexSearcher:
         val_col = "freq_q" if quantized else "score"
         val_dtype = "int64" if quantized else "float32"
 
-        def _empty_pdf():
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    val_col: pd.Series([], dtype=val_dtype),
-                }
-            )
+        # One shuffle on doc_id, then a sorted partition scan that walks every
+        # document in the Arrow batch with numpy slices.  groupBy(doc_id).
+        # applyInPandas here would invoke the Python group machinery once per
+        # matching DOCUMENT (~ms each) — thousands of matching docs made that
+        # the slowest operator in the bench; this shape pays per BATCH instead.
+        # A document's rows can straddle two Arrow batches inside a task, so
+        # the scan carries the trailing (possibly incomplete) document over to
+        # the next batch and flushes it at end of partition.
+        uniq_code = {t: i for i, t in enumerate(uniq)}
+        term_order = [uniq_code[t] for t in terms]
 
-        def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-            by_term = {t: np.sort(pdf.loc[pdf["term"] == t, "pos"].to_numpy()) for t in uniq}
-            if any(len(v) == 0 for v in by_term.values()):
-                return _empty_pdf()
-            iv = minimize([by_term[t] for t in terms])
-            doc = int(pdf["doc_id"].iloc[0])
-            if quantized:
-                fq = interval_freq_quantized(iv, n, max_gaps)
-                if fq == 0:
-                    return _empty_pdf()
-                return pd.DataFrame({"doc_id": [doc], "freq_q": [fq]})
-            f = interval_freq(iv, n, max_gaps)
-            if f == 0:
-                return _empty_pdf()
-            return pd.DataFrame({"doc_id": [doc], "score": [saturation_score(f, boost, pivot)]})
+        def scan(iterator):
+            carry = None
+            out_docs: list = []
+            out_vals: list = []
 
-        scored = occ.groupBy("doc_id").applyInPandas(per_doc, schema)
+            def run_doc(doc: int, codes: np.ndarray, pos: np.ndarray) -> None:
+                by_code = []
+                for c in range(len(uniq)):
+                    p = pos[codes == c]
+                    if p.size == 0:
+                        return
+                    by_code.append(np.sort(p))
+                iv = minimize([by_code[c] for c in term_order])
+                if quantized:
+                    v = interval_freq_quantized(iv, n, max_gaps)
+                    if v:
+                        out_docs.append(doc)
+                        out_vals.append(v)
+                else:
+                    v = interval_freq(iv, n, max_gaps)
+                    if v:
+                        out_docs.append(doc)
+                        out_vals.append(saturation_score(v, boost, pivot))
+
+            def run_range(d: np.ndarray, codes: np.ndarray, pos: np.ndarray) -> None:
+                bounds = np.flatnonzero(np.diff(d)) + 1
+                for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, d.size]):
+                    run_doc(int(d[lo]), codes[lo:hi], pos[lo:hi])
+
+            def flush() -> pd.DataFrame:
+                pdf_out = pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(out_docs, dtype=np.int64),
+                        val_col: np.asarray(out_vals, dtype=val_dtype),
+                    }
+                )
+                out_docs.clear()
+                out_vals.clear()
+                return pdf_out
+
+            for pdf in iterator:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                d = pdf["doc_id"].to_numpy(dtype=np.int64)
+                if d.size == 0:
+                    continue
+                # last doc may continue in the next batch — hold it back
+                cut = np.searchsorted(d, d[-1], side="left")
+                carry = pdf.iloc[cut:].copy()
+                if cut:
+                    codes = pdf["term"].iloc[:cut].map(uniq_code).to_numpy(dtype=np.int64)
+                    run_range(d[:cut], codes, pdf["pos"].to_numpy(dtype=np.int64)[:cut])
+                    yield flush()
+            if carry is not None and len(carry):
+                d = carry["doc_id"].to_numpy(dtype=np.int64)
+                codes = carry["term"].map(uniq_code).to_numpy(dtype=np.int64)
+                run_range(d, codes, carry["pos"].to_numpy(dtype=np.int64))
+                yield flush()
+
+        scored = occ.repartition("doc_id").sortWithinPartitions("doc_id").mapInPandas(scan, schema)
         if self.index.deletes is not None:
             scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
         return scored.orderBy(F.desc(val_col), F.asc("doc_id")).limit(k)
