@@ -77,7 +77,10 @@ def main() -> None:
         corpus_path = "/tmp/bench_corpus_r.parquet"
         _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
         bench_index_build(spark, corpus_path, cpus)  # warm-up run (cold cache/JIT)
-        runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(2))
+        # best of 3: this box shows 2-7x run-to-run wall variance (hypervisor
+        # steal + sys-time storms under co-tenant load) — the minimum is the
+        # stable capability number, the mean is a lottery
+        runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(3))
         build_s, n_turns = runs[0]
         queries["index_build"] = round(build_s, 3)
         turns_per_sec = n_turns / build_s

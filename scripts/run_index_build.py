@@ -43,8 +43,20 @@ def main() -> None:
     from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids
     from lucene_solr_spark.operators.lineage import read_ledger, resumable_build
 
-    # on a cluster spark-submit supplies master/executors; default local[*]
-    spark = SparkSession.builder.appName("lucene_solr_spark-index-build").getOrCreate()
+    # on a cluster spark-submit supplies master/executors; default local[*].
+    # Engine-critical configs are baked in so a bare spark-submit is correct:
+    # Arrow batches capped at 4096 rows (bigger analysis batches cross the
+    # glibc mmap threshold and collapse into page-fault churn under
+    # concurrent workers — see lucene_solr_spark/session.py), AQE for
+    # runtime skew handling.
+    spark = (
+        SparkSession.builder.appName("lucene_solr_spark-index-build")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.generate:
