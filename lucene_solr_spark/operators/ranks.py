@@ -167,18 +167,14 @@ def nearest_rank_values(
         .withColumn("__cum", F.col("__cum_local") + F.col("__rank_off"))
         .select(col, "__cnt", "__cum")
     )
-    sel = None
-    for name, k in ranks.items():
-        # value at rank k = first value whose cumulative count reaches k.
-        # coalesce(1): each branch is exactly one row — without it the
-        # crossJoin chain MULTIPLIES partition counts (32^4 = 1M empty tasks)
-        one = (
-            cum.filter((F.col("__cum") >= k) & (F.col("__cum") - F.col("__cnt") < k))
-            .select(F.col(col).alias(name))
-            .coalesce(1)
-        )
-        sel = one if sel is None else sel.crossJoin(one)
-    return sel
+    # value at rank k = first value whose cumulative count reaches k
+    # = min value among rows with __cum >= k.  All ranks come out of ONE
+    # aggregation pass over the cumulative histogram — a per-rank
+    # filter + crossJoin chain would re-execute the histogram/window
+    # pipeline once per rank.
+    return cum.agg(
+        *[F.min(F.when(F.col("__cum") >= k, F.col(col))).alias(name) for name, k in ranks.items()]
+    )
 
 
 def _order_key(order: Column) -> tuple[Column, bool]:
