@@ -41,11 +41,14 @@ from .plans.query import (
     FieldRangeQuery,
     FieldTermQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     BoostQuery,
     PrefixQuery,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -308,6 +311,29 @@ def ft_queries() -> dict:
     # ---- span queries (search/spans/*, NearSpansOrdered / NearSpansUnordered)
     q["ft_span_near"] = _const_ids(SpanNearQuery((HOT, HOT2), slop=2, in_order=True))
     q["ft_span_near_unordered"] = _const_ids(SpanNearQuery((MID, HOT), slop=3, in_order=False))
+    # span algebra: first / not / or-as-near-clause (search/spans/*)
+    q["ft_span_first"] = _const_ids(SpanFirstQuery(HOT, 3))
+    q["ft_span_not"] = _const_ids(SpanNotQuery(MID, HOT, pre=1, post=1))
+    q["ft_span_or_near"] = _const_ids(SpanNearQuery(((MID, MID2), HOT), slop=2, in_order=True))
+    # multi-phrase: per-slot synonym alternatives (MultiPhraseQuery.java)
+    q["ft_multiphrase"] = _search_q(MultiPhraseQuery(((HOT,), (HOT2, MID2))))
+
+    def agg_relatedness(spark, sf_dir):
+        """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
+        (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
+        (the reference itself rounds to 5 digits)."""
+        s = doc_searcher(spark, sf_dir)
+        rel = s.relatedness(TermQuery(HOT), "lang")
+        return rel.select(
+            "lang",
+            F.col("fg_count").cast("bigint").alias("fg_count"),
+            F.col("bg_count").cast("bigint").alias("bg_count"),
+            F.floor(F.col("fg_pop") * 1e5 + F.lit(0.5)).cast("bigint").alias("fg_pop_q"),
+            F.floor(F.col("bg_pop") * 1e5 + F.lit(0.5)).cast("bigint").alias("bg_pop_q"),
+            F.floor(F.col("relatedness") * 1e5 + F.lit(0.5)).cast("bigint").alias("rel_q"),
+        ).orderBy("lang")
+
+    q["agg_relatedness"] = agg_relatedness
 
     # ---- FILTER occur (non-scoring clause) + boosted SHOULD clause
     q["ft_filter_clause"] = _search_q(
@@ -724,6 +750,81 @@ def ft_oracle_sql() -> dict:
         f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
         f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
         ") ORDER BY doc_id LIMIT 30",
+    )
+    # span first: 1-based tokp pos <= end  <=>  0-based pos + 1 <= end
+    o["ft_span_first"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT doc_id FROM tokp WHERE term = '{HOT}' AND pos <= 3"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # span not: an include occurrence with no exclude within [p-1, p+1]
+    o["ft_span_not"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a WHERE a.term = '{MID}' AND NOT EXISTS ("
+        f"    SELECT 1 FROM tokp b WHERE b.doc_id = a.doc_id AND b.term = '{HOT}'"
+        f"    AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # span or inside near: slot-0 alternatives via IN
+    o["ft_span_or_near"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term IN ('{MID}', '{MID2}') AND b.term = '{HOT}'"
+        f"  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+
+    # multi-phrase: ptf = Σ over slot-term combinations of adjacency counts
+    # (per start position exactly one combination can match — the token at
+    # the second slot's position is unique), doubled separators keep
+    # consecutive matches countable; idf summed over ALL slot terms
+    mp_cte = (
+        "mp AS (SELECT doc_id, "
+        f"len(regexp_extract_all(s, ' {HOT}  {HOT2} ')) + len(regexp_extract_all(s, ' {HOT}  {MID2} ')) AS ptf "
+        "FROM (SELECT doc_id, ' ' || replace(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), ' ', '  ') || ' ' AS s "
+        "FROM documents))"
+    )
+    mp_idf_a = _idf(f"(SELECT df FROM dfreq WHERE term = '{HOT}')")
+    mp_idf_b = _idf(f"(SELECT df FROM dfreq WHERE term = '{HOT2}')")
+    mp_idf_c = _idf(f"(SELECT df FROM dfreq WHERE term = '{MID2}')")
+    w_mp = _R(_D(mp_idf_a) + " + " + _D(mp_idf_b) + " + " + _D(mp_idf_c))
+    mp_t32 = _R(f"mp.ptf / (mp.ptf + {_D(_CACHE)})")
+    mp_score = _R(w_mp + " * " + mp_t32)
+    mp_body = (
+        f"SELECT mp.doc_id AS doc_id, {mp_score} AS score "
+        "FROM mp JOIN dlq ON mp.doc_id = dlq.doc_id WHERE mp.ptf > 0"
+    )
+    o["ft_multiphrase"] = _with([mp_cte], _topk_sql(mp_body))
+
+    # relatedness(): z through five scaled sigmoids, floor(x*1e5+0.5) fixed
+    # point (Math.round = floor(x+0.5)); arithmetic order mirrors the Spark
+    # plan exactly (both are IEEE float64 → bitwise-identical)
+    _sqrtarg = "fg_size * bg_prob * (1 - bg_prob)"
+    _denom = f"(CASE WHEN sqrt({_sqrtarg}) = 0 THEN 1e-10 ELSE sqrt({_sqrtarg}) END)"
+    _relsum = " + ".join(
+        f"0.2 * ((zv + {off}) / ({scale} + abs(zv + {off})))"
+        for off, scale in ((-80, 50), (-30, 30), (0, 30), (30, 30), (80, 50))
+    )
+    o["agg_relatedness"] = _with(
+        [
+            f"fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')",
+            "sizes AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS bg_size, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM fg) AS fg_size)",
+            "per AS (SELECT d.lang AS lang, CAST(count(*) AS DOUBLE) AS bg_count, "
+            "CAST(sum(CASE WHEN fg.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS fg_count "
+            "FROM documents d LEFT JOIN fg ON d.doc_id = fg.doc_id GROUP BY d.lang)",
+            "calc AS (SELECT lang, fg_count, bg_count, bg_size, fg_size, bg_count / bg_size AS bg_prob "
+            "FROM per, sizes)",
+            f"zt AS (SELECT *, (fg_count - fg_size * bg_prob) / {_denom} AS zv FROM calc)",
+        ],
+        "SELECT lang, CAST(fg_count AS BIGINT) AS fg_count, CAST(bg_count AS BIGINT) AS bg_count, "
+        "CAST(floor(fg_count / bg_size * 1e5 + 0.5) AS BIGINT) AS fg_pop_q, "
+        "CAST(floor(bg_count / bg_size * 1e5 + 0.5) AS BIGINT) AS bg_pop_q, "
+        f"CAST(floor(({_relsum}) * 1e5 + 0.5) AS BIGINT) AS rel_q "
+        "FROM zt ORDER BY lang",
     )
 
     # naive Bayes classification: fixed-point (2^-20) integer scores — the

@@ -59,11 +59,15 @@ from ..plans.query import (
     FuzzyQuery,
     MatchAllQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -467,27 +471,31 @@ class IndexSearcher:
         ``sum(p_{i+1}-p_i-1) = p_last - p_first - (n-1)`` for an increasing
         chain, so one filter at the end suffices.  Constant score (documented
         deviation — see plans.query.SpanNearQuery)."""
-        terms = list(q.span_terms)
-        if any(t not in stats for t in terms):
+        # normalize clauses: a tuple element is an inline single-term SpanOr
+        # (SpanOrQuery.java — union of the alternatives' span streams); a
+        # clause with no indexed alternative yields no spans at all
+        clauses = [tuple(c) if isinstance(c, tuple) else (c,) for c in q.span_terms]
+        clauses = [tuple(t for t in c if t in stats) for c in clauses]
+        if any(not c for c in clauses):
             return self._empty()
         if not self.index.config.index_positions:
             raise ValueError("SpanNearQuery needs an index built with index_positions=True")
-        if not q.in_order and len(terms) != 2:
+        if not q.in_order and len(clauses) != 2:
             raise NotImplementedError("unordered span-near supported for exactly 2 clauses")
-        uniq = list(dict.fromkeys(terms))
+        uniq = list(dict.fromkeys(t for c in clauses for t in c))
         occ = self._positional_occurrences(uniq)
         occ = occ.persist() if len(uniq) > 1 else occ
 
         parts = [
-            occ.filter(F.col("term") == t).select("doc_id", F.col("pos").alias(f"p{i}"))
-            for i, t in enumerate(terms)
+            occ.filter(F.col("term").isin(list(c))).select("doc_id", F.col("pos").alias(f"p{i}"))
+            for i, c in enumerate(clauses)
         ]
         if q.in_order:
             m = parts[0]
             for i in range(1, len(parts)):
                 m = m.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
             m = m.filter(
-                (F.col(f"p{len(terms)-1}") - F.col("p0") - F.lit(len(terms) - 1)) <= F.lit(int(q.slop))
+                (F.col(f"p{len(clauses)-1}") - F.col("p0") - F.lit(len(clauses) - 1)) <= F.lit(int(q.slop))
             )
         else:
             m = parts[0].join(parts[1], "doc_id").filter(
@@ -495,6 +503,99 @@ class IndexSearcher:
             )
         docs = m.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_span_first(self, q: SpanFirstQuery, boost: float, stats: dict) -> DataFrame:
+        """SpanFirstQuery (``search/spans/SpanFirstQuery.java``): the term's
+        span must end within the first ``end`` positions — a single predicate
+        on the decoded positions, no join."""
+        if q.term not in stats:
+            return self._empty()
+        if not self.index.config.index_positions:
+            raise ValueError("SpanFirstQuery needs an index built with index_positions=True")
+        occ = self._positional_occurrences([q.term])
+        docs = occ.filter(F.col("pos") + 1 <= F.lit(int(q.end))).select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_span_or(self, q: SpanOrQuery, boost: float, stats: dict) -> DataFrame:
+        """Standalone SpanOrQuery: union of the clause span streams; as a
+        document predicate this is the docs containing any clause term —
+        evaluated straight off the doc-level postings (no positions needed)."""
+        present = [t for t in q.span_terms if t in stats]
+        if not present:
+            return self._empty()
+        scored = self._scored_postings({t: 0.0 for t in present})
+        docs = scored.select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_span_not(self, q: SpanNotQuery, boost: float, stats: dict) -> DataFrame:
+        """SpanNotQuery (``search/spans/SpanNotQuery.java``): include-spans
+        with no exclude-span inside ``[p - pre, p + post]``.
+
+        Plan: anti-join of include occurrences against exclude occurrences on
+        doc_id with the position-window condition riding along, then distinct
+        docs — all Catalyst, no UDF."""
+        if q.include_term not in stats:
+            return self._empty()
+        if not self.index.config.index_positions:
+            raise ValueError("SpanNotQuery needs an index built with index_positions=True")
+        if q.exclude_term not in stats:
+            # no exclude spans anywhere: every include occurrence survives
+            occ = self._positional_occurrences([q.include_term])
+            docs = occ.select("doc_id").distinct()
+            return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+        occ = self._positional_occurrences([q.include_term, q.exclude_term]).persist()
+        inc = occ.filter(F.col("term") == q.include_term).select("doc_id", F.col("pos").alias("p"))
+        exc = occ.filter(F.col("term") == q.exclude_term).select("doc_id", F.col("pos").alias("x"))
+        survivors = inc.join(
+            exc,
+            (inc["doc_id"] == exc["doc_id"])
+            & (exc["x"] >= inc["p"] - F.lit(int(q.pre)))
+            & (exc["x"] <= inc["p"] + F.lit(int(q.post))),
+            "left_anti",
+        )
+        docs = survivors.select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _eval_multiphrase(self, q: MultiPhraseQuery, boost: float, stats: dict) -> DataFrame:
+        """MultiPhraseQuery (``search/MultiPhraseQuery.java``): exact phrase
+        with per-slot term alternatives, straight from the positional
+        postings.
+
+        Plan: per slot, the union of its alternatives' occurrences (the
+        UnionPostingsEnum, ``MultiPhraseQuery.java:245-258``) exploded to
+        (doc_id, pos - slot) rows; the n-way equi-join on (doc_id, base)
+        leaves one row per matching start position; count per doc = phrase
+        tf.  Weight: f32(boost) * f32(Σ_f64 f32_idf(term)) over all indexed
+        terms of all slots (``:212-238`` + ``BM25Similarity.idfExplain``)."""
+        slots = [tuple(t for t in slot if t in stats) for slot in q.slots]
+        if any(not s for s in slots):
+            return self._empty()
+        if not self.index.config.index_positions:
+            raise ValueError("MultiPhraseQuery needs an index built with index_positions=True")
+        scorer = self._scorer()
+        all_terms = [t for slot in q.slots for t in slot if t in stats]
+        idf_sum = np.float32(sum(float(bm25.idf(stats[t][0], scorer.doc_count)) for t in all_terms))
+        w = np.float32(np.float32(boost * q.boost) * idf_sum)
+        cache = scorer.cache()
+        uniq = list(dict.fromkeys(t for slot in slots for t in slot))
+        occ = self._positional_occurrences(uniq)
+        occ = occ.persist() if len(uniq) > 1 else occ
+
+        matched = None
+        for m, slot in enumerate(slots):
+            part = occ.filter(F.col("term").isin(list(slot))).select(
+                "doc_id", "norm", (F.col("pos") - F.lit(m)).alias("base")
+            )
+            matched = part if matched is None else matched.join(part.select("doc_id", "base"), ["doc_id", "base"])
+        ptf = matched.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("ptf"), F.first("norm").alias("norm")
+        )
+
+        @F.pandas_udf(T.FloatType())
+        def mp_score(ptf_c: pd.Series, norm_c: pd.Series) -> pd.Series:
+            return pd.Series(bm25.score_tf_norm(ptf_c.to_numpy(), norm_c.to_numpy(), w, cache))
+
+        return ptf.select("doc_id", mp_score("ptf", "norm").alias("score"))
 
     def _eval_phrase_positional(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
         """Exact phrase straight from the positional postings — no stored-text
@@ -793,6 +894,14 @@ class IndexSearcher:
             return self._eval_multiterm(q, boost)
         if isinstance(q, SpanNearQuery):
             return self._eval_span_near(q, boost, stats)
+        if isinstance(q, SpanFirstQuery):
+            return self._eval_span_first(q, boost, stats)
+        if isinstance(q, SpanOrQuery):
+            return self._eval_span_or(q, boost, stats)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_span_not(q, boost, stats)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multiphrase(q, boost, stats)
         if isinstance(q, MatchAllQuery):
             return self._eval_match_all(boost * q.boost)
         if isinstance(q, MatchNoDocsQuery):
@@ -1076,6 +1185,72 @@ class IndexSearcher:
             matched.join(self.corpus.select(F.col(id_col).alias("doc_id"), facet_col), "doc_id")
             .groupBy(facet_col)
             .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    def relatedness(self, fg_query: Query, facet_col: str, min_pop: float = 0.0) -> DataFrame:
+        """Solr JSON facet ``relatedness()`` aggregation (``reference
+        solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java``)
+        — the Semantic Knowledge Graph bucket score.
+
+        Per bucket of `facet_col` (background = whole corpus, foreground =
+        docs matching `fg_query`): fg_count = |bucket ∩ fg|, bg_count =
+        |bucket|, fg_size = |fg|, bg_size = |corpus|;
+
+        - ``fg_pop = round5(fg_count / bg_size)`` (background size is
+          intentional, ``RelatednessAgg.java:356``), ``bg_pop =
+          round5(bg_count / bg_size)``;
+        - relatedness = the approximated z-score pushed through five scaled
+          sigmoids ``(z+off)/(scale+|z+off|)`` (``:473-487``), rounded to 5
+          digits via ``Math.round(x*1e5)/1e5`` = ``floor(x*1e5 + 0.5)/1e5``;
+        - buckets with fg_pop or bg_pop below `min_pop` get -Infinity
+          (``:362-363``).
+
+        One corpus scan + one shuffle (the groupBy); all arithmetic is
+        Catalyst codegen (float64 IEEE ops — deterministic), no UDFs."""
+        if self.corpus is None:
+            raise ValueError("relatedness needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(fg_query.terms())
+        fg = self._evaluate(fg_query, 1.0, stats).select("doc_id").distinct()
+        id_col = self.index.config.id_col
+        base = self.corpus.select(F.col(id_col).alias("doc_id"), facet_col)
+        j = base.join(fg.withColumn("is_fg", F.lit(1)), "doc_id", "left")
+        per = j.groupBy(facet_col).agg(
+            F.count("*").cast("double").alias("bg_count"),
+            F.sum(F.coalesce(F.col("is_fg"), F.lit(0))).cast("double").alias("fg_count"),
+        )
+        tot = j.agg(
+            F.count("*").cast("double").alias("bg_size"),
+            F.sum(F.coalesce(F.col("is_fg"), F.lit(0))).cast("double").alias("fg_size"),
+        )
+        out = per.crossJoin(F.broadcast(tot))
+
+        def _round5(c):
+            return F.floor(c * F.lit(1e5) + F.lit(0.5)) / F.lit(1e5)
+
+        bg_prob = F.col("bg_count") / F.col("bg_size")
+        num = F.col("fg_count") - F.col("fg_size") * bg_prob
+        denom_raw = F.sqrt(F.col("fg_size") * bg_prob * (F.lit(1.0) - bg_prob))
+        denom = F.when(denom_raw == 0.0, F.lit(1e-10)).otherwise(denom_raw)
+        z = num / denom
+
+        def _sig(off, scale):
+            return (z + F.lit(float(off))) / (F.lit(float(scale)) + F.abs(z + F.lit(float(off))))
+
+        rel = F.lit(0.2) * _sig(-80, 50) + F.lit(0.2) * _sig(-30, 30) + F.lit(0.2) * _sig(0, 30) \
+            + F.lit(0.2) * _sig(30, 30) + F.lit(0.2) * _sig(80, 50)
+        fg_pop = _round5(F.col("fg_count") / F.col("bg_size"))
+        bg_pop = _round5(F.col("bg_count") / F.col("bg_size"))
+        rel5 = F.when(
+            (fg_pop < F.lit(float(min_pop))) | (bg_pop < F.lit(float(min_pop))),
+            F.lit(float("-inf")),
+        ).otherwise(_round5(rel))
+        return out.select(
+            facet_col,
+            F.col("fg_count").cast("bigint").alias("fg_count"),
+            F.col("bg_count").cast("bigint").alias("bg_count"),
+            fg_pop.alias("fg_pop"),
+            bg_pop.alias("bg_pop"),
+            rel5.alias("relatedness"),
         )
 
     def parent_block_join(self, child_query: Query, parent_col: str) -> DataFrame:

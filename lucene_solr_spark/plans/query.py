@@ -168,6 +168,27 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """``search/MultiPhraseQuery.java``: a phrase where each position slot
+    admits several alternative terms (synonym-expanded phrases).
+
+    Matches when some alternative of every slot occurs at consecutive
+    positions; phrase tf = number of matching start positions (union
+    postings per slot fed to the exact matcher, ``MultiPhraseQuery.java:
+    245-258`` UnionPostingsEnum). Scored like PhraseQuery with idf summed
+    over ALL terms of ALL slots that exist in the index
+    (``MultiPhraseQuery.java:212-238`` collects allTermStats →
+    ``BM25Similarity.idfExplain(termStats[])`` sums float32 idfs in a
+    double, casts back to float32)."""
+
+    slots: tuple  # tuple of tuples: one tuple of alternative terms per slot
+    boost: float = 1.0
+
+    def terms(self):
+        return {t for slot in self.slots for t in slot}
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """``search/spans/SpanNearQuery.java``: sub-spans (here: single terms)
     within ``slop`` positions of each other, optionally in order.
@@ -182,6 +203,10 @@ class SpanNearQuery(Query):
     Deviation from the reference: evaluated with CONSTANT_SCORE semantics
     (the reference scores spans via ``sloppyFreq`` over span widths); the
     matching doc set is identical.
+
+    A clause may also be a tuple of terms — a nested single-term
+    ``SpanOrQuery`` (``search/spans/SpanOrQuery.java``): that slot matches
+    at any occurrence of any of its alternatives.
     """
 
     span_terms: tuple
@@ -190,7 +215,57 @@ class SpanNearQuery(Query):
     boost: float = 1.0
 
     def terms(self):
+        out = set()
+        for c in self.span_terms:
+            out |= set(c) if isinstance(c, tuple) else {c}
+        return out
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """``search/spans/SpanFirstQuery.java``: spans ending within the first
+    ``end`` positions of the document — ``match.end() <= end``; a single-term
+    span at 0-based position p has end p+1, so p <= end-1. Constant score
+    (same documented deviation as SpanNearQuery)."""
+
+    term: str
+    end: int
+    boost: float = 1.0
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """``search/spans/SpanOrQuery.java`` over single-term clauses: the union
+    of the clause span streams. Standalone it matches any document containing
+    any clause term; as a SpanNearQuery clause it is written inline as a
+    tuple of terms. Constant score."""
+
+    span_terms: tuple
+    boost: float = 1.0
+
+    def terms(self):
         return set(self.span_terms)
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """``search/spans/SpanNotQuery.java``: include-spans that do not overlap
+    any exclude-span expanded by ``pre`` positions before and ``post`` after
+    (``SpanNotQuery.java`` ctor docs). For single-term spans: an include
+    occurrence at position p survives unless some exclude occurrence q has
+    ``p - pre <= q <= p + post``. Constant score."""
+
+    include_term: str
+    exclude_term: str
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+    def terms(self):
+        return {self.include_term, self.exclude_term}
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ from ..plans.query import (
     DisjunctionMaxQuery,
     MatchAllQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -122,6 +123,32 @@ class OracleEngine:
                 for j in range(len(toks) - len(terms) + 1):
                     if all(
                         toks[j + m][0] == terms[m] and toks[j + m][1] == toks[j][1] + m for m in range(len(terms))
+                    ):
+                        freq += 1
+                if freq:
+                    norm = float(self.cache[self.norm[d]])
+                    out[d] = np.float32(w * np.float32(float(freq) / (float(freq) + norm)))
+            return out
+        if isinstance(q, MultiPhraseQuery):
+            slots = [tuple(t for t in slot if t in self.postings) for slot in q.slots]
+            if any(not s for s in slots):
+                return {}
+            cand = set().union(*(set(self.postings[t]) for t in slots[0]))
+            for slot in slots[1:]:
+                cand &= set().union(*(set(self.postings[t]) for t in slot))
+            all_terms = [t for slot in q.slots for t in slot if t in self.postings]
+            idf_sum = np.float32(
+                sum(float(bm25.idf(len(self.postings[t]), self.doc_count)) for t in all_terms)
+            )
+            w = np.float32(np.float32(boost * q.boost) * idf_sum)
+            out = {}
+            for d in cand:
+                toks = self.analyzer.tokens_with_positions(self.texts[d])
+                freq = 0
+                for j in range(len(toks) - len(slots) + 1):
+                    if all(
+                        toks[j + m][0] in slots[m] and toks[j + m][1] == toks[j][1] + m
+                        for m in range(len(slots))
                     ):
                         freq += 1
                 if freq:
