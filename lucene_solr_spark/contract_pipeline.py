@@ -471,9 +471,9 @@ def agg_queries() -> dict:
         )
         from .operators.ranks import nearest_rank_values
 
-        n = li.count()
-        # exact median without a single-partition global window (see ranks.py)
-        med = nearest_rank_values(li, "p100", {"median_x100": (n + 1) // 2})
+        # exact median without a single-partition global window (see ranks.py);
+        # n comes out of the bucket-count pass — no separate count job
+        med = nearest_rank_values(li, "p100", {"median_x100": lambda n: (n + 1) // 2})
         stats = li.agg(
             F.count("*").cast("bigint").alias("cnt"),
             F.sum("p100").cast("bigint").alias("sum_x100"),
@@ -554,11 +554,12 @@ def agg_queries() -> dict:
         )
         from .operators.ranks import nearest_rank_values
 
-        n = li.count()
         qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
         # exact nearest-rank via value histogram + partitioned running counts —
         # the full table is never globally windowed (see operators/ranks.py)
-        return nearest_rank_values(li, "p100", {name: max(1, int(n * q)) for name, q in qs.items()})
+        return nearest_rank_values(
+            li, "p100", {name: (lambda n, q=q: max(1, int(n * q))) for name, q in qs.items()}
+        )
 
     q["agg_percentiles"] = agg_percentiles
 

@@ -335,6 +335,32 @@ def ft_queries() -> dict:
 
     q["agg_relatedness"] = agg_relatedness
 
+    def agg_facet_sampled(spark, sf_dir):
+        """RandomSamplingFacetsCollector analog: facet counts on a
+        deterministic 1-in-4 hash subsample of the match set + 4x scale-back
+        estimates (pure-integer hash so the oracle replays it exactly)."""
+        s = doc_searcher(spark, sf_dir)
+        return s.sampled_facet(TermQuery(HOT), "lang", rate=4).orderBy("lang")
+
+    q["agg_facet_sampled"] = agg_facet_sampled
+
+    def agg_taxonomy_rollup(spark, sf_dir):
+        """Taxonomy facet counting (lucene/facet taxonomy/): hierarchical
+        dim lang -> source counted at every tree level via ROLLUP."""
+        docs = _load(spark, sf_dir, "documents")
+        return (
+            docs.rollup("lang", "source")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(
+                F.coalesce(F.col("lang"), F.lit("<ALL>")).alias("lang"),
+                F.coalesce(F.col("source"), F.lit("<ALL>")).alias("source"),
+                "cnt",
+            )
+            .orderBy("lang", "source")
+        )
+
+    q["agg_taxonomy_rollup"] = agg_taxonomy_rollup
+
     # ---- FILTER occur (non-scoring clause) + boosted SHOULD clause
     q["ft_filter_clause"] = _search_q(
         BooleanQuery.build(must=[TermQuery(MID)], filter=[TermQuery(HOT)])
@@ -825,6 +851,24 @@ def ft_oracle_sql() -> dict:
         "CAST(floor(bg_count / bg_size * 1e5 + 0.5) AS BIGINT) AS bg_pop_q, "
         f"CAST(floor(({_relsum}) * 1e5 + 0.5) AS BIGINT) AS rel_q "
         "FROM zt ORDER BY lang",
+    )
+
+    # sampled facet: 1-in-4 multiplicative-hash subsample of the match set
+    o["agg_facet_sampled"] = _with(
+        [
+            f"m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')",
+            "samp AS (SELECT doc_id FROM m WHERE (((doc_id % 100000007) * 2654435761) % 100000007) % 4 = 0)",
+        ],
+        "SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS sampled_cnt, "
+        "CAST(count(*) * 4 AS BIGINT) AS est_cnt "
+        "FROM samp JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY lang",
+    )
+
+    # taxonomy rollup: per-node counts of the lang -> source hierarchy
+    o["agg_taxonomy_rollup"] = (
+        "SELECT coalesce(lang, '<ALL>') AS lang, coalesce(source, '<ALL>') AS source, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM documents "
+        "GROUP BY ROLLUP(lang, source) ORDER BY lang, source"
     )
 
     # naive Bayes classification: fixed-point (2^-20) integer scores — the

@@ -120,4 +120,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             fps = fold_tokens(np.split(h, splits) if len(lens) else [])
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64), "fp": fps})
 
-    return docs.select("doc_id", text_col).mapInPandas(fn, schema="doc_id bigint, fp bigint")
+    from ..session import spread_partitions
+
+    return spread_partitions(docs.select("doc_id", text_col)).mapInPandas(
+        fn, schema="doc_id bigint, fp bigint"
+    )

@@ -68,8 +68,10 @@ def _shingle_udf(k: int = SHINGLE_K):
 def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Distinct (doc_id, shingle_hash) pairs; the base relation for Jaccard
     and MinHash."""
+    from ..session import spread_partitions
+
     return (
-        docs.select("doc_id", "text")
+        spread_partitions(docs.select("doc_id", "text"))
         .mapInPandas(_shingle_udf(k), schema="doc_id bigint, shingle_hash bigint")
         .dropDuplicates(["doc_id", "shingle_hash"])
     )
@@ -190,7 +192,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             fp = ((acc > 0).astype(np.int64) << np.arange(bits)[None, :]).sum(axis=1)
             yield pd.DataFrame({"doc_id": doc_ids, "simhash": fp})
 
-    return docs.select("doc_id", "text").mapInPandas(fn, schema="doc_id bigint, simhash bigint")
+    from ..session import spread_partitions
+
+    return spread_partitions(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema="doc_id bigint, simhash bigint"
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:

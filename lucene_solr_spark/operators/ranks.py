@@ -142,23 +142,31 @@ def global_dense_rank(
 def nearest_rank_values(
     df: DataFrame,
     col: str,
-    ranks: dict[str, int],
+    ranks: dict,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact nearest-rank order statistics (PercentileAgg's contract, computed
     exactly): returns a 1-row DataFrame with, for each ``name → k`` in
     ``ranks``, the k-th smallest value of ``df[col]`` as column ``name``.
+    A rank may also be a callable ``n -> k`` evaluated against the total row
+    count — the count falls out of the bucket-count pass for free, so callers
+    never need a separate ``df.count()`` job.
 
     Scalable shape: a value-histogram ``groupBy(col).count()`` (cardinality-
     bounded, map-side partial agg) → running counts via the bucketed
     row-number machinery over *distinct values only* → one filter per rank.
     The full table is never globally sorted or windowed.
     """
-    hist = df.groupBy(col).agg(F.count("*").alias("__cnt"))
+    # the histogram feeds 4 downstream jobs (boundary count, boundary sample,
+    # bucket counts, the cumulative pass) — persist it once; it is the
+    # distinct-value relation, orders of magnitude smaller than the input
+    hist = df.groupBy(col).agg(F.count("*").alias("__cnt")).persist()
     part = _bucketed(hist, F.col(col), num_partitions)
     counts = [
         (r[_PID], r["s"]) for r in part.groupBy(_PID).agg(F.sum("__cnt").alias("s")).collect()
     ]
+    total = int(sum(c for _, c in counts))
+    ranks = {name: (k(total) if callable(k) else k) for name, k in ranks.items()}
     offs = _offsets_df(counts, df.sparkSession, ascending=True)
     w = Window.partitionBy(_PID).orderBy(F.col(col).asc())
     cum = (

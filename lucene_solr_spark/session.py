@@ -43,3 +43,18 @@ def get_spark(cpus: int | None = None, app: str = "lucene_solr_spark", shuffle_p
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def spread_partitions(df, min_factor: int = 1):
+    """Widen a DataFrame to at least the session's default parallelism before
+    a CPU-heavy Arrow UDF.
+
+    Small benchmark corpora arrive as one parquet file = one scan partition,
+    which serializes a mapInPandas across a 32-core host; at production scale
+    the input already has >= cores partitions and this is a no-op (it never
+    shrinks, so no coalesce-style parallelism loss and no extra shuffle on a
+    well-partitioned 100 TB table)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
