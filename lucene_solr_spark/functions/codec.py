@@ -1,4 +1,5 @@
-"""Posting-list block codec: delta + varint compression with per-block impacts.
+"""Posting-list block codecs: delta + varint (default) or FOR-128 bit-packing,
+both with per-block impacts.
 
 Re-expresses the on-disk shape of the reference postings format —
 128-entry blocks of delta-encoded docIDs with a compressed tf stream and
@@ -22,6 +23,20 @@ per-block vectorized computation with no shuffle.
 Everything is vectorized numpy — encode/decode of N blocks is O(1) numpy
 calls, not O(N) Python loops (the analog of Lucene's bulk ForUtil decode,
 ``ForUtil.java:190-239``).
+
+Two codecs are selectable per index (the PostingsFormat-SPI analog,
+``reference lucene/core/src/java/org/apache/lucene/codecs/
+PostingsFormat.java``):
+
+- ``"varint"`` (default): every block's payload is a LEB128 stream.
+- ``"for128"``: full 128-entry blocks are Frame-of-Reference bit-packed with
+  one shared bit width per block (header byte = width), with Lucene's
+  ``ALL_VALUES_EQUAL`` special case (header 0 + one varint) — ``reference
+  lucene/core/src/java/org/apache/lucene/codecs/lucene50/ForUtil.java:42,
+  161-190``; tail blocks (<128 entries) fall back to a varint stream behind a
+  0xFF header, the VInt-tail analog of ``Lucene50PostingsWriter.java:352-377``.
+
+Both produce the same DataFrame shape; rank identity between them is tested.
 """
 
 from __future__ import annotations
@@ -32,13 +47,23 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
 
 __all__ = [
     "BLOCK_SIZE",
+    "CODECS",
     "encode_varint",
     "decode_varint",
     "varint_sizes",
+    "for_encode_blocks",
+    "for_decode_blocks",
     "pack_postings_blocks",
     "unpack_blocks",
     "unpack_positions",
 ]
+
+CODECS = ("varint", "for128")
+
+# for128 block header bytes: 1..62 = bit width, 0 = ALL_VALUES_EQUAL (one
+# varint payload), 0xFF = varint-stream tail block (<block_size entries)
+_FOR_ALL_EQUAL = 0
+_FOR_VARINT_TAIL = 0xFF
 
 
 def _within_group_ranges(counts: np.ndarray) -> np.ndarray:
@@ -125,6 +150,134 @@ def decode_varint(buf: bytes | np.ndarray) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def _bit_widths(mx: np.ndarray) -> np.ndarray:
+    """Exact per-value bit width (bit_length) for non-negative int64 values,
+    vectorized: float log2 estimate + one exact correction step each way."""
+    mx = np.asarray(mx, dtype=np.int64)
+    w = np.ones(mx.shape, dtype=np.int64)
+    nz = mx > 0
+    w[nz] = np.floor(np.log2(mx[nz].astype(np.float64))).astype(np.int64) + 1
+    # float rounding can land one off near powers of two — correct exactly
+    over = nz & (w > 1) & (mx < (np.int64(1) << np.maximum(w - 1, 0)))
+    w[over] -= 1
+    under = nz & (w < 63) & (mx >= (np.int64(1) << np.minimum(w, 62)))
+    w[under] += 1
+    return w
+
+
+def for_encode_blocks(
+    values: np.ndarray,
+    block_start_idx: np.ndarray,
+    counts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list:
+    """FOR-encode per-block slices of ``values`` into one byte buffer each.
+
+    Full ``block_size`` blocks get one shared bit width (header byte), the
+    all-equal case collapses to ``[0, varint(value)]`` (``reference
+    lucene/core/.../codecs/lucene50/ForUtil.java:42,161-190``); short tail
+    blocks become ``[0xFF, LEB128 stream]``.  Encode cost is one vectorized
+    pass per distinct bit width present — postings deltas/tfs cluster in a
+    handful of widths, so this is a few numpy calls regardless of block count.
+    """
+    values = np.asarray(values, dtype=np.int64)
+    block_start_idx = np.asarray(block_start_idx, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n_blocks = counts.size
+    out: list = [None] * n_blocks
+    if n_blocks == 0:
+        return out
+    mx = np.maximum.reduceat(values, block_start_idx) if values.size else np.zeros(n_blocks, np.int64)
+    mn = np.minimum.reduceat(values, block_start_idx) if values.size else np.zeros(n_blocks, np.int64)
+    full = counts == block_size
+    equal = full & (mx == mn)
+    packed_mask = full & ~equal
+
+    # ALL_VALUES_EQUAL: header 0 + one varint of the shared value
+    eq_idx = np.flatnonzero(equal)
+    if eq_idx.size:
+        vbuf, vsizes = encode_varint_with_sizes(mx[eq_idx])
+        ends = np.cumsum(vsizes)
+        starts = ends - vsizes
+        for i, a, b in zip(eq_idx.tolist(), starts.tolist(), ends.tolist()):
+            out[i] = bytes([_FOR_ALL_EQUAL]) + vbuf[a:b]
+
+    # bit-packed full blocks, one vectorized pass per distinct width
+    pk_idx = np.flatnonzero(packed_mask)
+    if pk_idx.size:
+        widths = np.maximum(_bit_widths(mx[pk_idx]), 1)
+        gather = block_start_idx[pk_idx][:, None] + np.arange(block_size, dtype=np.int64)[None, :]
+        for w in np.unique(widths).tolist():
+            sel = widths == w
+            vals = values[gather[sel]].astype(np.uint64)  # (n_sel, block_size)
+            bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64)[None, None, :]) & 1).astype(
+                np.uint8
+            )
+            rows = np.packbits(bits.reshape(vals.shape[0], -1), axis=1, bitorder="little")
+            buf = np.empty((vals.shape[0], 1 + rows.shape[1]), dtype=np.uint8)
+            buf[:, 0] = w
+            buf[:, 1:] = rows
+            for i, row in zip(pk_idx[sel].tolist(), buf):
+                out[i] = row.tobytes()
+
+    # tail blocks: varint stream behind 0xFF
+    tail_idx = np.flatnonzero(~full)
+    if tail_idx.size:
+        order = np.argsort(block_start_idx[tail_idx], kind="stable")
+        tail_idx = tail_idx[order]
+        flat = np.concatenate(
+            [values[s : s + c] for s, c in zip(block_start_idx[tail_idx], counts[tail_idx])]
+        ) if tail_idx.size else np.empty(0, np.int64)
+        vbuf, vsizes = encode_varint_with_sizes(flat)
+        ends_per_val = np.cumsum(vsizes)
+        cnt_ends = np.cumsum(counts[tail_idx])
+        b_end = ends_per_val[cnt_ends - 1] if flat.size else np.zeros(tail_idx.size, np.int64)
+        b_start = np.concatenate(([0], b_end[:-1]))
+        for i, a, b in zip(tail_idx.tolist(), b_start.tolist(), b_end.tolist()):
+            out[i] = bytes([_FOR_VARINT_TAIL]) + vbuf[a:b]
+    return out
+
+
+def for_decode_blocks(bufs, counts: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Decode N FOR blocks (as produced by :func:`for_encode_blocks`) back to
+    one flat value array — one vectorized pass per distinct bit width."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n_blocks = counts.size
+    total = int(counts.sum())
+    out = np.zeros(total, dtype=np.int64)
+    if n_blocks == 0 or total == 0:
+        return out
+    headers = np.fromiter((b[0] for b in bufs), dtype=np.int64, count=n_blocks)
+    out_starts = np.cumsum(counts) - counts
+
+    eq_idx = np.flatnonzero(headers == _FOR_ALL_EQUAL)
+    if eq_idx.size:
+        vals = decode_varint(b"".join(bufs[i][1:] for i in eq_idx.tolist()))
+        pos = out_starts[eq_idx][:, None] + np.arange(block_size, dtype=np.int64)[None, :]
+        out[pos.ravel()] = np.repeat(vals, block_size)
+
+    tail_idx = np.flatnonzero(headers == _FOR_VARINT_TAIL)
+    if tail_idx.size:
+        vals = decode_varint(b"".join(bufs[i][1:] for i in tail_idx.tolist()))
+        pos = np.concatenate(
+            [np.arange(s, s + c, dtype=np.int64) for s, c in zip(out_starts[tail_idx], counts[tail_idx])]
+        )
+        out[pos] = vals
+
+    pk_mask = (headers != _FOR_ALL_EQUAL) & (headers != _FOR_VARINT_TAIL)
+    pk_idx = np.flatnonzero(pk_mask)
+    if pk_idx.size:
+        for w in np.unique(headers[pk_idx]).tolist():
+            sel = pk_idx[headers[pk_idx] == w]
+            raw = np.frombuffer(b"".join(bufs[i][1:] for i in sel.tolist()), dtype=np.uint8)
+            bits = np.unpackbits(raw.reshape(sel.size, -1), axis=1, bitorder="little")
+            bits = bits[:, : block_size * w].reshape(sel.size, block_size, w).astype(np.uint64)
+            vals = (bits << np.arange(w, dtype=np.uint64)[None, None, :]).sum(axis=2)
+            pos = out_starts[sel][:, None] + np.arange(block_size, dtype=np.int64)[None, :]
+            out[pos.ravel()] = vals.ravel().astype(np.int64)
+    return out
+
+
 def pack_postings_blocks(
     term_codes: np.ndarray,
     doc_ids: np.ndarray,
@@ -132,6 +285,7 @@ def pack_postings_blocks(
     norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
+    codec: str = "varint",
 ):
     """Pack sorted postings into per-(term, block) compressed rows.
 
@@ -191,19 +345,27 @@ def pack_postings_blocks(
     deltas[1:] = doc_ids[1:] - doc_ids[:-1]
     deltas[block_start_idx] = 0
 
-    doc_buf, doc_sizes = encode_varint_with_sizes(deltas)
-    tf_buf, tf_sizes = encode_varint_with_sizes(tfs)
+    if codec == "for128":
+        doc_bytes = for_encode_blocks(deltas, block_start_idx, block_counts, block_size)
+        tf_bytes = for_encode_blocks(tfs, block_start_idx, block_counts, block_size)
+    elif codec == "varint":
+        doc_buf, doc_sizes = encode_varint_with_sizes(deltas)
+        tf_buf, tf_sizes = encode_varint_with_sizes(tfs)
 
-    # byte ranges per block
-    def _block_slices(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        ends = np.cumsum(sizes)
-        starts = ends - sizes
-        b_start = starts[block_start_idx]
-        b_end = np.concatenate((b_start[1:], ends[-1:]))
-        return b_start, b_end
+        # byte ranges per block
+        def _block_slices(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            ends = np.cumsum(sizes)
+            starts = ends - sizes
+            b_start = starts[block_start_idx]
+            b_end = np.concatenate((b_start[1:], ends[-1:]))
+            return b_start, b_end
 
-    d_start, d_end = _block_slices(doc_sizes)
-    t_start, t_end = _block_slices(tf_sizes)
+        d_start, d_end = _block_slices(doc_sizes)
+        t_start, t_end = _block_slices(tf_sizes)
+        doc_bytes = [doc_buf[a:b] for a, b in zip(d_start.tolist(), d_end.tolist())]
+        tf_bytes = [tf_buf[a:b] for a, b in zip(t_start.tolist(), t_end.tolist())]
+    else:
+        raise ValueError(f"unknown postings codec {codec!r} (expected one of {CODECS})")
     n_start = np.cumsum(block_counts) - block_counts
     n_end = np.cumsum(block_counts)
     norm_buf = norms.tobytes()
@@ -241,8 +403,8 @@ def pack_postings_blocks(
         # enables range-targeted delete reclamation and doc-range pruning
         "doc_id_max": doc_ids[np.concatenate((block_start_idx[1:], np.asarray([n]))) - 1],
         "count": block_counts.astype(np.int32),
-        "doc_bytes": [doc_buf[a:b] for a, b in zip(d_start.tolist(), d_end.tolist())],
-        "tf_bytes": [tf_buf[a:b] for a, b in zip(t_start.tolist(), t_end.tolist())],
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
         "norm_bytes": [norm_buf[a:b] for a, b in zip(n_start.tolist(), n_end.tolist())],
         "max_tf": max_tf,
         "min_norm": min_norm,
@@ -256,6 +418,8 @@ def unpack_blocks(
     doc_bytes_list,
     tf_bytes_list,
     norm_bytes_list,
+    codec: str = "varint",
+    block_size: int = BLOCK_SIZE,
 ):
     """Decode N block rows into flat (doc_ids, tfs, norms, block_index) arrays.
 
@@ -269,8 +433,12 @@ def unpack_blocks(
         e = np.empty(0, np.int64)
         return e, e, np.empty(0, np.uint8), e
     doc_id_base = np.asarray(doc_id_base, dtype=np.int64)
-    deltas = decode_varint(b"".join(doc_bytes_list))
-    tfs = decode_varint(b"".join(tf_bytes_list))
+    if codec == "for128":
+        deltas = for_decode_blocks(list(doc_bytes_list), counts, block_size)
+        tfs = for_decode_blocks(list(tf_bytes_list), counts, block_size)
+    else:
+        deltas = decode_varint(b"".join(doc_bytes_list))
+        tfs = decode_varint(b"".join(tf_bytes_list))
     norms = np.frombuffer(b"".join(norm_bytes_list), dtype=np.uint8)
 
     block_starts = np.cumsum(counts) - counts

@@ -81,6 +81,8 @@ def check_index(index: InvertedIndex, full: bool = True) -> dict:
 
     n_decode_errors = 0
     if full:
+        codec = index.config.codec
+
         # decode pass: strict doc order within (term, run) + impact soundness
         def verify(iterator):
             errs = 0
@@ -93,6 +95,7 @@ def check_index(index: InvertedIndex, full: bool = True) -> dict:
                         list(g["doc_ids"]),
                         list(g["tfs"]),
                         list(g["norms"]),
+                        codec=codec,
                     )
                     if doc_ids.size > 1 and not (np.diff(doc_ids) > 0).all():
                         errs += 1

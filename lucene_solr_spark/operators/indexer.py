@@ -88,6 +88,9 @@ class IndexConfig:
     # winning on allocation count; on bare-metal executors the encoded
     # path is the faster choice.
     analysis_mode: str = "regex"
+    # postings block codec (PostingsFormat-SPI analog): "varint" (default)
+    # or "for128" (bit-packed FOR blocks + ALL_VALUES_EQUAL, Lucene's format)
+    codec: str = "varint"
 
 
 @dataclass
@@ -353,6 +356,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                 norm_bytes[u_rr],
                 block_size=block_size,
                 positions=tok_pos[order] if config.index_positions else None,
+                codec=config.codec,
             )
             terms_arr = np.asarray(uniques, dtype=object)[packed["term_code"]]
             yield pd.DataFrame(

@@ -161,6 +161,7 @@ def _repack_group(
     salt: int,
     drop_doc_ids: Optional[np.ndarray],
     block_size: int,
+    codec: str = "varint",
 ) -> pd.DataFrame:
     """Unpack all block rows of one term group, drop `drop_doc_ids` (sorted
     array), re-sort by docID, and re-pack into fresh blocks under `run_id`."""
@@ -170,6 +171,7 @@ def _repack_group(
         list(pdf["doc_ids"]),
         list(pdf["tfs"]),
         list(pdf["norms"]),
+        codec=codec,
     )
     sel = np.argsort(doc_ids, kind="stable")  # runs hold disjoint ranges; cheap
     if drop_doc_ids is not None and drop_doc_ids.size:
@@ -191,6 +193,7 @@ def _repack_group(
         norms[sel],
         block_size=block_size,
         positions=pos_sorted,
+        codec=codec,
     )
     n = packed["block_id"].size
     return pd.DataFrame(
@@ -213,26 +216,28 @@ def _repack_group(
     )
 
 
-def _make_repack(new_run_id: int, block_size: int, drop_doc_ids: Optional[np.ndarray] = None):
+def _make_repack(
+    new_run_id: int, block_size: int, drop_doc_ids: Optional[np.ndarray] = None, codec: str = "varint"
+):
     """applyInPandas fn: all block rows of one (term[, salt]) group from the
     candidate runs -> merged, re-blocked rows under `new_run_id`; postings of
     `drop_doc_ids` (sorted array) are reclaimed (delete expunge)."""
 
     def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         salt = int(key[1]) if len(key) > 1 else 0
-        return _repack_group(pdf, key[0], new_run_id, salt, drop_doc_ids, block_size)
+        return _repack_group(pdf, key[0], new_run_id, salt, drop_doc_ids, block_size, codec)
 
     return repack
 
 
-def _make_expunge_repack(block_size: int):
+def _make_expunge_repack(block_size: int, codec: str = "varint"):
     """applyInPandas fn for the distributed expunge: one (run_id, term) group
     whose delete ids arrive as a packed int64 ``__dels`` binary column (same
     value on every row of the group)."""
 
     def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dels = np.frombuffer(pdf["__dels"].iloc[0], dtype=np.int64)
-        return _repack_group(pdf, key[1], int(key[0]), 0, dels, block_size)
+        return _repack_group(pdf, key[1], int(key[0]), 0, dels, block_size, codec)
 
     return repack
 
@@ -364,7 +369,7 @@ def expunge_deletes_distributed(index: InvertedIndex) -> InvertedIndex:
     rewritten = (
         blk.join(touched, ["run_id", "term"], "inner")
         .groupBy("run_id", "term")
-        .applyInPandas(_make_expunge_repack(index.config.block_size), schema=_POSTINGS_SCHEMA)
+        .applyInPandas(_make_expunge_repack(index.config.block_size, index.config.codec), schema=_POSTINGS_SCHEMA)
     )
     kept = (
         blk.join(touched.select("run_id", "term"), ["run_id", "term"], "left_anti")
@@ -430,7 +435,8 @@ def merge_runs(
         with_salt.select(*POSTINGS_COLUMNS, "salt")
         .groupBy("term", "salt")
         .applyInPandas(
-            _make_repack(new_run_id, index.config.block_size, drop_doc_ids), schema=_POSTINGS_SCHEMA
+            _make_repack(new_run_id, index.config.block_size, drop_doc_ids, index.config.codec),
+            schema=_POSTINGS_SCHEMA,
         )
     )
 

@@ -81,7 +81,7 @@ from .indexer import InvertedIndex
 _SCORED_SCHEMA = "term string, doc_id bigint, tf int, norm int, score float"
 
 
-def _make_unpack_score(weights: dict, cache: np.ndarray):
+def _make_unpack_score(weights: dict, cache: np.ndarray, codec: str = "varint"):
     """mapInPandas fn: block rows -> (term, doc_id, tf, norm, score float32).
 
     Bulk-decodes every block in the Arrow batch with two numpy varint decodes
@@ -100,6 +100,7 @@ def _make_unpack_score(weights: dict, cache: np.ndarray):
                 list(pdf["doc_ids"]),
                 list(pdf["tfs"]),
                 list(pdf["norms"]),
+                codec=codec,
             )
             w_block = pdf["term"].map(weights).to_numpy(dtype=np.float32)
             w = np.repeat(w_block, counts)
@@ -122,7 +123,7 @@ def _make_unpack_score(weights: dict, cache: np.ndarray):
     return fn
 
 
-def _make_unpack_score_sim(params: dict, sim):
+def _make_unpack_score_sim(params: dict, sim, codec: str = "varint"):
     """Generic-similarity variant of :func:`_make_unpack_score`:
     ``params`` maps term -> (w1, w2) from ``Similarity.term_params`` and the
     kernel is ``sim.score`` (functions/similarities.py). Same single-scan
@@ -139,6 +140,7 @@ def _make_unpack_score_sim(params: dict, sim):
                 list(pdf["doc_ids"]),
                 list(pdf["tfs"]),
                 list(pdf["norms"]),
+                codec=codec,
             )
             w1b = pdf["term"].map({t: p[0] for t, p in params.items()}).to_numpy(dtype=np.float64)
             w2b = pdf["term"].map({t: p[1] for t, p in params.items()}).to_numpy(dtype=np.float64)
@@ -259,9 +261,14 @@ class IndexSearcher:
             return self.spark.createDataFrame([], _SCORED_SCHEMA)
         blocks = self.index.postings.filter(F.col("term").isin(list(weights)))
         if self.similarity is not None:
-            return blocks.mapInPandas(_make_unpack_score_sim(weights, self.similarity), schema=_SCORED_SCHEMA)
+            return blocks.mapInPandas(
+                _make_unpack_score_sim(weights, self.similarity, self.index.config.codec),
+                schema=_SCORED_SCHEMA,
+            )
         cache = self._scorer().cache()
-        return blocks.mapInPandas(_make_unpack_score(weights, cache), schema=_SCORED_SCHEMA)
+        return blocks.mapInPandas(
+            _make_unpack_score(weights, cache, self.index.config.codec), schema=_SCORED_SCHEMA
+        )
 
     def _eval_term(self, q: TermQuery, boost: float, stats: dict) -> DataFrame:
         df_ttf = stats.get(q.term)
@@ -433,6 +440,7 @@ class IndexSearcher:
         from ..functions.codec import unpack_blocks, unpack_positions
 
         blocks = self.index.postings.filter(F.col("term").isin(list(uniq_terms)))
+        codec = self.index.config.codec
 
         def occurrences(iterator):
             for pdf in iterator:
@@ -444,6 +452,7 @@ class IndexSearcher:
                     list(pdf["doc_ids"]),
                     list(pdf["tfs"]),
                     list(pdf["norms"]),
+                    codec=codec,
                 )
                 pos = unpack_positions(tfs, list(pdf["positions"]))
                 counts = pdf["count"].to_numpy(dtype=np.int64)
@@ -969,6 +978,7 @@ class IndexSearcher:
             list(sample_pdf["doc_ids"]),
             list(sample_pdf["tfs"]),
             list(sample_pdf["norms"]),
+            codec=self.index.config.codec,
         )
         terms_post = np.repeat(sample_pdf["term"].to_numpy(dtype=object), sample_pdf["count"].to_numpy())
         s = _score_terms(terms_post, tfs, norms)
@@ -990,7 +1000,9 @@ class IndexSearcher:
 
         survivors = with_ub.filter((F.col("ub") + slack_udf("term")) >= F.lit(theta))
         unpack_fn = (
-            _make_unpack_score_sim(weights, sim) if sim is not None else _make_unpack_score(weights, cache)
+            _make_unpack_score_sim(weights, sim, self.index.config.codec)
+            if sim is not None
+            else _make_unpack_score(weights, cache, self.index.config.codec)
         )
         scored = survivors.select("term", "run_id", "block_id", "doc_id_base", "count", "doc_ids", "tfs", "norms").mapInPandas(
             unpack_fn, schema=_SCORED_SCHEMA
@@ -1185,6 +1197,35 @@ class IndexSearcher:
             matched.join(self.corpus.select(F.col(id_col).alias("doc_id"), facet_col), "doc_id")
             .groupBy(facet_col)
             .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    def sampled_facet(self, query: Query, facet_col: str, rate: int = 20) -> DataFrame:
+        """RandomSamplingFacetsCollector analog (``reference lucene/facet/src/
+        java/org/apache/lucene/facet/RandomSamplingFacetsCollector.java``):
+        facet counting over a subsample of the match set with the 1/rate
+        scale-back correction (``amortizeFacetCounts``).
+
+        Deviation (documented): the reference samples with an XORShift64 RNG
+        over the per-segment doc stream; we sample by a pure-integer
+        multiplicative hash of the global doc_id — deterministic under ANY
+        partitioning (the reference's sample changes with segment geometry)
+        and bit-exactly replayable in ANSI SQL. At 100 TB the sample keeps
+        the shuffle 1/rate-sized; the groupBy output is one row per facet
+        value either way."""
+        if self.corpus is None:
+            raise ValueError("sampled_facet needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id")
+        # (doc_id mod p) * K mod p stays < ~2.7e17 — no bigint overflow under ANSI
+        p, k = 100000007, 2654435761
+        h = ((F.col("doc_id") % F.lit(p)) * F.lit(k)) % F.lit(p)
+        sampled = matched.filter(h % F.lit(int(rate)) == 0)
+        id_col = self.index.config.id_col
+        return (
+            sampled.join(self.corpus.select(F.col(id_col).alias("doc_id"), facet_col), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").cast("bigint").alias("sampled_cnt"))
+            .withColumn("est_cnt", (F.col("sampled_cnt") * F.lit(int(rate))).cast("bigint"))
         )
 
     def relatedness(self, fg_query: Query, facet_col: str, min_pop: float = 0.0) -> DataFrame:
@@ -1586,7 +1627,8 @@ class IndexSearcher:
         cand = self.index.terms.filter(F.col("df") >= min_df).select("term")
         blocks = self.index.postings.join(F.broadcast(cand), "term")
         unpacked = blocks.mapInPandas(
-            _make_unpack_score({}, np.zeros(256, np.float32)), schema=_SCORED_SCHEMA
+            _make_unpack_score({}, np.zeros(256, np.float32), self.index.config.codec),
+            schema=_SCORED_SCHEMA,
         )
         fg = (
             unpacked.join(matched, "doc_id", "left_semi")
@@ -1737,7 +1779,15 @@ class IndexSearcher:
         raise NotImplementedError(type(query).__name__)
 
     def count(self, query: Query) -> int:
-        """TotalHitCountCollector analog (live docs only)."""
+        """TotalHitCountCollector analog (live docs only).
+
+        Fast path: with no deletes, a TermQuery's hit count IS its docFreq —
+        one cached stats lookup, no postings scan at all (the same shortcut
+        as Lucene's ``Weight#count`` / TermWeight returning docFreq on
+        delete-free segments)."""
+        if self.index.deletes is None and isinstance(query, TermQuery):
+            st = self._term_stats({query.term}).get(query.term)
+            return int(st[0]) if st else 0
         stats = self._term_stats(query.terms())
         matched = self._evaluate(query, 1.0, stats)
         if self.index.deletes is not None:

