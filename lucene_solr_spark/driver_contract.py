@@ -48,7 +48,9 @@ from .plans.query import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanContainingQuery,
     SpanNotQuery,
+    SpanWithinQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -315,6 +317,13 @@ def ft_queries() -> dict:
     q["ft_span_first"] = _const_ids(SpanFirstQuery(HOT, 3))
     q["ft_span_not"] = _const_ids(SpanNotQuery(MID, HOT, pre=1, post=1))
     q["ft_span_or_near"] = _const_ids(SpanNearQuery(((MID, MID2), HOT), slop=2, in_order=True))
+    # span containment (SpanContainingQuery / SpanWithinQuery)
+    q["ft_span_containing"] = _const_ids(
+        SpanContainingQuery(SpanNearQuery((HOT, HOT2), slop=6, in_order=True), MID)
+    )
+    q["ft_span_within"] = _const_ids(
+        SpanWithinQuery(SpanNearQuery((HOT, HOT2), slop=6, in_order=True), MID)
+    )
     # multi-phrase: per-slot synonym alternatives (MultiPhraseQuery.java)
     q["ft_multiphrase"] = _search_q(MultiPhraseQuery(((HOT,), (HOT2, MID2))))
 
@@ -777,6 +786,22 @@ def ft_oracle_sql() -> dict:
         f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
         ") ORDER BY doc_id LIMIT 30",
     )
+    # span containment: big = ordered near(HOT, HOT2, slop 6) spanning
+    # [a.pos, b.pos], little = a MID occurrence at c.pos inside that range;
+    # Within(little, big) is the identical document set (constant score)
+    _contain_sql = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        "  SELECT DISTINCT a.doc_id AS doc_id"
+        "  FROM tokp a JOIN tokp b USING (doc_id) JOIN tokp c USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND c.term = '{MID}'"
+        "  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 6"
+        "  AND c.pos BETWEEN a.pos AND b.pos"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    o["ft_span_containing"] = _contain_sql
+    o["ft_span_within"] = _contain_sql
+
     # span first: 1-based tokp pos <= end  <=>  0-based pos + 1 <= end
     o["ft_span_first"] = _with(
         [tokp],

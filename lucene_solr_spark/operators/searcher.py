@@ -66,8 +66,10 @@ from ..plans.query import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanContainingQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanWithinQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -565,6 +567,75 @@ class IndexSearcher:
         docs = survivors.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
+    def _span_enum(self, clause, occ: DataFrame, stats: dict):
+        """Enumerate a span clause's spans as (doc_id, s, e) rows (e is
+        exclusive, Lucene's ``Spans.endPosition`` convention). A clause is a
+        term, a tuple of terms (inline SpanOr — ``SpanOrQuery.java``), or an
+        ordered single-term/tuple SpanNearQuery. Returns None when a required
+        term is absent from the index (the clause can match nothing)."""
+        from ..plans.query import SpanNearQuery as _SNQ
+
+        if isinstance(clause, str):
+            clause = (clause,)
+        if isinstance(clause, tuple):
+            live = [t for t in clause if t in stats]
+            if not live:
+                return None
+            return occ.filter(F.col("term").isin(live)).select(
+                "doc_id", F.col("pos").alias("s"), (F.col("pos") + 1).alias("e")
+            )
+        if isinstance(clause, _SNQ):
+            subs = [tuple(c) if isinstance(c, tuple) else (c,) for c in clause.span_terms]
+            subs = [tuple(t for t in c if t in stats) for c in subs]
+            if any(not c for c in subs):
+                return None
+            parts = [
+                occ.filter(F.col("term").isin(list(c))).select("doc_id", F.col("pos").alias(f"p{i}"))
+                for i, c in enumerate(subs)
+            ]
+            if clause.in_order:
+                m = parts[0]
+                for i in range(1, len(parts)):
+                    m = m.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+                last = f"p{len(subs)-1}"
+                m = m.filter((F.col(last) - F.col("p0") - F.lit(len(subs) - 1)) <= F.lit(int(clause.slop)))
+                return m.select("doc_id", F.col("p0").alias("s"), (F.col(last) + 1).alias("e"))
+            if len(subs) != 2:
+                raise NotImplementedError("unordered span-near enumeration supports exactly 2 clauses")
+            m = parts[0].join(parts[1], "doc_id").filter(
+                (F.abs(F.col("p1") - F.col("p0")) - 1 <= F.lit(int(clause.slop)))
+                & (F.col("p1") != F.col("p0"))
+            )
+            return m.select(
+                "doc_id",
+                F.least("p0", "p1").alias("s"),
+                (F.greatest("p0", "p1") + 1).alias("e"),
+            )
+        raise NotImplementedError(f"span clause {type(clause).__name__}")
+
+    def _eval_span_contain(self, q, boost: float, stats: dict) -> DataFrame:
+        """SpanContainingQuery / SpanWithinQuery (``search/spans/
+        SpanContainingQuery.java``, ``SpanWithinQuery.java``): documents with
+        a ``big`` span containing a ``little`` span (``ContainSpans``
+        start/end tests).  One positional scan feeds both enumerations; the
+        containment test rides the co-partitioned doc_id equi-join; constant
+        score (span-algebra deviation documented on the query classes)."""
+        if not self.index.config.index_positions:
+            raise ValueError("span containment needs an index built with index_positions=True")
+        from ..plans.query import _span_clause_terms
+
+        uniq = list(dict.fromkeys(t for c in (q.big, q.little) for t in sorted(_span_clause_terms(c))))
+        occ = self._positional_occurrences([t for t in uniq if t in stats])
+        occ = occ.persist()
+        big = self._span_enum(q.big, occ, stats)
+        little = self._span_enum(q.little, occ, stats)
+        if big is None or little is None:
+            return self._empty()
+        lit = little.select("doc_id", F.col("s").alias("ls"), F.col("e").alias("le"))
+        m = big.join(lit, "doc_id").filter((F.col("s") <= F.col("ls")) & (F.col("e") >= F.col("le")))
+        docs = m.select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
     def _eval_multiphrase(self, q: MultiPhraseQuery, boost: float, stats: dict) -> DataFrame:
         """MultiPhraseQuery (``search/MultiPhraseQuery.java``): exact phrase
         with per-slot term alternatives, straight from the positional
@@ -909,6 +980,8 @@ class IndexSearcher:
             return self._eval_span_or(q, boost, stats)
         if isinstance(q, SpanNotQuery):
             return self._eval_span_not(q, boost, stats)
+        if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+            return self._eval_span_contain(q, boost, stats)
         if isinstance(q, MultiPhraseQuery):
             return self._eval_multiphrase(q, boost, stats)
         if isinstance(q, MatchAllQuery):

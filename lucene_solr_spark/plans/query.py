@@ -269,6 +269,51 @@ class SpanNotQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """``search/spans/SpanContainingQuery.java``: spans of ``big`` that
+    contain (start <= little.start and end >= little.end) a span of
+    ``little``.  ``big``/``little`` are each a term, a tuple of terms (inline
+    SpanOr), or an ordered single-term SpanNearQuery.
+
+    Constant-score deviation as with the other span queries; note that as a
+    *document* predicate Containing and Within are the same set (a doc has a
+    big span containing a little span iff it has a little span within a big
+    span) — the queries differ in which spans they *emit*, which matters only
+    for span composition and span scoring, neither of which is score-visible
+    here."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+    def terms(self):
+        return _span_clause_terms(self.big) | _span_clause_terms(self.little)
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """``search/spans/SpanWithinQuery.java``: spans of ``little`` that fall
+    within (big.start <= little.start and little.end <= big.end) a span of
+    ``big``.  Same constant-score document semantics as SpanContainingQuery
+    (see its docstring)."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+    def terms(self):
+        return _span_clause_terms(self.big) | _span_clause_terms(self.little)
+
+
+def _span_clause_terms(clause) -> set:
+    if isinstance(clause, str):
+        return {clause}
+    if isinstance(clause, tuple):
+        return set(clause)
+    return clause.terms()
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

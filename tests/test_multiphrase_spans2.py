@@ -170,3 +170,62 @@ def test_relatedness_formula(pos_searcher2, fixture_corpus_pdf, oracle):
 def test_relatedness_min_pop_filters_to_neg_inf(pos_searcher2):
     rows = pos_searcher2.relatedness(TermQuery("the"), "role", min_pop=1.1).collect()
     assert rows and all(r["relatedness"] == float("-inf") for r in rows)
+
+
+# ------------------------------------------------- span containing / within
+def _brute_contain(per_doc, big_terms, big_slop, little):
+    """Docs with an ordered big-span (over single-term clauses) containing an
+    occurrence of `little` (a term or tuple of alternatives)."""
+    little = (little,) if isinstance(little, str) else tuple(little)
+    out = set()
+    for d, pos in enumerate(per_doc):
+        spans = []
+        if len(big_terms) == 1:
+            spans = [(p, p + 1) for p in pos.get(big_terms[0], [])]
+        else:
+            a, b = big_terms
+            for p0 in pos.get(a, []):
+                for p1 in pos.get(b, []):
+                    if p1 > p0 and p1 - p0 - 1 <= big_slop:
+                        spans.append((p0, p1 + 1))
+        lits = [(p, p + 1) for t in little for p in pos.get(t, [])]
+        if any(s <= ls and e >= le for s, e in spans for ls, le in lits):
+            out.add(d)
+    return out
+
+
+def test_span_containing_brute_force(pos_searcher2, fixture_corpus_pdf):
+    from lucene_solr_spark.plans.query import SpanContainingQuery, SpanWithinQuery
+
+    per_doc = _tok_positions(fixture_corpus_pdf)
+    big = SpanNearQuery(("the", "of"), slop=6, in_order=True)
+    for little in ("and", ("a", "and")):
+        q = SpanContainingQuery(big, little)
+        got = {d for d, _ in pos_searcher2.search(q, 4000).collect()}
+        want = _brute_contain(per_doc, ("the", "of"), 6, little)
+        assert got == want and want, little
+        # Within(little, big) matches the same document set (docstring note)
+        qw = SpanWithinQuery(big, little)
+        got_w = {d for d, _ in pos_searcher2.search(qw, 4000).collect()}
+        assert got_w == want
+
+
+def test_span_containing_term_big(pos_searcher2, fixture_corpus_pdf):
+    """Degenerate big = single term: containment forces little == big spans,
+    so only docs where the little term IS the big term (same position)."""
+    from lucene_solr_spark.plans.query import SpanContainingQuery
+
+    per_doc = _tok_positions(fixture_corpus_pdf)
+    q = SpanContainingQuery("the", "the")
+    got = {d for d, _ in pos_searcher2.search(q, 4000).collect()}
+    want = {d for d, pos in enumerate(per_doc) if pos.get("the")}
+    assert got == want
+    q2 = SpanContainingQuery("the", "of")
+    assert pos_searcher2.search(q2, 10).collect() == []
+
+
+def test_span_containing_missing_term_empty(pos_searcher2):
+    from lucene_solr_spark.plans.query import SpanContainingQuery
+
+    q = SpanContainingQuery(SpanNearQuery(("the", "zzzznotaterm"), slop=3), "of")
+    assert pos_searcher2.search(q, 10).collect() == []
