@@ -70,11 +70,38 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     and MinHash."""
     from ..session import spread_partitions
 
-    return (
-        spread_partitions(docs.select("doc_id", "text"))
-        .mapInPandas(_shingle_udf(k), schema="doc_id bigint, shingle_hash bigint")
-        .dropDuplicates(["doc_id", "shingle_hash"])
+    # no Spark-level dropDuplicates: one input row = one whole doc, so the
+    # UDF's per-batch drop_duplicates IS the global (doc_id, shingle) dedup —
+    # a distinct here would be a full extra shuffle of the shingle relation
+    return spread_partitions(docs.select("doc_id", "text")).mapInPandas(
+        _shingle_udf(k), schema="doc_id bigint, shingle_hash bigint"
     )
+
+
+def _triangular_pairs(pdf: pd.DataFrame):
+    """All (doc_a < doc_b) pairs within each shingle_hash run of a frame
+    sorted by (shingle_hash, doc_id) — fully vectorized: element j of a run
+    pairs with every earlier element, so ``b = repeat(doc, within_idx)`` and
+    the ``a`` side is a single gather by triangular index arithmetic."""
+    h = pdf["shingle_hash"].to_numpy(dtype=np.int64)
+    d = pdf["doc_id"].to_numpy(dtype=np.int64)
+    if h.size == 0:
+        return None
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = h[1:] != h[:-1]
+    starts = np.flatnonzero(new)  # run start index per run
+    run_of = np.cumsum(new) - 1
+    within = np.arange(h.size, dtype=np.int64) - starts[run_of]  # 0,1,2,... per run
+    total = int(within.sum())
+    if total == 0:
+        return None
+    b = np.repeat(d, within)
+    pair_base = np.cumsum(within) - within  # first output slot per element
+    a_idx = np.arange(total, dtype=np.int64) - np.repeat(pair_base, within) + np.repeat(
+        starts[run_of], within
+    )
+    return pd.DataFrame({"doc_a": d[a_idx], "doc_b": b})
 
 
 def ngram_jaccard_pairs(
@@ -93,14 +120,38 @@ def ngram_jaccard_pairs(
     df_cap = sh.groupBy("shingle_hash").agg(F.count("*").alias("sdf")).filter(F.col("sdf") <= max_shingle_df)
     joinable = sh.join(F.broadcast(df_cap.select("shingle_hash")), "shingle_hash")
 
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
-    inter = (
-        a.join(b, "shingle_hash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # pair generation: ONE hash exchange + a sorted linear pass (vectorized
+    # triangular expansion per shingle run), instead of a self-join's two
+    # exchanges + hash-probe. doc_a < doc_b falls out of the in-run doc sort.
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed = joinable.repartition(n_part, "shingle_hash").sortWithinPartitions(
+        "shingle_hash", "doc_id"
     )
+
+    def expand(iterator):
+        carry = None
+        for pdf in iterator:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            h = pdf["shingle_hash"].to_numpy(dtype=np.int64)
+            if h.size == 0:
+                carry = None
+                continue
+            # hold back the trailing run — it may continue in the next batch
+            cut = int(np.searchsorted(h, h[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            out = _triangular_pairs(head)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = _triangular_pairs(carry)
+            if out is not None:
+                yield out
+
+    pairs = bucketed.mapInPandas(expand, schema="doc_a bigint, doc_b bigint")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
