@@ -25,6 +25,8 @@ from .contract_pipeline import (  # noqa: F401 — re-exported for __spark_entry
 )
 from .functions.analysis import simple_analyzer
 from .functions.similarities import (
+    DFIChiSquaredSimilarity,
+    IBLLSimilarity,
     BooleanSimilarity,
     ClassicSimilarity,
     DFRInL2Similarity,
@@ -552,6 +554,8 @@ def ft_queries() -> dict:
     q["ft_boolean_sim"] = _sim_search_q(TermQuery(RARE), BooleanSimilarity, k=20)
     q["ft_lmjm_topk"] = _sim_search_q(TermQuery(MID2), LMJelinekMercerSimilarity)
     q["ft_dfr_inl2_topk"] = _sim_search_q(TermQuery(HOT2), DFRInL2Similarity)
+    q["ft_dfi_topk"] = _sim_search_q(TermQuery(HOT), DFIChiSquaredSimilarity)
+    q["ft_ib_ll_topk"] = _sim_search_q(TermQuery(MID), IBLLSimilarity)
     return q
 
 
@@ -1209,6 +1213,36 @@ def ft_oracle_sql() -> dict:
             f"{_R(f'{dfr_a} * (1.0 - 1.0 / (1.0 + {dfr_tfn}))')} AS score "
             f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
             f"WHERE tf.term = '{HOT2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # DFI chi-squared: expected = (ttf+1)·dl/(sttf+1); 0 when tf <= expected,
+    # else log2((tf-expected)²/expected + 1), f32 cast (DFISimilarity.java:56-66)
+    dfi_exp = "(((ttfq.ttf + 1.0) * dlq.dlq) / ((SELECT sttf FROM st) + 1.0))"
+    dfi_raw = f"(ln((tf.tf - {dfi_exp}) * (tf.tf - {dfi_exp}) / {dfi_exp} + 1.0) / ln(2.0))"
+    o["ft_dfi_topk"] = _with(
+        [
+            "ttfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)",
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'CASE WHEN tf.tf <= {dfi_exp} THEN 0.0 ELSE {dfi_raw} END')} AS score "
+            f"FROM tf JOIN ttfq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # IB LL (lambda=DF, H2 c=1): λ = f32((df+1)/(N+1)),
+    # tfn = tf·log2(1+avgdl/dl), score = f32(−ln(λ/(tfn+λ)))
+    # (IBSimilarity.java:99-105, DistributionLL.java:33-36, LambdaDF.java:32-39)
+    ib_lam = _R("((dfreq.df + 1.0) / ((SELECT n FROM st) + 1.0))")
+    ib_tfn = f"(tf.tf * (ln(1.0 + {dfr_avgdl} / dlq.dlq) / ln(2.0)))"
+    o["ft_ib_ll_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'-ln({ib_lam} / ({ib_tfn} + {ib_lam}))')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
     )

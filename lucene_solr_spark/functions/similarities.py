@@ -45,6 +45,8 @@ __all__ = [
     "LMDirichletSimilarity",
     "LMJelinekMercerSimilarity",
     "DFRInL2Similarity",
+    "DFIChiSquaredSimilarity",
+    "IBLLSimilarity",
 ]
 
 # Java SimilarityBase.log2 divides by a precomputed Math.log(2)
@@ -175,4 +177,67 @@ class DFRInL2Similarity(Similarity):
         dl = self._length_table[norms]
         tfn = tfs.astype(np.float64) * (np.log(1.0 + self.c * w2 / dl) / _LOG_2)
         s = w1 * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(np.float32)
+
+
+class DFIChiSquaredSimilarity(Similarity):
+    """DFI (Divergence From Independence) with the chi-squared measure:
+    ``expected = (ttf+1)·dl/(sumTotalTermFreq+1)``; score 0 when
+    ``tf <= expected``, else ``boost · log2((tf-expected)²/expected + 1)``
+    in double, float32 cast at the end (``DFISimilarity.java:56-66``,
+    ``IndependenceChiSquared.java:36-39``, ``SimilarityBase.java:228``).
+
+    Monotone for pruning: above the zero region, ↑tf ↑score, and ↓dl →
+    ↓expected → ↑measure (∂/∂e[(f-e)²/e] = -(f-e)(f+e)/e² < 0 for f > e),
+    so the per-block (max_tf, min_norm) upper bound stays sound."""
+
+    name = "dfi_chi2"
+
+    def __init__(self):
+        self._length_table = _length_table()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        return (float(boost), (float(ttf) + 1.0) / (float(sum_ttf) + 1.0))
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        expected = w2 * dl
+        freq = tfs.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = (freq - expected) * (freq - expected) / expected
+            s = w1 * (np.log(measure + 1.0) / _LOG_2)
+        return np.where(freq <= expected, 0.0, s).astype(np.float32)
+
+
+class IBLLSimilarity(Similarity):
+    """Information-Based similarity IB(LL, lambda=DF, H2(c)): log-logistic
+    distribution ``score_d = boost · (−ln(λ/(tfn+λ)))`` with
+    ``λ = f32((df+1)/(N+1))`` nudged below 1 when it equals 1
+    (``LambdaDF.java:32-39``), ``tfn = tf·log2(1 + c·avgdl/dl)``
+    (``NormalizationH2.java:58-60``), float32 cast at the end
+    (``IBSimilarity.java:99-105``, ``DistributionLL.java:33-36``).
+
+    avgdl is a collection constant, not a per-term one; ``term_params`` (run
+    on the driver during Weight construction, strictly before the scoring
+    closure captures this object) stashes it on the instance so the two
+    per-term slots stay (boost, λ). Monotone ↑tf / ↓dl ⇒ pruning sound."""
+
+    name = "ib_ll"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+        self._length_table = _length_table()
+        self._avgdl = None
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._avgdl = float(sum_ttf) / float(doc_count)
+        lam = np.float32((float(df) + 1.0) / (float(doc_count) + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
+        return (float(boost), float(lam))
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        tfn = tfs.astype(np.float64) * (np.log(1.0 + self.c * self._avgdl / dl) / _LOG_2)
+        s = w1 * -np.log(w2 / (tfn + w2))
         return s.astype(np.float32)

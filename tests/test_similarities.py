@@ -189,3 +189,54 @@ def test_default_bm25_unaffected(index8, spark_corpus, corpus_stats):
     default = IndexSearcher(index8, spark_corpus)
     explicit_none = IndexSearcher(index8, spark_corpus, similarity=None)
     assert default.search(TermQuery(hot), 10).collect() == explicit_none.search(TermQuery(hot), 10).collect()
+
+
+def _dfi_chi2_score(tf, ttf_t, norm_byte, sttf):
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    expected = (ttf_t + 1.0) * dl / (sttf + 1.0)
+    if tf <= expected:
+        return np.float32(0.0)
+    measure = (tf - expected) * (tf - expected) / expected
+    return np.float32(math.log(measure + 1.0) / math.log(2.0))
+
+
+def _ib_ll_score(tf, df_t, norm_byte, n_docs, sttf, c=1.0):
+    lam = float(np.float32((df_t + 1.0) / (n_docs + 1.0)))
+    avgdl = float(sttf) / float(n_docs)
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    tfn = tf * (math.log(1.0 + c * avgdl / dl) / math.log(2.0))
+    return np.float32(-math.log(lam / (tfn + lam)))
+
+
+def test_dfi_chi2_term(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.functions.similarities import DFIChiSquaredSimilarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=DFIChiSquaredSimilarity())
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_dfi_chi2_score(f, ttf[term], norm[d], sttf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
+
+
+def test_ib_ll_term(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.functions.similarities import IBLLSimilarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, similarity=IBLLSimilarity())
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_ib_ll_score(f, df[term], norm[d], n_docs, sttf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
