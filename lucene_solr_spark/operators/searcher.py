@@ -78,6 +78,11 @@ from ..plans.query import (
 )
 
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount analog
+
+# below this many total postings, the block-max θ pre-pass costs more than it
+# saves (one extra Spark job vs ~ms of bulk decode); at 10^12-turn scale hot
+# terms are far above it and pruning engages exactly where it matters
+_MIN_PRUNE_POSTINGS = 200_000
 from .indexer import InvertedIndex
 
 _SCORED_SCHEMA = "term string, doc_id bigint, tf int, norm int, score float"
@@ -188,9 +193,12 @@ class IndexSearcher:
         corpus: Optional[DataFrame] = None,
         filter_cache_size: int = 32,
         similarity=None,
+        prune_min_postings: int = _MIN_PRUNE_POSTINGS,
     ):
         self.index = index
         self.corpus = corpus
+        # pruning cost gate; 0 = always run the θ pre-pass (tests pin this)
+        self.prune_min_postings = int(prune_min_postings)
         self.spark = index.postings.sparkSession
         # IndexSearcher.setSimilarity analog (``search/IndexSearcher.java:118``
         # defaults to BM25): None = the float32-exact BM25 engine path; a
@@ -1010,6 +1018,12 @@ class IndexSearcher:
         present = {t: b for t, b in term_boosts.items() if t in stats}
         if not present:
             return self._empty()
+        # cost gate (the IndexOrDocValuesQuery idea applied to pruning): the
+        # θ pre-pass costs one extra job + driver collect; below this many
+        # postings, bulk-decoding everything is cheaper than planning to skip
+        # any of it. Results are identical either way (prune identity test).
+        if sum(int(stats[t][0]) for t in present) < self.prune_min_postings:
+            return None
         sim = self.similarity
         cache = self._scorer().cache() if sim is None else None
         weights = {t: self._leaf_w(b, t, stats) for t, b in present.items()}

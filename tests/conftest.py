@@ -49,4 +49,6 @@ def index8(spark_corpus):
 def searcher(index8, spark_corpus):
     from lucene_solr_spark.operators.searcher import IndexSearcher
 
-    return IndexSearcher(index8, spark_corpus)
+    # prune_min_postings=0: fixture corpora are tiny; keep the theta
+    # pre-pass exercised whenever tests pass prune=True
+    return IndexSearcher(index8, spark_corpus, prune_min_postings=0)

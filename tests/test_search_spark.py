@@ -205,7 +205,7 @@ def test_partitioning_invariance(spark_corpus, oracle, n_parts):
     from lucene_solr_spark.operators.searcher import IndexSearcher
 
     idx = build_index(spark_corpus, IndexConfig(n_partitions=n_parts))
-    s = IndexSearcher(idx)
+    s = IndexSearcher(idx, prune_min_postings=0)
     hot, hot2, rare, _, mid = _terms_by_df(oracle)
     for q in [TermQuery(hot), BooleanQuery.build(should=[TermQuery(rare), TermQuery(mid)])]:
         got = s.search(q, 10, prune=True).collect()
@@ -265,7 +265,7 @@ def test_for128_codec_rank_identity(spark_corpus, oracle):
     idx = build_index(
         spark_corpus, IndexConfig(n_partitions=3, index_positions=True, codec="for128")
     ).persist()
-    s = IndexSearcher(idx)
+    s = IndexSearcher(idx, prune_min_postings=0)
     hot, hot2, rare, _, mid = _terms_by_df(oracle)
     for q in [
         TermQuery(hot),

@@ -72,7 +72,7 @@ def _hot_terms(df, n=3):
 def test_classic_term_and_bool(index8, spark_corpus, corpus_stats):
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=ClassicSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=ClassicSimilarity())
 
     expect = {
         d: float(_classic_score(f, df[hot[0]], norm[d], n_docs))
@@ -99,7 +99,7 @@ def test_classic_term_and_bool(index8, spark_corpus, corpus_stats):
 def test_boolean_similarity_constant(index8, spark_corpus, corpus_stats):
     tf, df, _, _, _, _ = corpus_stats
     hot = _hot_terms(df)[0]
-    s = IndexSearcher(index8, spark_corpus, similarity=BooleanSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=BooleanSimilarity())
     got = s.search(TermQuery(hot), 10).collect()
     matching = sorted(d for (d, t) in tf if t == hot)[:10]
     assert [d for d, _ in got] == matching
@@ -109,7 +109,7 @@ def test_boolean_similarity_constant(index8, spark_corpus, corpus_stats):
 def test_lmdirichlet_term(index8, spark_corpus, corpus_stats):
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=LMDirichletSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=LMDirichletSimilarity())
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_lmd_score(f, ttf[term], norm[d], sttf))
@@ -140,7 +140,7 @@ def _dfr_inl2_score(tf, df_t, norm_byte, n_docs, sttf):
 def test_lmjm_term(index8, spark_corpus, corpus_stats):
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=LMJelinekMercerSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=LMJelinekMercerSimilarity())
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_lmjm_score(f, ttf[term], norm[d], sttf))
@@ -155,7 +155,7 @@ def test_lmjm_term(index8, spark_corpus, corpus_stats):
 def test_dfr_inl2_term(index8, spark_corpus, corpus_stats):
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=DFRInL2Similarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=DFRInL2Similarity())
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_dfr_inl2_score(f, df[term], norm[d], n_docs, sttf))
@@ -170,7 +170,7 @@ def test_dfr_inl2_term(index8, spark_corpus, corpus_stats):
 def test_synonym_under_similarity(index8, spark_corpus, corpus_stats):
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=ClassicSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=ClassicSimilarity())
     # blended: df = max, tf summed per doc, scored as one pseudo-term
     bdf = max(df[hot[0]], df[hot[1]])
     sums = {}
@@ -187,7 +187,7 @@ def test_default_bm25_unaffected(index8, spark_corpus, corpus_stats):
     _, df, _, _, _, _ = corpus_stats
     hot = _hot_terms(df)[0]
     default = IndexSearcher(index8, spark_corpus)
-    explicit_none = IndexSearcher(index8, spark_corpus, similarity=None)
+    explicit_none = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=None)
     assert default.search(TermQuery(hot), 10).collect() == explicit_none.search(TermQuery(hot), 10).collect()
 
 
@@ -213,7 +213,7 @@ def test_dfi_chi2_term(index8, spark_corpus, corpus_stats):
 
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=DFIChiSquaredSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=DFIChiSquaredSimilarity())
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_dfi_chi2_score(f, ttf[term], norm[d], sttf))
@@ -230,7 +230,7 @@ def test_ib_ll_term(index8, spark_corpus, corpus_stats):
 
     tf, df, ttf, norm, n_docs, sttf = corpus_stats
     hot = _hot_terms(df)
-    s = IndexSearcher(index8, spark_corpus, similarity=IBLLSimilarity())
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=IBLLSimilarity())
     for term in (hot[0], hot[2]):
         expect = {
             d: float(_ib_ll_score(f, df[term], norm[d], n_docs, sttf))

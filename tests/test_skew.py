@@ -55,8 +55,8 @@ def test_hot_term_salted_merge_bounds_groups(skew_setup):
     # rank identity through the salted layout
     from dataclasses import replace
 
-    s0 = IndexSearcher(idx, corpus)
-    s1 = IndexSearcher(replace(idx, postings=merged), corpus)
+    s0 = IndexSearcher(idx, corpus, prune_min_postings=0)
+    s1 = IndexSearcher(replace(idx, postings=merged), corpus, prune_min_postings=0)
     for q in [TermQuery(HOT), BooleanQuery.build(must=[TermQuery(HOT), TermQuery("w5")])]:
         a = [(d, float(np.float32(s))) for d, s in s0.search(q, 10).collect()]
         b = [(d, float(np.float32(s))) for d, s in s1.search(q, 10).collect()]
@@ -66,8 +66,8 @@ def test_hot_term_salted_merge_bounds_groups(skew_setup):
 def test_hot_term_force_merge_identity(skew_setup):
     corpus, idx = skew_setup
     one = force_merge(idx, max_runs=1)
-    s0 = IndexSearcher(idx, corpus)
-    s1 = IndexSearcher(one, corpus)
+    s0 = IndexSearcher(idx, corpus, prune_min_postings=0)
+    s1 = IndexSearcher(one, corpus, prune_min_postings=0)
     q = TermQuery(HOT)
     assert s0.search(q, 10).collect() == s1.search(q, 10).collect()
     assert s1.count(q) == 4000
