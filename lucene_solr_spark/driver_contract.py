@@ -14,6 +14,7 @@ float-free; scores are checked separately by the pytest oracle suite.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -25,6 +26,8 @@ from .contract_pipeline import (  # noqa: F401 — re-exported for __spark_entry
 )
 from .functions.analysis import simple_analyzer
 from .functions.similarities import (
+    AxiomaticF2EXPSimilarity,
+    AxiomaticF2LOGSimilarity,
     DFIChiSquaredSimilarity,
     IBLLSimilarity,
     BooleanSimilarity,
@@ -556,6 +559,8 @@ def ft_queries() -> dict:
     q["ft_dfr_inl2_topk"] = _sim_search_q(TermQuery(HOT2), DFRInL2Similarity)
     q["ft_dfi_topk"] = _sim_search_q(TermQuery(HOT), DFIChiSquaredSimilarity)
     q["ft_ib_ll_topk"] = _sim_search_q(TermQuery(MID), IBLLSimilarity)
+    q["ft_ax_f2exp_topk"] = _sim_search_q(TermQuery(HOT2), AxiomaticF2EXPSimilarity)
+    q["ft_ax_f2log_topk"] = _sim_search_q(TermQuery(MID2), AxiomaticF2LOGSimilarity)
     return q
 
 
@@ -1243,6 +1248,33 @@ def ft_oracle_sql() -> dict:
             f"{_R(f'-ln({ib_lam} / ({ib_tfn} + {ib_lam}))')} AS score "
             f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
             f"WHERE tf.term = '{MID}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # Axiomatic F2 family (Axiomatic.java:104-112 with tf = ln = 1, gamma = 0):
+    # tfln = tf/(tf + s + s·dl/avgdl) with s = 0.25 (exact in binary), then
+    # f32(max(tfln·idf, 0)); k = f32(0.35) = 0.3499999940395355 written as the
+    # exact double literal so DuckDB's pow sees the same exponent
+    ax_k = repr(float(np.float32(0.35)))
+    ax_tfln = f"(tf.tf / (tf.tf + 0.25 + 0.25 * dlq.dlq / {dfr_avgdl}))"
+    ax_f2exp_idf = f"pow(((SELECT n FROM st) + 1.0) / dfreq.df, {ax_k})"
+    o["ft_ax_f2exp_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'greatest({ax_tfln} * {ax_f2exp_idf}, 0.0)')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+    ax_f2log_idf = "ln(((SELECT n FROM st) + 1.0) / dfreq.df)"
+    o["ft_ax_f2log_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'greatest({ax_tfln} * {ax_f2log_idf}, 0.0)')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID2}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
     )

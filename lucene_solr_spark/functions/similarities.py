@@ -47,6 +47,8 @@ __all__ = [
     "DFRInL2Similarity",
     "DFIChiSquaredSimilarity",
     "IBLLSimilarity",
+    "AxiomaticF2EXPSimilarity",
+    "AxiomaticF2LOGSimilarity",
 ]
 
 # Java SimilarityBase.log2 divides by a precomputed Math.log(2)
@@ -241,3 +243,59 @@ class IBLLSimilarity(Similarity):
         tfn = tfs.astype(np.float64) * (np.log(1.0 + self.c * self._avgdl / dl) / _LOG_2)
         s = w1 * -np.log(w2 / (tfn + w2))
         return s.astype(np.float32)
+
+
+class _AxiomaticF2(Similarity):
+    """Axiomatic retrieval, F2 family (``Axiomatic.java:104-112``): per-doc
+    ``score_d = tf · ln · tfln · idf − gamma`` with tf = ln = 1, gamma = 0 and
+    ``tfln = freq/(freq + s + s·dl/avgdl)`` (``AxiomaticF2EXP.java:78``,
+    ``AxiomaticF2LOG.java:70``); then ``score_d *= boost`` and
+    ``max(0, score_d)``, float32 cast at the end (``SimilarityBase.java:228``).
+    Defaults s=0.25, k=0.35 (``Axiomatic.java:99-101``); ``dl =
+    byte4ToInt(norm)`` via LENGTH_TABLE, ``avgdl = sumTotalTermFreq/docCount``
+    in double.  idf is a per-term constant folded into ``w1 = boost·idf``
+    (exact for boost = 1; multiplication is commutative in IEEE-754).
+    Monotone ↑tf / ↓dl ⇒ block-max pruning sound."""
+
+    def __init__(self, s: float = 0.25):
+        if not (0.0 <= s <= 1.0):
+            raise ValueError("s must be within [0, 1]")
+        self.s = float(np.float32(s))
+        self._length_table = _length_table()
+
+    def _idf(self, df, doc_count):
+        raise NotImplementedError
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        avgdl = float(sum_ttf) / float(doc_count)
+        return (float(boost) * float(self._idf(df, doc_count)), avgdl)
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        f = tfs.astype(np.float64)
+        tfln = f / (f + self.s + self.s * dl / w2)
+        return np.maximum(w1 * tfln, 0.0).astype(np.float32)
+
+
+class AxiomaticF2EXPSimilarity(_AxiomaticF2):
+    """F2EXP: ``idf = pow((N+1)/df, k)`` (``AxiomaticF2EXP.java:86``)."""
+
+    name = "axiomatic_f2exp"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        super().__init__(s)
+        if not (0.0 <= k <= 1.0):
+            raise ValueError("k must be within [0, 1]")
+        self.k = float(np.float32(k))
+
+    def _idf(self, df, doc_count):
+        return np.power((doc_count + 1.0) / float(df), self.k)
+
+
+class AxiomaticF2LOGSimilarity(_AxiomaticF2):
+    """F2LOG: ``idf = ln((N+1)/df)`` (``AxiomaticF2LOG.java:78``)."""
+
+    name = "axiomatic_f2log"
+
+    def _idf(self, df, doc_count):
+        return np.log((doc_count + 1.0) / float(df))

@@ -225,6 +225,50 @@ def test_dfi_chi2_term(index8, spark_corpus, corpus_stats):
             assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
 
 
+def _ax_f2_score(tf, df_t, norm_byte, n_docs, sttf, idf, s=0.25):
+    avgdl = float(sttf) / float(n_docs)
+    dl = float(byte4_to_int(np.array([norm_byte]))[0])
+    tfln = tf / (tf + s + s * dl / avgdl)
+    return np.float32(max(tfln * idf, 0.0))
+
+
+def test_axiomatic_f2exp_term(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.functions.similarities import AxiomaticF2EXPSimilarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    k = float(np.float32(0.35))
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=AxiomaticF2EXPSimilarity())
+    for term in (hot[0], hot[2]):
+        idf = math.pow((n_docs + 1.0) / df[term], k)
+        expect = {
+            d: float(_ax_f2_score(f, df[term], norm[d], n_docs, sttf, idf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
+
+
+def test_axiomatic_f2log_term(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.functions.similarities import AxiomaticF2LOGSimilarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=AxiomaticF2LOGSimilarity())
+    for term in (hot[0], hot[2]):
+        idf = math.log((n_docs + 1.0) / df[term])
+        expect = {
+            d: float(_ax_f2_score(f, df[term], norm[d], n_docs, sttf, idf))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
+
+
 def test_ib_ll_term(index8, spark_corpus, corpus_stats):
     from lucene_solr_spark.functions.similarities import IBLLSimilarity
 
