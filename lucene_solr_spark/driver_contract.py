@@ -41,7 +41,9 @@ from .operators.searcher import IndexSearcher
 from .plans.parser import parse_query
 from .plans.query import (
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FieldRangeQuery,
     FieldTermQuery,
@@ -561,6 +563,18 @@ def ft_queries() -> dict:
     q["ft_ib_ll_topk"] = _sim_search_q(TermQuery(MID), IBLLSimilarity)
     q["ft_ax_f2exp_topk"] = _sim_search_q(TermQuery(HOT2), AxiomaticF2EXPSimilarity)
     q["ft_ax_f2log_topk"] = _sim_search_q(TermQuery(MID2), AxiomaticF2LOGSimilarity)
+
+    # CommonTermsQuery (queries/CommonTermsQuery.java): df-classified groups —
+    # the ~78%-df terms land in the optional high-frequency group, RARE (5%)
+    # in the required low-frequency group
+    q["ft_common_terms"] = _search_q(
+        CommonTermsQuery((HOT, HOT2, MID, RARE), max_term_frequency=0.5)
+    )
+    # CoveringQuery (sandbox/search/CoveringQuery.java): per-doc minimum
+    # clause count from a LongValuesSource (here n_chars % 2 + 1)
+    q["ft_covering"] = _search_q(
+        CoveringQuery((TermQuery(HOT), TermQuery(HOT2), TermQuery(MID)), "n_chars % 2 + 1")
+    )
     return q
 
 
@@ -1277,5 +1291,49 @@ def ft_oracle_sql() -> dict:
             f"WHERE tf.term = '{MID2}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # CommonTermsQuery: dynamic df classification against the same threshold
+    # the engine computes — ceil(f32(0.5) * f32(maxDoc)) (CommonTermsQuery.
+    # java:160-163) — then score = f32( f64(f32 low-group sum) + f64(f32
+    # high-group sum if matched) ): the MUST(low)+SHOULD(high) boolean chain
+    ct_terms = f"('{HOT}', '{HOT2}', '{MID}', '{RARE}')"
+    ct_thr = (
+        "CAST(ceil(CAST(CAST(CAST(0.5 AS REAL) * CAST((SELECT n FROM st) AS REAL) AS REAL) AS DOUBLE)) AS BIGINT)"
+    )
+    ct_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    ct_score = _R(f"{_idf('qt.df')} * {ct_t32}")
+    o["ft_common_terms"] = _with(
+        [
+            f"qt AS (SELECT term, df, CASE WHEN df > {ct_thr} THEN 1 ELSE 0 END AS hi "
+            f"FROM dfreq WHERE term IN {ct_terms})",
+            f"ctsc AS (SELECT tf.doc_id AS doc_id, qt.hi AS hi, {ct_score} AS score "
+            f"FROM tf JOIN qt USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id)",
+            f"lo AS (SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score FROM ctsc WHERE hi = 0 GROUP BY doc_id)",
+            f"hig AS (SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score FROM ctsc WHERE hi = 1 GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            f"SELECT lo.doc_id AS doc_id, "
+            f"{_R(_D('lo.score') + ' + coalesce(' + _D('hig.score') + ', 0.0)')} AS score "
+            "FROM lo LEFT JOIN hig ON lo.doc_id = hig.doc_id"
+        ),
+    )
+
+    # CoveringQuery: n_match >= max(1, n_chars % 2 + 1), score = sum of
+    # matching clauses (f32 leaves, double sum, f32 cast)
+    cv_score = _R(f"{_idf('dfreq.df')} * {ct_t32}")
+    o["ft_covering"] = _with(
+        [
+            f"cvsc AS (SELECT tf.doc_id AS doc_id, {cv_score} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term IN ('{HOT}', '{HOT2}', '{MID}'))",
+            f"cva AS (SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score, count(*) AS n_match "
+            "FROM cvsc GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            "SELECT cva.doc_id AS doc_id, cva.score AS score FROM cva "
+            "JOIN documents d ON cva.doc_id = d.doc_id "
+            "WHERE cva.n_match >= greatest(1, d.n_chars % 2 + 1)"
+        ),
     )
     return o

@@ -52,7 +52,9 @@ from ..functions.codec import unpack_blocks
 from ..plans.query import (
     BooleanQuery,
     BoostQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FieldRangeQuery,
     FieldTermQuery,
@@ -1008,7 +1010,92 @@ class IndexSearcher:
             return child.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
         if isinstance(q, DisjunctionMaxQuery):
             return self._eval_dismax(q, boost, stats)
+        if isinstance(q, CommonTermsQuery):
+            return self._evaluate(self._rewrite_common_terms(q, stats), boost * q.boost, stats)
+        if isinstance(q, CoveringQuery):
+            return self._eval_covering(q, boost, stats)
         raise NotImplementedError(type(q).__name__)
+
+    @staticmethod
+    def _common_terms_mm(m: float, num_optional: int) -> int:
+        """minNrShouldMatch resolution (CommonTermsQuery.java:143-149):
+        values >= 1 or == 0 are absolute; fractions resolve to
+        Math.round(m * numOptional) with the product in float32."""
+        if m >= 1.0 or m == 0.0:
+            return int(m)
+        return int(np.floor(np.float32(m) * np.float32(num_optional) + np.float32(0.5)))
+
+    def _rewrite_common_terms(self, q: CommonTermsQuery, stats: dict) -> Query:
+        """buildQuery (CommonTermsQuery.java:152-209): classify each term by
+        docFreq — high iff (maxTF >= 1 and df > maxTF) or df >
+        ceil(f32(maxTF) * f32(maxDoc)) — then low-frequency terms form one
+        required group and high-frequency terms one optional group.  An
+        all-high query falls back to a conjunction."""
+        if q.low_freq_occur == "MUST_NOT" or q.high_freq_occur == "MUST_NOT":
+            raise ValueError("lowFreqOccur/highFreqOccur must be MUST or SHOULD")
+        terms = list(q.query_terms)
+        if not terms:
+            return MatchNoDocsQuery()
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        mtf = float(q.max_term_frequency)
+        thr = int(math.ceil(float(np.float32(np.float32(mtf) * np.float32(self.index.doc_count)))))
+        low, high = [], []
+        for t in terms:
+            if t not in stats:
+                low.append(TermQuery(t))  # absent term: null TermStates -> low
+                continue
+            df = stats[t][0]
+            if (mtf >= 1.0 and df > mtf) or df > thr:
+                high.append(TermQuery(t))
+            else:
+                low.append(TermQuery(t))
+        low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+        low_mm = self._common_terms_mm(q.low_freq_min_should_match, len(low)) if (
+            low_occur == "SHOULD" and low
+        ) else 0
+        high_mm = self._common_terms_mm(q.high_freq_min_should_match, len(high)) if (
+            high_occur == "SHOULD" and high
+        ) else 0
+        if not low and high_mm == 0 and high_occur != "MUST":
+            high_occur = "MUST"  # all-high rewrites to a conjunction
+
+        def group(qs, occur, mm):
+            if occur == "MUST":
+                return BooleanQuery.build(must=qs)
+            return BooleanQuery.build(should=qs, minimum_should_match=mm)
+
+        must_clauses = [group(low, low_occur, low_mm)] if low else []
+        should_clauses = [group(high, high_occur, high_mm)] if high else []
+        return BooleanQuery.build(must=must_clauses, should=should_clauses)
+
+    def _eval_covering(self, q: CoveringQuery, boost: float, stats: dict) -> DataFrame:
+        """CoveringScorer: per-doc minimum match count from a corpus
+        expression; score = double sum of the matching sub-queries' float32
+        scores, float32 cast (CoveringScorer.java sum over subScorers)."""
+        if not q.queries:
+            return self._empty()
+        if len(q.queries) > MAX_CLAUSE_COUNT:
+            raise ValueError("too many clauses")
+        if self.corpus is None:
+            raise ValueError("CoveringQuery requires a searcher bound to a corpus")
+        parts = [self._evaluate(sub, boost, stats).select("doc_id", "score") for sub in q.queries]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum(F.col("score").cast("double")).alias("dscore"),
+            F.count(F.lit(1)).alias("n_match"),
+        )
+        mm = self.corpus.select(
+            F.col(self.index.config.id_col).cast("long").alias("doc_id"),
+            F.expr(q.min_match_expr).cast("long").alias("mm"),
+        ).filter(F.col("mm").isNotNull())
+        return (
+            agg.join(mm, "doc_id")
+            .filter(F.col("n_match") >= F.greatest(F.lit(1), F.col("mm")))
+            .select("doc_id", F.col("dscore").cast("float").alias("score"))
+        )
 
     # -------------------------------------------------------- pruned paths
     def _pruned_or_terms(self, term_boosts: dict, k: int, stats: dict) -> Optional[DataFrame]:

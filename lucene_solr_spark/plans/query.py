@@ -354,6 +354,48 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """CommonTermsQuery (reference ``lucene/queries/src/java/org/apache/
+    lucene/queries/CommonTermsQuery.java``): terms whose docFreq exceeds
+    ``max_term_frequency`` (a fraction of maxDoc, or an absolute count when
+    >= 1) form an optional high-frequency group; the rest form the required
+    low-frequency group, so stopword-like terms never drive matching.
+    Rewritten against index stats at evaluation time (``rewrite`` /
+    ``buildQuery``, CommonTermsQuery.java:120-209)."""
+
+    query_terms: tuple = ()
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = "SHOULD"  # MUST_NOT rejected, as in the reference
+    high_freq_occur: str = "SHOULD"
+    low_freq_min_should_match: float = 0.0
+    high_freq_min_should_match: float = 0.0
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.query_terms)
+
+
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """CoveringQuery (reference ``lucene/sandbox/src/java/org/apache/lucene/
+    search/CoveringQuery.java``): matches documents where at least
+    ``max(1, minimumNumberMatch(doc))`` of the sub-queries match; the score is
+    the sum of the matching sub-queries' scores (CoveringScorer).  The
+    per-document minimum comes from a LongValuesSource — here an ANSI-SQL
+    expression over corpus columns (rows where it is NULL never match)."""
+
+    queries: tuple = ()
+    min_match_expr: str = "1"
+    boost: float = 1.0
+
+    def terms(self):
+        out = set()
+        for q in self.queries:
+            out |= q.terms()
+        return out
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: str  # 'MUST' | 'SHOULD' | 'MUST_NOT' | 'FILTER'
