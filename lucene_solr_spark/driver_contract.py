@@ -575,6 +575,21 @@ def ft_queries() -> dict:
     q["ft_covering"] = _search_q(
         CoveringQuery((TermQuery(HOT), TermQuery(HOT2), TermQuery(MID)), "n_chars % 2 + 1")
     )
+
+    def ft_terms_enum(spark, sf_dir):
+        """TermsComponent: dictionary enumeration, count order, mincount."""
+        s = doc_searcher(spark, sf_dir)
+        return s.terms_enum(prefix="s", min_count=2, sort="count", limit=15)
+
+    q["ft_terms_enum"] = ft_terms_enum
+
+    def ft_term_vectors(spark, sf_dir):
+        """TermVectorComponent / Lucene50TermVectorsFormat: (term, tf) vector
+        of three stored documents."""
+        s = doc_searcher(spark, sf_dir)
+        return s.term_vectors([7, 42, 123]).orderBy("doc_id", "term")
+
+    q["ft_term_vectors"] = ft_term_vectors
     return q
 
 
@@ -1335,5 +1350,16 @@ def ft_oracle_sql() -> dict:
             "JOIN documents d ON cva.doc_id = d.doc_id "
             "WHERE cva.n_match >= greatest(1, d.n_chars % 2 + 1)"
         ),
+    )
+
+    o["ft_terms_enum"] = _with(
+        [],
+        "SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
+        "WHERE term LIKE 's%' AND df >= 2 ORDER BY df DESC, term ASC LIMIT 15",
+    )
+    o["ft_term_vectors"] = _with(
+        [],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf "
+        "FROM tf WHERE doc_id IN (7, 42, 123) ORDER BY doc_id, term",
     )
     return o
