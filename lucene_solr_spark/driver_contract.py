@@ -90,6 +90,17 @@ def doc_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return _INDEX_CACHE[key]
 
 
+def alt_searcher(spark: SparkSession, sf_dir: str, tag: str, analyzer) -> IndexSearcher:
+    """Secondary `documents` index under a different analysis chain
+    (shingles / synonyms), cached per (tag, sf_dir)."""
+    key = ("documents", sf_dir, tag)
+    if key not in _INDEX_CACHE:
+        corpus = doc_searcher(spark, sf_dir).corpus  # shares the persisted corpus
+        idx = build_index(corpus, IndexConfig(analyzer=analyzer, n_partitions=8)).persist()
+        _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+    return _INDEX_CACHE[key]
+
+
 def _ranked(top_df: DataFrame) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top_df.select(F.row_number().over(w).cast("int").alias("rank"), F.col("doc_id").cast("long"))
@@ -590,6 +601,27 @@ def ft_queries() -> dict:
         return s.term_vectors([7, 42, 123]).orderBy("doc_id", "term")
 
     q["ft_term_vectors"] = ft_term_vectors
+
+    def ft_shingle_topk(spark, sf_dir):
+        """ShingleFilter(2,2)+unigrams index: BM25 top-10 for a word-bigram
+        term (the shingle 'scan merge'); field length counts unigrams only
+        (shingles are posIncr-0 overlaps, discountOverlaps)."""
+        from lucene_solr_spark.functions.analysis import shingle_analyzer
+
+        s = alt_searcher(spark, sf_dir, "shingle", shingle_analyzer())
+        return _ranked(s.search(TermQuery(f"{HOT} {HOT2}"), 10).df)
+
+    q["ft_shingle_topk"] = ft_shingle_topk
+
+    def ft_synmap_topk(spark, sf_dir):
+        """SynonymGraphFilter replace-mode index ('sort => key' rule applied
+        at index AND query time): BM25 top-10 for the merged term."""
+        from lucene_solr_spark.functions.analysis import synonym_analyzer
+
+        s = alt_searcher(spark, sf_dir, "synmap", synonym_analyzer({MID2: MID}))
+        return _ranked(s.search(TermQuery(MID), 10).df)
+
+    q["ft_synmap_topk"] = ft_synmap_topk
     return q
 
 
@@ -1361,5 +1393,41 @@ def ft_oracle_sql() -> dict:
         [],
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf "
         "FROM tf WHERE doc_id IN (7, 42, 123) ORDER BY doc_id, term",
+    )
+
+    # shingle index: bigram tf/df from positional self-join; dl / avgdl are
+    # the unigram field length (overlap tokens discounted on both sides —
+    # see Analyzer.shingles docstring)
+    o["ft_shingle_topk"] = _with(
+        [
+            tokp,
+            f"btf AS (SELECT a.doc_id AS doc_id, count(*) AS tf FROM tokp a "
+            f"JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            f"WHERE a.term = '{HOT}' AND b.term = '{HOT2}' GROUP BY a.doc_id)",
+            "bdf AS (SELECT count(*) AS df FROM btf)",
+            f"sc AS (SELECT btf.doc_id AS doc_id, "
+            + _R(
+                _idf("(SELECT df FROM bdf)")
+                + " * "
+                + _R(f"btf.tf / (btf.tf + {_D(_CACHE)})")
+            )
+            + " AS score FROM btf JOIN dlq ON btf.doc_id = dlq.doc_id)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # synonym replace-mode index: remap the token stream, recompute tf/df for
+    # the merged term; dl is invariant under a 1:1 token map
+    syn_map_t32 = _R(f"stf.tf / (stf.tf + {_D(_CACHE)})")
+    o["ft_synmap_topk"] = _with(
+        [
+            f"stok AS (SELECT doc_id, CASE WHEN term = '{MID2}' THEN '{MID}' ELSE term END AS term FROM tok)",
+            f"stf AS (SELECT doc_id, count(*) AS tf FROM stok WHERE term = '{MID}' GROUP BY doc_id)",
+            "sdf AS (SELECT count(*) AS df FROM stf)",
+            f"sc AS (SELECT stf.doc_id AS doc_id, "
+            + _R(_idf("(SELECT df FROM sdf)") + " * " + syn_map_t32)
+            + " AS score FROM stf JOIN dlq ON stf.doc_id = dlq.doc_id)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
     )
     return o

@@ -41,6 +41,8 @@ __all__ = [
     "english_analyzer",
     "english_analyzer_porter",
     "cjk_analyzer",
+    "shingle_analyzer",
+    "synonym_analyzer",
     "ENGLISH_STOP_WORDS",
 ]
 
@@ -95,6 +97,33 @@ class Analyzer:
     # a lone CJK char emits a unigram (the filter's SINGLE_TYPE fallback).
     # Requires a script-splitting pattern (use :func:`cjk_analyzer`).
     cjk_bigrams: bool = False
+    # SynonymGraphFilter in single-token replace mode (``reference lucene/
+    # analysis/common/src/java/org/apache/lucene/analysis/synonym/
+    # SynonymGraphFilter.java`` with SolrSynonymParser `a => b` rules,
+    # keepOrig = false): each token is rewritten through the map AFTER the
+    # stop/stem filters; positions and field length are unchanged (1:1).
+    # Tuple of (token, replacement) pairs (hashable for the frozen dataclass).
+    token_map: tuple = ()
+    # ShingleFilter (``reference lucene/analysis/common/src/java/org/apache/
+    # lucene/analysis/shingle/ShingleFilter.java``) with min=max=2 and
+    # outputUnigrams: each adjacent token pair additionally emits the
+    # space-joined word bigram at the FIRST token's position (posIncrement 0,
+    # i.e. an overlap token — it does not count toward the BM25 field length,
+    # matching discountOverlaps norm semantics).  Only hole-free chains are
+    # supported (no stopwords / overlong-token skips): the reference inserts
+    # '_' filler tokens across holes, which we do not model.  DEVIATION from
+    # Lucene: our sumTotalTermFreq (hence avgdl) also excludes the overlap
+    # tokens, keeping per-doc and collection length on the same definition;
+    # Lucene derives sumTotalTermFreq from postings so shingles inflate its
+    # avgdl while norms discount them.
+    shingles: bool = False
+
+    def __post_init__(self):
+        if self.shingles and (self.stopwords or self.max_token_length):
+            raise ValueError(
+                "shingles require a hole-free chain (no stopwords, "
+                "max_token_length=0); filler tokens are not modeled"
+            )
 
     def _expand_cjk(self, tok: str) -> list[str]:
         if not _CJK_RUN_RE.match(tok) or len(tok) == 1:
@@ -126,6 +155,9 @@ class Analyzer:
             return s_stem(tok)
         return tok
 
+    def _syn_map(self) -> dict:
+        return dict(self.token_map)
+
     def tokens(self, text: str) -> list[str]:
         """Analyze one string (driver-side / query normalization path)."""
         if text is None:
@@ -145,6 +177,11 @@ class Analyzer:
             if tok in self.stopwords:
                 continue
             out.append(self._stem(tok))
+        if self.token_map:
+            m = self._syn_map()
+            out = [m.get(t, t) for t in out]
+        if self.shingles:
+            out = out + [f"{a} {b}" for a, b in zip(out, out[1:])]
         return out
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -167,6 +204,17 @@ class Analyzer:
             if tok in self.stopwords:
                 continue
             out.append((self._stem(tok), pos))
+        if self.token_map:
+            m = self._syn_map()
+            out = [(m.get(t, t), p) for t, p in out]
+        if self.shingles:
+            # shingle at the first token's position, emitted after its unigram
+            merged = []
+            for i, (t, p) in enumerate(out):
+                merged.append((t, p))
+                if i + 1 < len(out):
+                    merged.append((f"{t} {out[i + 1][0]}", p))
+            out = merged
         return out
 
     def analyze_batch(self, texts: pd.Series):
@@ -236,7 +284,26 @@ class Analyzer:
         if self.stemmer is not None and flat.size:
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             flat = np.array([self._stem(u) for u in uniques], dtype=object)[codes]
+        if self.token_map and flat.size:
+            m = self._syn_map()
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([m.get(u, u) for u in uniques], dtype=object)[codes]
+        # field length BEFORE shingle expansion: shingles are posIncrement-0
+        # overlap tokens and do not count (discountOverlaps)
         dl = np.bincount(row_index, minlength=n_rows).astype(np.int64)
+        if self.shingles and flat.size > 1:
+            adj = (row_index[1:] == row_index[:-1]) & (positions[1:] == positions[:-1] + 1)
+            if adj.any():
+                left = pd.Series(flat[:-1][adj], dtype=object)
+                right = pd.Series(flat[1:][adj], dtype=object)
+                big = left.str.cat(right, sep=" ").to_numpy(dtype=object)
+                flat = np.concatenate([flat, big])
+                row_index = np.concatenate([row_index, row_index[:-1][adj]])
+                positions = np.concatenate([positions, positions[:-1][adj]])
+                # restore document order; stable lexsort keeps each unigram
+                # ahead of the shingle sharing its (row, position)
+                order = np.lexsort((positions, row_index))
+                flat, row_index, positions = flat[order], row_index[order], positions[order]
         return flat, row_index, dl, positions
 
     # ------------------------------------------------- encoded (hot) path
@@ -273,7 +340,7 @@ class Analyzer:
         """Vectorized ASCII tokenizer; None when the batch needs the regex
         fallback (non-ASCII text, NUL bytes, unsupported pattern, or a kept
         token longer than the fixed-width dictionary bound)."""
-        if self.strip_possessive or self.stemmer is not None:
+        if self.strip_possessive or self.stemmer is not None or self.token_map or self.shingles:
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
             apostrophe_joins = True
@@ -398,6 +465,25 @@ def simple_analyzer() -> Analyzer:
     ``regexp_extract_all(lower(text), '[a-z0-9]+')`` — used for the DuckDB
     oracle parity path."""
     return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0)
+
+
+def shingle_analyzer() -> Analyzer:
+    """ShingleAnalyzerWrapper analog (``reference lucene/analysis/common/
+    .../shingle/ShingleAnalyzerWrapper.java``): the oracle-parity simple
+    chain plus 2-gram word shingles with unigrams."""
+    return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0, shingles=True)
+
+
+def synonym_analyzer(rules: dict) -> Analyzer:
+    """SynonymGraphFilter (replace mode, SolrSynonymParser `a => b` rules)
+    on the oracle-parity simple chain."""
+    return Analyzer(
+        pattern=_SIMPLE_PATTERN,
+        lowercase=True,
+        stopwords=frozenset(),
+        max_token_length=0,
+        token_map=tuple(sorted(rules.items())),
+    )
 
 
 def cjk_analyzer() -> Analyzer:

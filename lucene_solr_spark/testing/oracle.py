@@ -49,7 +49,10 @@ class OracleEngine:
         for doc_id, text in docs:
             toks = analyzer.tokens_with_positions(text)
             self.texts[doc_id] = text
-            dl = len(toks)
+            # field length counts positions, not tokens: overlap tokens
+            # (shingles) share their head token's position and are discounted
+            # (FieldInvertState numOverlap / discountOverlaps)
+            dl = len({p for _, p in toks})
             dl_sum += dl
             n += 1
             self.norm[doc_id] = int(int_to_byte4(np.int64(dl)))
