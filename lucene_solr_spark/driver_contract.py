@@ -622,6 +622,13 @@ def ft_queries() -> dict:
         return _ranked(s.search(TermQuery(MID), 10).df)
 
     q["ft_synmap_topk"] = ft_synmap_topk
+
+    def ft_phonetic(spark, sf_dir):
+        """PhoneticFilter(Soundex): dictionary terms sounding like 'scann'."""
+        s = doc_searcher(spark, sf_dir)
+        return s.phonetic_terms("scann", 10)
+
+    q["ft_phonetic"] = ft_phonetic
     return q
 
 
@@ -1429,5 +1436,16 @@ def ft_oracle_sql() -> dict:
             + " AS score FROM stf JOIN dlq ON stf.doc_id = dlq.doc_id)",
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # phonetic: the SAME Soundex rewrite system replayed in SQL (both engines
+    # run the identical substitution schedule — see functions/phonetic.py)
+    from .functions.phonetic import soundex_sql_expr
+
+    o["ft_phonetic"] = _with(
+        [],
+        f"SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
+        f"WHERE {soundex_sql_expr('term')} = {soundex_sql_expr(chr(39) + 'scann' + chr(39))} "
+        "ORDER BY df DESC, term ASC LIMIT 10",
     )
     return o

@@ -1820,6 +1820,31 @@ class IndexSearcher:
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
 
+    def phonetic_terms(self, word: str, n: int = 10) -> DataFrame:
+        """PhoneticFilter with the Soundex encoder (``reference lucene/
+        analysis/phonetic/.../PhoneticFilter.java``; PhoneticFilterFactory
+        ``encoder="Soundex"``): dictionary terms sharing the query word's
+        Soundex code, most frequent first.  The code column is computed by a
+        vectorized pandas UDF over the terms table — at scale this is one
+        narrow scan of the dictionary, never of postings."""
+        from ..functions.phonetic import soundex, soundex_batch
+
+        target = soundex(word)
+        if not target:
+            return self.spark.createDataFrame([], "term string, df bigint")
+
+        @F.pandas_udf("string")
+        def code_udf(t: pd.Series) -> pd.Series:
+            return pd.Series(soundex_batch(t), dtype=object)
+
+        return (
+            self.index.terms.withColumn("_code", code_udf(F.col("term")))
+            .filter(F.col("_code") == target)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", F.col("df").cast("long"))
+        )
+
     def term_vectors(self, doc_ids: list) -> DataFrame:
         """Term vectors for k documents (``reference lucene/core/src/java/org/
         apache/lucene/codecs/lucene50/Lucene50TermVectorsFormat.java``; Solr
