@@ -869,6 +869,108 @@ class IndexSearcher:
             cond = cond & (F.col("ns") >= mm)
         return agg.filter(cond).select("doc_id", F.col("dscore").cast("float").alias("score"))
 
+    def _eval_boolean_nested_single_scan(
+        self, must, should, must_not, mm: int, boost: float, stats: dict
+    ) -> Optional[DataFrame]:
+        """Single-postings-scan evaluation when clauses are flat terms OR
+        un-boosted one-level BooleanQuery groups of flat terms — the
+        CommonTermsQuery rewrite and ``(a OR b) AND (c OR d)`` shapes.
+
+        Per-unit conditional aggregates over ONE scan give each group its
+        count and double-sum; the projection applies the reference float
+        chain — each group's score rounds to float32 at the group boundary
+        (its BooleanScorer returns float), the top level sums those in
+        double and casts once more (BooleanWeight) — so nesting is
+        bit-identical to evaluating each group separately, at one shuffle
+        instead of one per group."""
+        units = []  # (occur, [(term, boost)], is_must_group, group_mm, is_singleton)
+
+        def flatten_group(g: BooleanQuery):
+            if g.by_occur("MUST_NOT") or g.by_occur("FILTER"):
+                return None
+            g_must, g_should = g.by_occur("MUST"), g.by_occur("SHOULD")
+            if (g_must and g_should) or not (g_must or g_should):
+                return None
+            leaves = []
+            for s_ in g_must or g_should:
+                ft = self._flat_term(s_, 1.0)
+                if ft is None:
+                    return None
+                leaves.append(ft)
+            return leaves, bool(g_must), (0 if g_must else max(1, g.minimum_should_match))
+
+        any_group = False
+        for occur, qs in (("MUST", must), ("SHOULD", should), ("MUST_NOT", must_not)):
+            b = boost if occur != "MUST_NOT" else 1.0
+            for sub in qs:
+                ft = self._flat_term(sub, b)
+                if ft is not None:
+                    units.append((occur, [ft], False, 1, True))
+                    continue
+                if not isinstance(sub, BooleanQuery):
+                    return None
+                fg = flatten_group(sub)
+                if fg is None:
+                    return None
+                leaves, is_must_group, g_mm = fg
+                units.append((occur, [(t, bb * b) for t, bb in leaves], is_must_group, g_mm, False))
+                any_group = True
+        if not any_group:
+            return None  # the flat fast path owns this shape
+        all_terms = [t for _, leaves, _, _, _ in units for t, _ in leaves]
+        if len(set(all_terms)) != len(all_terms):
+            return None
+
+        # resolve present terms; absent terms make MUST groups unmatchable
+        resolved = []
+        for occur, leaves, is_must_group, g_mm, is_singleton in units:
+            present = [(t, bb) for t, bb in leaves if t in stats]
+            dead = (is_must_group and len(present) < len(leaves)) or (
+                not is_must_group and len(present) < max(1, g_mm)
+            )
+            if dead:
+                if occur == "MUST":
+                    return self._empty()
+                continue  # unmatchable SHOULD / MUST_NOT unit: drop entirely
+            resolved.append((occur, present, is_must_group, g_mm))
+        if not any(occ in ("MUST", "SHOULD") for occ, *_ in resolved):
+            return self._empty()
+
+        weights = {t: self._leaf_w(bb, t, stats) for _, present, _, _ in resolved for t, bb in present}
+        scored = self._scored_postings(weights)
+        aggs = []
+        for i, (_, present, _, _) in enumerate(resolved):
+            terms_i = [t for t, _ in present]
+            aggs.append(
+                F.sum(F.when(F.col("term").isin(terms_i), F.col("score").cast("double"))).alias(f"s{i}")
+            )
+            aggs.append(F.count(F.when(F.col("term").isin(terms_i), F.lit(1))).alias(f"c{i}"))
+        agg = scored.groupBy("doc_id").agg(*aggs)
+
+        matched = []
+        for i, (occur, present, is_must_group, g_mm) in enumerate(resolved):
+            if is_must_group:
+                matched.append(F.col(f"c{i}") == len(present))
+            else:
+                matched.append(F.col(f"c{i}") >= max(1, g_mm))
+        cond = F.lit(True)
+        ns = F.lit(0)
+        score = F.lit(0.0)
+        for i, (occur, *_rest) in enumerate(resolved):
+            if occur == "MUST":
+                cond = cond & matched[i]
+            elif occur == "MUST_NOT":
+                cond = cond & ~matched[i]
+            if occur in ("MUST", "SHOULD"):
+                # group boundary: float32 round of the group's double sum
+                g32 = F.col(f"s{i}").cast("float").cast("double")
+                score = score + F.when(matched[i], g32).otherwise(F.lit(0.0))
+            if occur == "SHOULD":
+                ns = ns + F.when(matched[i], F.lit(1)).otherwise(F.lit(0))
+        if mm > 0:
+            cond = cond & (ns >= mm)
+        return agg.filter(cond).select("doc_id", score.cast("float").alias("score"))
+
     def _eval_boolean(self, q: BooleanQuery, boost: float, stats: dict) -> DataFrame:
         must = q.by_occur("MUST")
         should = q.by_occur("SHOULD")
@@ -882,6 +984,8 @@ class IndexSearcher:
 
         if must or should:
             fast = self._eval_boolean_terms_single_scan(must, should, must_not, mm, boost, stats)
+            if fast is None:
+                fast = self._eval_boolean_nested_single_scan(must, should, must_not, mm, boost, stats)
             if fast is not None:
                 for sub in filters:
                     fast = fast.join(self.cached_filter(sub), "doc_id", "left_semi")
@@ -1079,10 +1183,19 @@ class IndexSearcher:
             raise ValueError("too many clauses")
         if self.corpus is None:
             raise ValueError("CoveringQuery requires a searcher bound to a corpus")
-        parts = [self._evaluate(sub, boost, stats).select("doc_id", "score") for sub in q.queries]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+        # single-scan fast path for all-term clauses (same plan rationale as
+        # _eval_boolean_terms_single_scan: one postings scan, one shuffle)
+        leaves = [self._flat_term(sub, boost) for sub in q.queries]
+        if all(l is not None for l in leaves) and len({t for t, _ in leaves}) == len(leaves):
+            weights = {t: self._leaf_w(b, t, stats) for t, b in leaves if t in stats}
+            if not weights:
+                return self._empty()
+            u = self._scored_postings(weights).select("doc_id", "score")
+        else:
+            parts = [self._evaluate(sub, boost, stats).select("doc_id", "score") for sub in q.queries]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
         agg = u.groupBy("doc_id").agg(
             F.sum(F.col("score").cast("double")).alias("dscore"),
             F.count(F.lit(1)).alias("n_match"),

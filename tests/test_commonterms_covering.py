@@ -114,6 +114,42 @@ def test_covering_per_doc_minimum(searcher, oracle, fixture_corpus_pdf):
     assert top == got
 
 
+def test_covering_slow_path_with_group_clause(searcher, oracle):
+    """A non-term clause (boolean group) forces the general union path;
+    results must agree with per-clause oracle evaluation."""
+    hot, rare = _hot_and_rare(oracle)
+    grp = BooleanQuery.build(should=[TermQuery(hot[1]), TermQuery(rare)])
+    q = CoveringQuery((TermQuery(hot[0]), grp), "1")
+
+    import numpy as np
+
+    clause_scores = [oracle._evaluate(TermQuery(hot[0]), 1.0), oracle._evaluate(grp, 1.0)]
+    agg: dict = {}
+    for scores in clause_scores:
+        for d, s in scores.items():
+            tot, n = agg.get(d, (0.0, 0))
+            agg[d] = (tot + float(s), n + 1)
+    expect = {d: float(np.float32(tot)) for d, (tot, n) in agg.items() if n >= 1}
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = searcher.search(q, 10).collect()
+    assert top == got
+
+
+def test_nested_boolean_single_scan_rank_identity(searcher, oracle):
+    """(a OR b) AND (c OR d): the nested single-scan path must match the
+    oracle's general nested evaluation bit-for-bit."""
+    hot, rare = _hot_and_rare(oracle)
+    q = BooleanQuery.build(
+        must=[
+            BooleanQuery.build(should=[TermQuery(hot[0]), TermQuery(rare)]),
+            BooleanQuery.build(should=[TermQuery(hot[1]), TermQuery(hot[2])]),
+        ]
+    )
+    expect = oracle.search(q, 10)
+    got = searcher.search(q, 10).collect()
+    assert [(d, s) for d, s in expect] == got
+
+
 def test_covering_requires_at_least_one(searcher, oracle):
     """mm expression evaluating to 0 behaves as 1 (CoveringQuery javadoc)."""
     hot, _ = _hot_and_rare(oracle)

@@ -77,6 +77,22 @@ def test_collect_only_on_small_relations():
                 raise AssertionError(f"{path}:{i} collects postings rows")
 
 
+def test_covering_single_scan(spark, index8, spark_corpus, tmp_path_factory):
+    """All-term CoveringQuery: one postings decode + the tiny mm join."""
+    from lucene_solr_spark.operators.indexer import InvertedIndex
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import CoveringQuery
+
+    path = str(tmp_path_factory.mktemp("cv_index"))
+    index8.write(path)
+    s = IndexSearcher(InvertedIndex.read(spark, path, index8.config), spark_corpus)
+    cq = CoveringQuery((TermQuery("the"), TermQuery("of")), "1")
+    plan = _plan(s._evaluate(cq, 1.0, s._term_stats(cq.terms())))
+    # exactly one postings decode; the corpus-side add_ids MapInPandas (the
+    # fixture's doc-id assignment) is not a postings scan
+    assert plan.count("MapInPandas fn(term") == 1, plan
+
+
 def test_boolean_and_dismax_single_scan(spark, index8, tmp_path_factory):
     """A multi-clause all-term boolean (and dismax) must scan/decode the
     postings ONCE (one mapInPandas over one filtered parquet scan), not once
@@ -104,3 +120,14 @@ def test_boolean_and_dismax_single_scan(spark, index8, tmp_path_factory):
     plan = _plan(s._evaluate(dq, 1.0, s._term_stats(dq.terms())))
     assert plan.count("MapInPandas") == 1
     assert plan.count("Scan parquet") == 1
+
+    # nested groups — the CommonTermsQuery rewrite / (a OR b) AND (c OR d)
+    # shape — must also decode postings exactly once
+    nested = BooleanQuery.build(
+        must=[BooleanQuery.build(should=[TermQuery("the"), TermQuery("qeli")])],
+        should=[BooleanQuery.build(should=[TermQuery("and"), TermQuery("of")])],
+    )
+    plan = _plan(s._evaluate(nested, 1.0, s._term_stats(nested.terms())))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
