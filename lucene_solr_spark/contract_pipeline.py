@@ -509,6 +509,27 @@ def agg_queries() -> dict:
 
     q["agg_range_facet"] = agg_range_facet
 
+    def agg_range_other(spark, sf_dir):
+        """FacetRangeOther (reference solr/core/.../request/SimpleFacets /
+        RangeFacetProcessor `facet.range.other=all`): BEFORE / AFTER overflow
+        buckets plus the in-range width-100 buckets, all labeled in ONE scan
+        via a CASE expression — no second pass for the outliers."""
+        lab = (
+            F.when(F.col("value") < 100, F.lit("BEFORE"))
+            .when(F.col("value") >= 500, F.lit("AFTER"))
+            .otherwise(
+                F.concat(F.lit("b"), F.floor(F.col("value") / 100).cast("long").cast("string"))
+            )
+        )
+        return (
+            _events(spark, sf_dir)
+            .groupBy(lab.alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .orderBy("bucket")
+        )
+
+    q["agg_range_other"] = agg_range_other
+
     def agg_time_series(spark, sf_dir):
         """TimeSeriesStream analog: daily count + quantized sum."""
         return (
@@ -668,6 +689,12 @@ ORDER BY event_type, rank
 """
     o["agg_range_facet"] = """
 SELECT CAST(floor(value/100) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+    o["agg_range_other"] = """
+SELECT CASE WHEN value < 100 THEN 'BEFORE' WHEN value >= 500 THEN 'AFTER'
+       ELSE 'b' || CAST(CAST(floor(value/100) AS BIGINT) AS VARCHAR) END AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
 FROM events GROUP BY 1 ORDER BY bucket
 """
     o["agg_time_series"] = """

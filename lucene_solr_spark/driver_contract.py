@@ -629,6 +629,41 @@ def ft_queries() -> dict:
         return s.phonetic_terms("scann", 10)
 
     q["ft_phonetic"] = ft_phonetic
+
+    def ft_infix_suggest(spark, sf_dir):
+        """AnalyzingInfixSuggester: contains-match over the dictionary."""
+        s = doc_searcher(spark, sf_dir)
+        return s.infix_suggest("or", 10)
+
+    q["ft_infix_suggest"] = ft_infix_suggest
+
+    def ft_word_break(spark, sf_dir):
+        """WordBreakSpellChecker: split the run-on '{HOT}{HOT2}' at every
+        point where both halves are dictionary terms."""
+        s = doc_searcher(spark, sf_dir)
+        return s.word_break(HOT + HOT2, 5)
+
+    q["ft_word_break"] = ft_word_break
+
+    def ta_repetition(spark, sf_dir):
+        """Gopher-style within-doc repetition signals (training-data
+        filtering): duplicate-unigram and top-bigram fractions, 1e-6 fixed
+        point — pure codegen, shuffle-free."""
+        from lucene_solr_spark.functions.textstats import repetition_stats
+
+        docs = _load(spark, sf_dir, "documents")
+        return repetition_stats(docs).orderBy("doc_id")
+
+    q["ta_repetition"] = ta_repetition
+
+    def ft_frange(spark, sf_dir):
+        """FunctionRangeQuery / {!frange}: docs whose recip(n_chars) value
+        lies in [0.7, 0.9] — a pure Catalyst predicate."""
+        s = doc_searcher(spark, sf_dir)
+        out = s.frange("recip(n_chars,1,1000,1000)", 0.7, 0.9)
+        return out.select(F.col("doc_id").cast("long")).orderBy("doc_id").limit(30)
+
+    q["ft_frange"] = ft_frange
     return q
 
 
@@ -1447,5 +1482,51 @@ def ft_oracle_sql() -> dict:
         f"SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
         f"WHERE {soundex_sql_expr('term')} = {soundex_sql_expr(chr(39) + 'scann' + chr(39))} "
         "ORDER BY df DESC, term ASC LIMIT 10",
+    )
+
+    o["ft_infix_suggest"] = _with(
+        [],
+        "SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
+        "WHERE term LIKE '%or%' ORDER BY df DESC, term ASC LIMIT 10",
+    )
+
+    wb_word = HOT + HOT2
+    o["ft_word_break"] = _with(
+        [
+            f"parts AS (SELECT i, substr('{wb_word}', 1, i) AS a, substr('{wb_word}', i + 1) AS b "
+            f"FROM generate_series(1, {len(wb_word) - 1}) t(i))",
+            "wb AS (SELECT parts.i AS i, parts.a AS a, parts.b AS b, fa.df + fb.df AS freq_sum "
+            "FROM parts JOIN dfreq fa ON fa.term = parts.a JOIN dfreq fb ON fb.term = parts.b)",
+        ],
+        "SELECT a AS left_term, b AS right_term, CAST(freq_sum AS BIGINT) AS freq_sum "
+        "FROM wb ORDER BY freq_sum DESC, i ASC LIMIT 5",
+    )
+
+    # repetition stats: integer-exact re-derivation over the same token CTEs
+    o["ta_repetition"] = _with(
+        [
+            tokp,
+            "bgt AS (SELECT a.doc_id AS doc_id, a.term || ' ' || b.term AS bg "
+            "FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)",
+            "bgc AS (SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg FROM "
+            "(SELECT doc_id, bg, count(*) AS c FROM bgt GROUP BY doc_id, bg) GROUP BY doc_id)",
+            "uni AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique "
+            "FROM tok GROUP BY doc_id)",
+        ],
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(coalesce(uni.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(uni.n_unique, 0) AS BIGINT) AS n_unique, "
+        "CAST(CASE WHEN coalesce(uni.n_tokens, 0) = 0 THEN 0 ELSE "
+        "floor(CAST(uni.n_tokens - uni.n_unique AS BIGINT) * 1000000 / uni.n_tokens) END AS BIGINT) AS dup_unigram_q, "
+        "CAST(CASE WHEN coalesce(uni.n_tokens, 0) < 2 THEN 0 ELSE "
+        "floor(CAST(bgc.max_bg AS BIGINT) * 1000000 / (uni.n_tokens - 1)) END AS BIGINT) AS top_bigram_q "
+        "FROM documents d LEFT JOIN uni ON d.doc_id = uni.doc_id "
+        "LEFT JOIN bgc ON d.doc_id = bgc.doc_id ORDER BY doc_id",
+    )
+
+    o["ft_frange"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE (1000 / (n_chars * 1 + 1000)) >= 0.7 AND (1000 / (n_chars * 1 + 1000)) <= 0.9 "
+        "ORDER BY doc_id LIMIT 30"
     )
     return o

@@ -107,6 +107,60 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_unique, dup_unigram_q, top_bigram_q): Gopher /
+    RefinedWeb-style within-document repetition signals for training-data
+    filtering (task-brief pipeline extension; no reference analog):
+
+    - ``dup_unigram_q``  = floor((n_tokens - n_unique) * 1e6 / n_tokens) —
+      the duplicate-token fraction;
+    - ``top_bigram_q``   = floor(max_bigram_count * 1e6 / n_bigrams) — the
+      fraction of all word bigrams taken by the most frequent one.
+
+    One Arrow-batched mapInPandas scan (shuffle-free, embarrassingly
+    parallel at 100 TB), exact integer outputs the oracle re-derives.  (A
+    higher-order-function formulation was tried first and abandoned: Spark
+    does not CSE inside lambda bodies, so ``filter(bg, ...)`` re-tokenized
+    the document once per unique bigram — quadratic in document length.)
+
+    The fixed-point division is exact floor division; the oracle's
+    ``floor(x*1e6/y)`` double division agrees because the numerator stays
+    below 2^53 and a true quotient is never within one double ulp of an
+    integer it doesn't equal (|x/y − k| ≥ 1/y ≫ ulp)."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            toks = pdf[text_col].str.lower().str.findall(r"[a-z0-9]+")
+            n = toks.str.len().to_numpy(dtype=np.int64)
+            u = np.fromiter((len(set(t)) for t in toks), dtype=np.int64, count=len(toks))
+            top_bg = np.zeros(len(toks), dtype=np.int64)
+            for j, t in enumerate(toks):
+                if len(t) >= 2:
+                    _, counts = np.unique(
+                        np.char.add(np.char.add(np.asarray(t[:-1], dtype=str), " "), np.asarray(t[1:], dtype=str)),
+                        return_counts=True,
+                    )
+                    top_bg[j] = counts.max()
+            dup_q = np.where(n > 0, (n - u) * 1_000_000 // np.maximum(n, 1), 0)
+            top_q = np.where(n >= 2, top_bg * 1_000_000 // np.maximum(n - 1, 1), 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "n_tokens": n,
+                    "n_unique": u,
+                    "dup_unigram_q": dup_q,
+                    "top_bigram_q": top_q,
+                }
+            )
+
+    from ..session import spread_partitions
+
+    return spread_partitions(docs.select("doc_id", text_col)).mapInPandas(
+        fn,
+        schema="doc_id bigint, n_tokens bigint, n_unique bigint, dup_unigram_q bigint, top_bigram_q bigint",
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp): order-sensitive rolling-hash document fingerprint."""
 

@@ -1838,6 +1838,34 @@ class IndexSearcher:
         )
         return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
 
+    def frange(self, func_src: str, lower=None, upper=None, incl=True, incu=True) -> DataFrame:
+        """Solr's ``{!frange}`` / Lucene FunctionRangeQuery (``reference
+        lucene/queries/src/java/org/apache/lucene/queries/function/
+        FunctionRangeQuery.java``, ``solr/core/.../search/
+        FunctionRangeQParserPlugin.java``): match documents whose
+        function-query value falls in [lower, upper], constant score 1.
+        Compiles to a Catalyst predicate over the corpus scan — pushed down
+        when the function reduces to plain columns."""
+        from ..plans.function_queries import FunctionContext, compile_function
+
+        if self.corpus is None:
+            raise ValueError("frange needs IndexSearcher(corpus=...)")
+        ctx = FunctionContext(self)
+        col = compile_function(func_src, ctx).cast("double")
+        id_col = self.index.config.id_col
+        base = self.corpus.withColumnRenamed(id_col, "doc_id")
+        for aux in ctx.joins.values():
+            base = base.join(aux, "doc_id", "left")
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (col >= lower if incl else col > lower)
+        if upper is not None:
+            pred = pred & (col <= upper if incu else col < upper)
+        return base.filter(pred).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(1.0).cast("float").alias("score"),
+        )
+
     def function_query_score(self, query: Query, func_src: str, k: int = 10) -> TopDocs:
         """Named Solr function-query surface (``ValueSourceParser.java``
         registry): rescore matches by ``f32(f64(score) * f64(func))`` where
@@ -1932,6 +1960,49 @@ class IndexSearcher:
             [F.desc("df"), F.asc("term")] if sort == "count" else [F.asc("term")]
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
+
+    def infix_suggest(self, fragment: str, n: int = 10) -> DataFrame:
+        """AnalyzingInfixSuggester analog (``reference lucene/suggest/src/
+        java/org/apache/lucene/search/suggest/analyzing/
+        AnalyzingInfixSuggester.java``): suggestions whose text CONTAINS the
+        fragment anywhere, most frequent (weight) first."""
+        return (
+            self.index.terms.filter(F.col("term").contains(fragment))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", F.col("df").cast("long"))
+        )
+
+    def word_break(self, word: str, n: int = 5) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordBreaks (``reference lucene/
+        suggest/src/java/org/apache/lucene/search/suggest/spell/
+        WordBreakSpellChecker.java``), single-split case (maxChanges=1):
+        split points where BOTH halves are dictionary terms, ranked by
+        summed frequency desc then split position asc (the
+        NUM_CHANGES_THEN_SUMMED_FREQUENCY sort with one change).
+
+        One pruned scan of the terms table fetches every half's df; the
+        ≤2·len(word) candidate join happens on the driver."""
+        cands = [(i, word[:i], word[i:]) for i in range(1, len(word))]
+        if not cands:
+            return self.spark.createDataFrame(
+                [], "left_term string, right_term string, freq_sum bigint"
+            )
+        need = {t for _, a, b in cands for t in (a, b)}
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in self.index.terms.filter(F.col("term").isin(list(need))).collect()
+        }
+        rows = [
+            (a, b, dfs[a] + dfs[b], i)
+            for i, a, b in cands
+            if a in dfs and b in dfs
+        ]
+        rows.sort(key=lambda r: (-r[2], r[3]))
+        return self.spark.createDataFrame(
+            [(a, b, s) for a, b, s, _ in rows[:n]],
+            "left_term string, right_term string, freq_sum bigint",
+        )
 
     def phonetic_terms(self, word: str, n: int = 10) -> DataFrame:
         """PhoneticFilter with the Soundex encoder (``reference lucene/
