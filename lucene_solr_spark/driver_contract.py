@@ -35,6 +35,7 @@ from .functions.similarities import (
     DFRInL2Similarity,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,
+    SweetSpotSimilarity,
 )
 from .operators.indexer import IndexConfig, build_index
 from .operators.searcher import IndexSearcher
@@ -664,6 +665,22 @@ def ft_queries() -> dict:
         return out.select(F.col("doc_id").cast("long")).orderBy("doc_id").limit(30)
 
     q["ft_frange"] = ft_frange
+
+    # SweetSpotSimilarity (lucene/misc): plateau length norm over Classic tf/idf
+    q["ft_sweetspot_topk"] = _sim_search_q(TermQuery(HOT), lambda: SweetSpotSimilarity(1, 40, 0.5))
+
+    def ft_diversified(spark, sf_dir):
+        """DiversifiedTopDocsCollector: top-10 with at most 2 hits per lang."""
+        s = doc_searcher(spark, sf_dir)
+        out = s.diversified_topk(TermQuery(HOT), "lang", max_per_key=2, k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("doc_id").cast("long"),
+            "lang",
+        )
+
+    q["ft_diversified"] = ft_diversified
     return q
 
 
@@ -1528,5 +1545,34 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
         "WHERE (1000 / (n_chars * 1 + 1000)) >= 0.7 AND (1000 / (n_chars * 1 + 1000)) <= 0.9 "
         "ORDER BY doc_id LIMIT 30"
+    )
+
+    # SweetSpot: Classic tf/idf with the plateau norm
+    # f32(1/sqrt(f32(f32(0.5)·f32(|L−1|+|L−40|−39)) + f32(1)))
+    ss_iarg = "abs(dlq.dlq - 1) + abs(dlq.dlq - 40) - 39"
+    ss_arg = _R(_R(_R("0.5") + " * " + _R(ss_iarg)) + " + " + _R("1.0"))
+    ss_nt = _R(f"1.0 / sqrt({_D(ss_arg)})")
+    ss_idf = _R("ln(((SELECT n FROM st) + 1) / (dfreq.df + 1)) + 1.0")
+    ss_raw = _R(f"{_R('sqrt(tf.tf)')} * {ss_idf}")
+    o["ft_sweetspot_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, {_R(f'{ss_raw} * {ss_nt}')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # diversified top-k: per-key rank cap, then global (score desc, doc asc)
+    o["ft_diversified"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "dv AS (SELECT sc.doc_id AS doc_id, sc.score AS score, d.lang AS lang, "
+            "row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS r "
+            "FROM sc JOIN documents d ON sc.doc_id = d.doc_id)",
+        ],
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id, lang FROM dv WHERE r <= 2 "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10",
     )
     return o

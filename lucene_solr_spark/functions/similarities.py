@@ -49,6 +49,7 @@ __all__ = [
     "IBLLSimilarity",
     "AxiomaticF2EXPSimilarity",
     "AxiomaticF2LOGSimilarity",
+    "SweetSpotSimilarity",
 ]
 
 # Java SimilarityBase.log2 divides by a precomputed Math.log(2)
@@ -299,3 +300,29 @@ class AxiomaticF2LOGSimilarity(_AxiomaticF2):
 
     def _idf(self, df, doc_count):
         return np.log((doc_count + 1.0) / float(df))
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """SweetSpotSimilarity (``reference lucene/misc/src/java/org/apache/
+    lucene/misc/SweetSpotSimilarity.java:39,115-133``): ClassicSimilarity
+    with a plateau length norm — documents whose length falls inside
+    [ln_min, ln_max] get norm 1, lengths outside decay hyperbolically:
+    ``lengthNorm = f32(1/sqrt(f32(f32(steepness) · f32(|L−min|+|L−max|
+    −(max−min))) + 1f))`` over the byte4-decoded length, norm table built per
+    TFIDFSimilarity.scorer (``TFIDFSimilarity.java:519-525``, index 0 =
+    1/normTable[255]).  tf/idf inherit ClassicSimilarity (default baselineTf
+    configuration).  Norm is non-increasing only ABOVE ln_max; block-max
+    pruning assumes monotone ↓dl, which holds whenever ln_min <= the minimum
+    real document length — the searcher's prune pre-pass stays sound for the
+    contract configuration (ln_min=1); for larger ln_min disable pruning."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5):
+        lengths = _length_table().astype(np.int64)
+        iarg = np.abs(lengths - ln_min) + np.abs(lengths - ln_max) - (ln_max - ln_min)
+        s32 = np.float32(steepness)
+        arg32 = (s32 * iarg.astype(np.float32)).astype(np.float32) + np.float32(1.0)
+        nt = (1.0 / np.sqrt(arg32.astype(np.float64))).astype(np.float32)
+        nt[0] = np.float32(1.0) / nt[255]
+        self._norm_table = nt

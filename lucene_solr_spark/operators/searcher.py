@@ -1961,6 +1961,33 @@ class IndexSearcher:
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
 
+    def diversified_topk(self, query: Query, key_col: str, max_per_key: int, k: int = 10) -> DataFrame:
+        """DiversifiedTopDocsCollector (``reference lucene/misc/src/java/org/
+        apache/lucene/search/DiversifiedTopDocsCollector.java:61-76``):
+        global top-k with at most ``max_per_key`` hits per key.  The greedy
+        score-ordered admission of the reference equals: rank within each key
+        by (score desc, doc_id asc), drop ranks beyond ``max_per_key``, then
+        global top-k — a window + TakeOrderedAndProject, one shuffle on the
+        key."""
+        from pyspark.sql.window import Window
+
+        if self.corpus is None:
+            raise ValueError("diversified_topk needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        id_col = self.index.config.id_col
+        keyed = scored.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(key_col).alias("_key")), "doc_id"
+        )
+        w = Window.partitionBy("_key").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            keyed.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_per_key)
+            .select("doc_id", "score", F.col("_key").alias(key_col))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def infix_suggest(self, fragment: str, n: int = 10) -> DataFrame:
         """AnalyzingInfixSuggester analog (``reference lucene/suggest/src/
         java/org/apache/lucene/search/suggest/analyzing/

@@ -269,6 +269,58 @@ def test_axiomatic_f2log_term(index8, spark_corpus, corpus_stats):
             assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
 
 
+def _sweetspot_score(tf, df_t, norm_byte, n_docs, lo, hi, steep):
+    idf = np.float32(math.log((n_docs + 1) / (df_t + 1)) + 1.0)
+    raw = np.float32(np.float32(math.sqrt(tf)) * np.float32(np.float32(1.0) * idf))
+    dl = int(byte4_to_int(np.array([norm_byte]))[0])
+    iarg = abs(dl - lo) + abs(dl - hi) - (hi - lo)
+    arg = np.float32(np.float32(np.float32(steep) * np.float32(iarg)) + np.float32(1.0))
+    nt = np.float32(1.0 / math.sqrt(float(arg)))
+    return np.float32(raw * nt)
+
+
+def test_sweetspot_term(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.functions.similarities import SweetSpotSimilarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)
+    s = IndexSearcher(
+        index8, spark_corpus, prune_min_postings=0, similarity=SweetSpotSimilarity(1, 40, 0.5)
+    )
+    for term in (hot[0], hot[2]):
+        expect = {
+            d: float(_sweetspot_score(f, df[term], norm[d], n_docs, 1, 40, 0.5))
+            for (d, t), f in tf.items()
+            if t == term
+        }
+        for prune in (True, False):
+            got = s.search(TermQuery(term), 10, prune=prune).collect()
+            assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
+
+
+def test_diversified_topk(index8, spark_corpus, corpus_stats, oracle, fixture_corpus_pdf):
+    tf, df, *_ = corpus_stats
+    hot = _hot_terms(df)[0]
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0)
+    pdf = fixture_corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    key_of = dict(enumerate(pdf["role"]))
+    scores = oracle._evaluate(TermQuery(hot), 1.0)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    kept, per_key = [], {}
+    for d, sc in ranked:
+        k = key_of[d]
+        if per_key.get(k, 0) < 2:
+            per_key[k] = per_key.get(k, 0) + 1
+            kept.append((d, float(sc), k))
+        if len(kept) == 10:
+            break
+    got = [
+        (r["doc_id"], r["score"], r["role"])
+        for r in s.diversified_topk(TermQuery(hot), "role", 2, 10).collect()
+    ]
+    assert got == kept
+
+
 def test_ib_ll_term(index8, spark_corpus, corpus_stats):
     from lucene_solr_spark.functions.similarities import IBLLSimilarity
 
