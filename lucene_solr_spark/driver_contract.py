@@ -681,6 +681,13 @@ def ft_queries() -> dict:
         )
 
     q["ft_diversified"] = ft_diversified
+
+    def agg_docvalues_stats(spark, sf_dir):
+        """DocValuesStats (lucene/misc): n_chars stats over the HOT match set."""
+        s = doc_searcher(spark, sf_dir)
+        return s.docvalues_stats(TermQuery(HOT), "n_chars")
+
+    q["agg_docvalues_stats"] = agg_docvalues_stats
     return q
 
 
@@ -1574,5 +1581,22 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
         "CAST(doc_id AS BIGINT) AS doc_id, lang FROM dv WHERE r <= 2 "
         "ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
+    # DocValuesStats: the identical exact-integer-sums -> double formula
+    o["agg_docvalues_stats"] = _with(
+        [
+            f"m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')",
+            "v AS (SELECT d.n_chars AS v FROM m JOIN documents d ON m.doc_id = d.doc_id)",
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing, "
+            "CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v, "
+            "CAST(sum(v) AS BIGINT) AS sum_v, "
+            "CAST(sum(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS BIGINT) AS sum_sq FROM v)",
+        ],
+        "SELECT cnt, missing, min_v, max_v, sum_v, "
+        "CAST(floor(CAST(sum_v AS DOUBLE) / cnt * 1e6) AS BIGINT) AS mean_x1e6, "
+        "CAST(floor((CAST(sum_sq AS DOUBLE) / cnt - (CAST(sum_v AS DOUBLE) / cnt) * (CAST(sum_v AS DOUBLE) / cnt)) * 1e3) AS BIGINT) AS varp_x1e3 "
+        "FROM s",
     )
     return o

@@ -1961,6 +1961,50 @@ class IndexSearcher:
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
 
+    def docvalues_stats(self, query: Query, col: str) -> DataFrame:
+        """DocValuesStats / DocValuesStatsCollector (``reference lucene/misc/
+        src/java/org/apache/lucene/search/DocValuesStats.java:105-141``):
+        count / missing / min / max / sum / mean / variance of a numeric
+        doc-values column over the query's match set.  One matched-id
+        semi-join into the corpus + one aggregation; mean and variance are
+        emitted as integer fixed point (1e-6) so the oracle compares exactly
+        (sums of <2^53 integers are order-free)."""
+        if self.corpus is None:
+            raise ValueError("docvalues_stats needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id").distinct()
+        id_col = self.index.config.id_col
+        vals = self.corpus.select(F.col(id_col).alias("doc_id"), F.col(col).alias("_v")).join(
+            matched, "doc_id", "left_semi"
+        )
+        agg = vals.agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("bigint").alias("missing"),
+            F.min("_v").cast("bigint").alias("min_v"),
+            F.max("_v").cast("bigint").alias("max_v"),
+            F.sum("_v").cast("bigint").alias("sum_v"),
+            F.sum(F.col("_v").cast("bigint") * F.col("_v").cast("bigint")).cast("bigint").alias("sum_sq"),
+        )
+        # mean/variance from EXACT integer sums (not Welford streaming state,
+        # whose float accumulation is merge-order-dependent): every double op
+        # below sees identical operands in both engines -> bit-identical
+        return agg.select(
+            "cnt",
+            "missing",
+            "min_v",
+            "max_v",
+            "sum_v",
+            F.floor(F.col("sum_v").cast("double") / F.col("cnt") * 1e6).cast("bigint").alias("mean_x1e6"),
+            F.floor(
+                (
+                    F.col("sum_sq").cast("double") / F.col("cnt")
+                    - (F.col("sum_v").cast("double") / F.col("cnt"))
+                    * (F.col("sum_v").cast("double") / F.col("cnt"))
+                )
+                * 1e3
+            ).cast("bigint").alias("varp_x1e3"),
+        )
+
     def diversified_topk(self, query: Query, key_col: str, max_per_key: int, k: int = 10) -> DataFrame:
         """DiversifiedTopDocsCollector (``reference lucene/misc/src/java/org/
         apache/lucene/search/DiversifiedTopDocsCollector.java:61-76``):
