@@ -291,15 +291,28 @@ class IndexSearcher:
 
     def _eval_synonym(self, q: SynonymQuery, boost: float, stats: dict) -> DataFrame:
         """SynonymQuery.java:54 — blended stats: df = max over terms, tf summed
-        per doc, scored as one pseudo-term."""
+        per doc, scored as one pseudo-term.  A term listed k times gets k
+        postings enums in the reference's DisiPriorityQueue (SynonymQuery.java
+        constructor keeps duplicates, :145-155 sums ttf per ENTRY), so its tf
+        and ttf count k times here too (caught by the randomized-tree suite)."""
+        from collections import Counter
+
         present = [t for t in q.synonyms if t in stats]
         if not present:
             return self._empty()
-        # blended stats: df = max over terms, ttf summed (SynonymQuery.java)
-        blended_df = max(stats[t][0] for t in present)
+        mult = Counter(present)
+        # blended stats: df = max over terms, ttf summed per entry
+        blended_df = max(stats[t][0] for t in mult)
         sim = self.similarity
-        dummy = {t: ((1.0, 1.0) if sim is not None else 1.0) for t in present}
-        raw = self._scored_postings(dummy).groupBy("doc_id").agg(
+        dummy = {t: ((1.0, 1.0) if sim is not None else 1.0) for t in mult}
+        scored = self._scored_postings(dummy)
+        if any(m > 1 for m in mult.values()):
+            mfac = F.lit(1)
+            for t, m in mult.items():
+                if m > 1:
+                    mfac = F.when(F.col("term") == t, F.lit(m)).otherwise(mfac)
+            scored = scored.withColumn("tf", F.col("tf") * mfac)
+        raw = scored.groupBy("doc_id").agg(
             F.sum("tf").cast("bigint").alias("tf"), F.first("norm").alias("norm")
         )
 
@@ -313,7 +326,7 @@ class IndexSearcher:
                 return pd.Series(bm25.score_tf_norm(tf.to_numpy(), norm.to_numpy(), w, cache))
 
         else:
-            blended_ttf = sum(stats[t][1] for t in present)
+            blended_ttf = sum(stats[t][1] * m for t, m in mult.items())
             w1s, w2s = sim.term_params(
                 boost * q.boost, blended_df, blended_ttf, self.index.doc_count, self.index.sum_ttf
             )
