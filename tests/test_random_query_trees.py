@@ -81,3 +81,43 @@ def test_random_tree_matches_oracle(data, searcher, oracle, vocab):
     expect = oracle.search(q, 10)
     got = searcher.search(q, 10, prune=True).collect()
     assert [(d, s) for d, s in expect] == got, q
+
+
+@pytest.fixture(scope="module")
+def real_phrases(oracle):
+    """Adjacent token n-grams drawn from actual fixture documents, so random
+    phrase queries have non-trivial match sets."""
+    from lucene_solr_spark.plans.query import PhraseQuery
+
+    out = []
+    for d in sorted(oracle.texts)[:40]:
+        toks = [t for t, _ in oracle.analyzer.tokens_with_positions(oracle.texts[d])]
+        if len(toks) >= 3:
+            out.append(PhraseQuery(tuple(toks[0:2])))
+            out.append(PhraseQuery(tuple(toks[1:4])))
+    return out[:24]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_random_phrase_trees_match_oracle(data, searcher, oracle, vocab, real_phrases):
+    """Positional leaves (exact phrases from real documents) inside random
+    boolean trees — exercises the index-positions evaluation path under
+    composition."""
+    leaf = st.one_of(st.sampled_from(real_phrases), _leaf(vocab))
+    q = data.draw(
+        st.builds(
+            lambda must, should, mm: BooleanQuery.build(must=must, should=should, minimum_should_match=mm),
+            st.lists(leaf, max_size=2),
+            st.lists(leaf, max_size=2),
+            st.integers(min_value=0, max_value=2),
+        )
+    )
+    expect = oracle.search(q, 10)
+    got = searcher.search(q, 10, prune=True).collect()
+    assert [(d, s) for d, s in expect] == got, q
