@@ -97,6 +97,14 @@ class Analyzer:
     # a lone CJK char emits a unigram (the filter's SINGLE_TYPE fallback).
     # Requires a script-splitting pattern (use :func:`cjk_analyzer`).
     cjk_bigrams: bool = False
+    # ASCIIFoldingFilter (``reference lucene/analysis/common/src/java/org/
+    # apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java``): fold
+    # Unicode Latin/punctuation variants to ASCII, applied per token AFTER
+    # the possessive strip and BEFORE the stop filter (so 'thé' folds to
+    # 'the' and can stop out).  Codepoints < U+0080 never fold, so the
+    # byte-level encoded fast path (which only accepts pure-ASCII batches)
+    # remains bit-identical with folding enabled.
+    ascii_folding: bool = False
     # SynonymGraphFilter in single-token replace mode (``reference lucene/
     # analysis/common/src/java/org/apache/lucene/analysis/synonym/
     # SynonymGraphFilter.java`` with SolrSynonymParser `a => b` rules,
@@ -158,6 +166,14 @@ class Analyzer:
     def _syn_map(self) -> dict:
         return dict(self.token_map)
 
+    @staticmethod
+    def _fold(tok: str) -> str:
+        if tok.isascii():
+            return tok
+        from .folding_data import FOLD_MAP
+
+        return "".join(FOLD_MAP.get(ch, ch) for ch in tok)
+
     def tokens(self, text: str) -> list[str]:
         """Analyze one string (driver-side / query normalization path)."""
         if text is None:
@@ -174,6 +190,8 @@ class Analyzer:
                 continue  # skipped but positions advance (not modeled here)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
+            if self.ascii_folding:
+                tok = self._fold(tok)
             if tok in self.stopwords:
                 continue
             out.append(self._stem(tok))
@@ -201,6 +219,8 @@ class Analyzer:
                 continue
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
+            if self.ascii_folding:
+                tok = self._fold(tok)
             if tok in self.stopwords:
                 continue
             out.append((self._stem(tok), pos))
@@ -276,6 +296,9 @@ class Analyzer:
             # heavily repeated; the dictionary is small)
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             flat = np.array([self._strip_poss(u) for u in uniques], dtype=object)[codes]
+        if self.ascii_folding and flat.size:
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._fold(u) for u in uniques], dtype=object)[codes]
         if self.stopwords:
             keep &= ~np.isin(flat, list(self.stopwords))
         flat = flat[keep]
