@@ -194,6 +194,7 @@ class IndexSearcher:
         index: InvertedIndex,
         corpus: Optional[DataFrame] = None,
         filter_cache_size: int = 32,
+        filter_cache_min_uses: int = 1,
         similarity=None,
         prune_min_postings: int = _MIN_PRUNE_POSTINGS,
     ):
@@ -216,16 +217,28 @@ class IndexSearcher:
 
         self._filter_cache: "OrderedDict[Query, DataFrame]" = OrderedDict()
         self._filter_cache_size = filter_cache_size
+        # UsageTrackingQueryCachingPolicy analog (``search/
+        # UsageTrackingQueryCachingPolicy.java``): only admit a filter to the
+        # cache once it has been seen this many times — one-off filters never
+        # pay the persist (Lucene's minFrequencyToCache).  Default 1 keeps
+        # the historical cache-on-first-use behavior.
+        self._filter_cache_min_uses = max(1, int(filter_cache_min_uses))
+        self._filter_use_counts: dict = {}
         # TermStates cache: term -> (df, ttf) or None if absent from the index
         self._stats_cache: dict = {}
 
     def cached_filter(self, query: Query) -> DataFrame:
-        """Doc-id set of `query`, persisted and LRU-cached across searches."""
+        """Doc-id set of `query`, persisted and LRU-cached across searches
+        once the usage-tracking policy admits it."""
         if query in self._filter_cache:
             self._filter_cache.move_to_end(query)
             return self._filter_cache[query]
         stats = self._term_stats(query.terms())
-        ids = self._evaluate(query, 1.0, stats).select("doc_id").distinct().persist()
+        ids = self._evaluate(query, 1.0, stats).select("doc_id").distinct()
+        uses = self._filter_use_counts[query] = self._filter_use_counts.get(query, 0) + 1
+        if uses < self._filter_cache_min_uses:
+            return ids  # not yet hot enough to admit (usage-tracking policy)
+        ids = ids.persist()
         self._filter_cache[query] = ids
         if len(self._filter_cache) > self._filter_cache_size:
             _, evicted = self._filter_cache.popitem(last=False)

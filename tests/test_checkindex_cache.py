@@ -48,3 +48,19 @@ def test_sloppy_phrase_superset_of_exact(searcher, oracle):
     sloppy_ids = {d for d, _ in sloppy}
     # every exact match also matches with slop
     assert exact_ids <= sloppy_ids or len(sloppy_ids) == 50
+
+
+def test_usage_tracking_cache_policy(index8, spark_corpus):
+    """UsageTrackingQueryCachingPolicy analog: a filter is admitted to the
+    persisted cache only after min_uses sightings; results identical either
+    way."""
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    s = IndexSearcher(index8, spark_corpus, filter_cache_min_uses=2, prune_min_postings=0)
+    q = BooleanQuery.build(must=[TermQuery("the")], filter=[TermQuery("and")])
+    r1 = s.search(q, 10).collect()
+    assert TermQuery("and") not in s._filter_cache  # seen once: not admitted
+    r2 = s.search(q, 10).collect()
+    assert TermQuery("and") in s._filter_cache  # second sighting admits
+    r3 = s.search(q, 10).collect()
+    assert r1 == r2 == r3
