@@ -688,6 +688,14 @@ def ft_queries() -> dict:
         return s.docvalues_stats(TermQuery(HOT), "n_chars")
 
     q["agg_docvalues_stats"] = agg_docvalues_stats
+
+    def ft_elevate(spark, sf_dir):
+        """QueryElevationComponent: docs 42 and 7 pinned, doc 3 banned,
+        organic BM25 fill."""
+        s = doc_searcher(spark, sf_dir)
+        return s.elevate(TermQuery(HOT), [42, 7], k=10, exclude_ids=[3])
+
+    q["ft_elevate"] = ft_elevate
     return q
 
 
@@ -1598,5 +1606,19 @@ def ft_oracle_sql() -> dict:
         "CAST(floor(CAST(sum_v AS DOUBLE) / cnt * 1e6) AS BIGINT) AS mean_x1e6, "
         "CAST(floor((CAST(sum_sq AS DOUBLE) / cnt - (CAST(sum_v AS DOUBLE) / cnt) * (CAST(sum_v AS DOUBLE) / cnt)) * 1e3) AS BIGINT) AS varp_x1e3 "
         "FROM s",
+    )
+
+    # query elevation: pinned [42, 7] head, banned {3}, organic fill
+    o["ft_elevate"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "org AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r "
+            "FROM sc WHERE doc_id NOT IN (42, 7, 3))",
+        ],
+        "SELECT CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, elevated FROM ("
+        "  SELECT 1 AS rank, 42 AS doc_id, TRUE AS elevated"
+        "  UNION ALL SELECT 2, 7, TRUE"
+        "  UNION ALL SELECT r + 2, doc_id, FALSE FROM org WHERE r <= 8"
+        ") ORDER BY rank",
     )
     return o

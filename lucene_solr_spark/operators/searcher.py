@@ -1987,6 +1987,31 @@ class IndexSearcher:
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
 
+    def elevate(self, query: Query, elevated_ids: list, k: int = 10, exclude_ids: list = ()) -> DataFrame:
+        """QueryElevationComponent (``reference solr/core/src/java/org/apache/
+        solr/handler/component/QueryElevationComponent.java``): pin the
+        configured documents at the top in their configured order, drop the
+        banned ones, and fill the remainder with organic (score desc, doc_id
+        asc) ranking.  The organic fill is a TakeOrderedAndProject of
+        k − len(elevated) rows; the k-row page assembles on the driver —
+        never more than k rows leave the cluster.  Returns
+        (rank, doc_id, elevated)."""
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        banned = list(set(exclude_ids) | set(elevated_ids))
+        n_head = min(len(elevated_ids), k)
+        organic = (
+            scored.filter(~F.col("doc_id").isin(banned))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k - n_head)
+            .collect()
+        )
+        rows = [(i + 1, int(d), True) for i, d in enumerate(elevated_ids[:k])]
+        rows += [
+            (n_head + i + 1, int(r["doc_id"]), False) for i, r in enumerate(organic)
+        ]
+        return self.spark.createDataFrame(rows, "rank int, doc_id long, elevated boolean")
+
     def docvalues_stats(self, query: Query, col: str) -> DataFrame:
         """DocValuesStats / DocValuesStatsCollector (``reference lucene/misc/
         src/java/org/apache/lucene/search/DocValuesStats.java:105-141``):
