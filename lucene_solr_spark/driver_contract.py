@@ -696,6 +696,15 @@ def ft_queries() -> dict:
         return s.elevate(TermQuery(HOT), [42, 7], k=10, exclude_ids=[3])
 
     q["ft_elevate"] = ft_elevate
+
+    def ft_feature_saturation(spark, sf_dir):
+        """FeatureField.newSaturationQuery over n_chars (pivot 256, w 2):
+        static-ranking feature with 9-significant-bit quantization."""
+        s = doc_searcher(spark, sf_dir)
+        top = s.feature_query("n_chars", "saturation", weight=2.0, pivot=256.0, k=15)
+        return _ranked(top.df)
+
+    q["ft_feature_saturation"] = ft_feature_saturation
     return q
 
 
@@ -1620,5 +1629,22 @@ def ft_oracle_sql() -> dict:
         "  UNION ALL SELECT 2, 7, TRUE"
         "  UNION ALL SELECT r + 2, doc_id, FALSE FROM org WHERE r <= 8"
         ") ORDER BY rank",
+    )
+
+    # FeatureField saturation: quantize the INTEGER feature by keeping its
+    # top 9 significant bits (== dropping the low 15 float32 mantissa bits
+    # for values < 2^24), then the all-float32 chain w*(1 - p/(f+p))
+    fq = (
+        "CASE WHEN length(bin(n_chars)) <= 9 THEN n_chars "
+        "ELSE (n_chars >> (length(bin(n_chars)) - 9)) << (length(bin(n_chars)) - 9) END"
+    )
+    fsat = _R(
+        _R("2.0") + " * " + _R(_R("1.0") + " - " + _R(_R("256.0") + f" / ({_R(fq)} + {_R('256.0')})"))
+    )
+    o["ft_feature_saturation"] = (
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"CAST(doc_id AS BIGINT) AS doc_id FROM "
+        f"(SELECT doc_id, {fsat} AS score FROM documents WHERE n_chars IS NOT NULL) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT 15"
     )
     return o

@@ -2012,6 +2012,48 @@ class IndexSearcher:
         ]
         return self.spark.createDataFrame(rows, "rank int, doc_id long, elevated boolean")
 
+    def feature_query(
+        self,
+        col: str,
+        function: str = "saturation",
+        weight: float = 1.0,
+        pivot: float = 1.0,
+        scaling: float = 1.0,
+        exponent: float = 1.0,
+        k: int = 10,
+    ) -> TopDocs:
+        """FeatureField query (``reference lucene/core/src/java/org/apache/
+        lucene/document/FeatureField.java`` newSaturationQuery /
+        newLogQuery / newSigmoidQuery): rank documents by a static feature
+        with the reference's 9-significant-bit quantization and float chain
+        (functions/feature.py).  Rows with a NULL feature never match
+        (FeatureField docs without the feature term).  One corpus scan +
+        TakeOrderedAndProject."""
+        from ..functions.feature import feature_score
+
+        if self.corpus is None:
+            raise ValueError("feature_query needs IndexSearcher(corpus=...)")
+        id_col = self.index.config.id_col
+
+        @F.pandas_udf(T.FloatType())
+        def fscore(v: pd.Series) -> pd.Series:
+            return pd.Series(
+                feature_score(
+                    v.to_numpy(dtype=np.float64),
+                    function=function,
+                    weight=weight,
+                    pivot=pivot,
+                    scaling=scaling,
+                    exponent=exponent,
+                )
+            )
+
+        scored = (
+            self.corpus.filter(F.col(col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("doc_id"), fscore(F.col(col)).alias("score"))
+        )
+        return TopDocs(df=scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
     def docvalues_stats(self, query: Query, col: str) -> DataFrame:
         """DocValuesStats / DocValuesStatsCollector (``reference lucene/misc/
         src/java/org/apache/lucene/search/DocValuesStats.java:105-141``):
