@@ -28,3 +28,19 @@ def test_term_vectors_match_oracle(searcher, oracle):
         for r in searcher.term_vectors(ids).orderBy("doc_id", "term").collect()
     ]
     assert got == expect
+
+
+def test_elevate_pins_and_bans(searcher, oracle):
+    from lucene_solr_spark.plans.query import TermQuery
+
+    by_df = sorted(oracle.postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    hot = by_df[0][0]
+    organic = [d for d, _ in oracle.search(TermQuery(hot), 20)]
+    pin = [organic[5], organic[2]]
+    ban = [organic[0]]
+    got = searcher.elevate(TermQuery(hot), pin, k=8, exclude_ids=ban).collect()
+    assert [r["doc_id"] for r in got][:2] == pin  # pinned order preserved
+    assert all(r["elevated"] for r in got[:2]) and not any(r["elevated"] for r in got[2:])
+    expect_tail = [d for d in organic if d not in set(pin) | set(ban)][:6]
+    assert [r["doc_id"] for r in got[2:]] == expect_tail
+    assert [r["rank"] for r in got] == list(range(1, 9))
