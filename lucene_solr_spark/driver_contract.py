@@ -705,6 +705,25 @@ def ft_queries() -> dict:
         return _ranked(top.df)
 
     q["ft_feature_saturation"] = ft_feature_saturation
+
+    def ft_batch_search(spark, sf_dir):
+        """Batched multi-query retrieval: 3 queries, ONE postings scan
+        (offline batch-retrieval pattern; bit-identical to per-query
+        search)."""
+        s = doc_searcher(spark, sf_dir)
+        out = s.batch_search(
+            {
+                "a": TermQuery(MID),
+                "b": BooleanQuery.build(must=[TermQuery(HOT), TermQuery(HOT2)]),
+                "c": BooleanQuery.build(should=[TermQuery(MID2), TermQuery(RARE)]),
+            },
+            k=10,
+        )
+        return out.select("query_id", "rank", F.col("doc_id").cast("long")).orderBy(
+            "query_id", "rank"
+        )
+
+    q["ft_batch_search"] = ft_batch_search
     return q
 
 
@@ -1646,5 +1665,30 @@ def ft_oracle_sql() -> dict:
         f"CAST(doc_id AS BIGINT) AS doc_id FROM "
         f"(SELECT doc_id, {fsat} AS score FROM documents WHERE n_chars IS NOT NULL) "
         f"ORDER BY score DESC, doc_id ASC LIMIT 15"
+    )
+
+    # batch search: union of the three per-query top-10s
+    bs_and = _R(_D("a2.score") + " + " + _D("b2.score"))
+    bs_or = _R("sum(" + _D("score") + ")")
+    o["ft_batch_search"] = _with(
+        [
+            _term_cte("sa", MID),
+            _term_cte("a2", HOT),
+            _term_cte("b2", HOT2),
+            _term_cte("c1", MID2),
+            _term_cte("c2", RARE),
+            "qa AS (SELECT 'a' AS query_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+            "doc_id FROM sa ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            f"qb0 AS (SELECT a2.doc_id AS doc_id, {bs_and} AS score FROM a2 JOIN b2 ON a2.doc_id = b2.doc_id)",
+            "qb AS (SELECT 'b' AS query_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+            "doc_id FROM qb0 ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            f"qc0 AS (SELECT doc_id, {bs_or} AS score FROM "
+            "(SELECT * FROM c1 UNION ALL SELECT * FROM c2) GROUP BY doc_id)",
+            "qc AS (SELECT 'c' AS query_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+            "doc_id FROM qc0 ORDER BY score DESC, doc_id ASC LIMIT 10)",
+        ],
+        "SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id FROM "
+        "(SELECT * FROM qa UNION ALL SELECT * FROM qb UNION ALL SELECT * FROM qc) "
+        "ORDER BY query_id, rank",
     )
     return o

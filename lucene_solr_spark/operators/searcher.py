@@ -2012,6 +2012,112 @@ class IndexSearcher:
         ]
         return self.spark.createDataFrame(rows, "rank int, doc_id long, elevated boolean")
 
+    def batch_search(self, queries: dict, k: int = 10) -> DataFrame:
+        """Batched multi-query retrieval: evaluate MANY queries in ONE
+        postings scan (no reference analog — at 10^12 docs this is the
+        offline batch-retrieval pattern: N separate searches would read the
+        index N times; here the query set ships as a broadcast clause table
+        and the postings are read once).
+
+        ``queries`` maps query_id -> Query, each a TermQuery or a flat
+        boolean of (possibly boosted) TermQueries (MUST/SHOULD/MUST_NOT +
+        minimumNumberShouldMatch).  Returns (query_id, rank, doc_id, score).
+
+        Float chain identical to the single-query path: postings are
+        unpacked once with unit weight (f32(1·t) == t), each clause applies
+        its own float32 weight, clause scores accumulate in double per
+        (query, doc), one float32 cast at the end — so every row is
+        bit-identical to ``search(queries[qid], k)``.  Plan: one scan →
+        broadcast join on term → groupBy(query_id, doc_id) → per-query
+        window top-k (the only shuffles are the agg and the per-query sort
+        of surviving matches)."""
+        if self.similarity is not None:
+            raise NotImplementedError("batch_search is BM25-only")
+        from pyspark.sql.window import Window
+
+        all_terms: set = set()
+        for q in queries.values():
+            all_terms |= q.terms()
+        stats = self._term_stats(all_terms)
+
+        clause_rows = []  # (qid, term, occur, weight)
+        meta_rows = []  # (qid, n_must, mm)
+        for qid, q in queries.items():
+            boost = 1.0
+            while isinstance(q, BoostQuery):
+                boost *= q.boost
+                q = q.query
+            if isinstance(q, TermQuery):
+                must, should, must_not, mm = [q], [], [], 0
+            elif isinstance(q, BooleanQuery):
+                if q.by_occur("FILTER"):
+                    raise NotImplementedError("FILTER clauses in batch_search")
+                must, should, must_not = (
+                    q.by_occur("MUST"), q.by_occur("SHOULD"), q.by_occur("MUST_NOT")
+                )
+                mm = q.minimum_should_match
+                if not must:
+                    mm = max(1, mm)
+            else:
+                raise NotImplementedError(f"batch_search: {type(q).__name__}")
+            leaves = []
+            for occur, qs in (("MUST", must), ("SHOULD", should), ("MUST_NOT", must_not)):
+                for sub in qs:
+                    ft = self._flat_term(sub, boost if occur != "MUST_NOT" else 1.0)
+                    if ft is None:
+                        raise NotImplementedError("batch_search: non-term clause")
+                    leaves.append((occur, ft[0], ft[1]))
+            n_must = sum(1 for o, t, _ in leaves if o == "MUST")
+            present_must = sum(1 for o, t, _ in leaves if o == "MUST" and t in stats)
+            if present_must < n_must or not any(
+                o in ("MUST", "SHOULD") and t in stats for o, t, _ in leaves
+            ):
+                continue  # a required term is absent / nothing can score: no hits
+            for occur, t, b in leaves:
+                if t not in stats:
+                    continue
+                w = self._leaf_w(b, t, stats) if occur != "MUST_NOT" else 0.0
+                clause_rows.append((str(qid), t, occur, float(w)))
+            meta_rows.append((str(qid), n_must, int(mm)))
+        out_schema = "query_id string, rank int, doc_id long, score float"
+        if not clause_rows:
+            return self.spark.createDataFrame([], out_schema)
+
+        clauses = self.spark.createDataFrame(
+            clause_rows, "query_id string, term string, occur string, w float"
+        )
+        meta = self.spark.createDataFrame(meta_rows, "query_id string, n_must int, mm int")
+        terms_needed = sorted({t for _, t, _, _ in clause_rows})
+        # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting
+        unit = {t: 1.0 for t in terms_needed}
+        scored = self._scored_postings(unit).select("term", "doc_id", "score")
+        joined = scored.join(F.broadcast(clauses), "term")
+        per_clause = joined.select(
+            "query_id",
+            "doc_id",
+            "occur",
+            (F.col("w") * F.col("score")).cast("float").alias("cscore"),
+        )
+        agg = per_clause.groupBy("query_id", "doc_id").agg(
+            F.sum(F.when(F.col("occur") != "MUST_NOT", F.col("cscore").cast("double"))).alias("dscore"),
+            F.sum(F.when(F.col("occur") == "MUST", 1).otherwise(0)).alias("nm"),
+            F.sum(F.when(F.col("occur") == "SHOULD", 1).otherwise(0)).alias("ns"),
+            F.max(F.when(F.col("occur") == "MUST_NOT", 1).otherwise(0)).alias("nn"),
+        )
+        cond = (
+            (F.col("nm") == F.col("n_must"))
+            & (F.col("nn") == 0)
+            & ((F.col("mm") <= 0) | (F.col("ns") >= F.col("mm")))
+        )
+        matched = agg.join(F.broadcast(meta), "query_id").filter(cond)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            matched.select("query_id", "doc_id", F.col("dscore").cast("float").alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def feature_query(
         self,
         col: str,

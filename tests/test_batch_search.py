@@ -1,0 +1,58 @@
+"""batch_search: N queries in one postings scan must be bit-identical to N
+individual searches."""
+
+import pytest
+
+from lucene_solr_spark.plans.query import BooleanQuery, BoostQuery, PhraseQuery, TermQuery
+
+
+def _hot(oracle, n=4):
+    by_df = sorted(oracle.postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    return [t for t, _ in by_df[:n]]
+
+
+def test_batch_matches_individual(searcher, oracle):
+    h = _hot(oracle)
+    queries = {
+        "q_term": TermQuery(h[0]),
+        "q_boost": BoostQuery(TermQuery(h[1]), 2.0),
+        "q_and": BooleanQuery.build(must=[TermQuery(h[0]), TermQuery(h[1])]),
+        "q_or_mm": BooleanQuery.build(
+            should=[TermQuery(h[0]), TermQuery(h[1]), TermQuery(h[2])], minimum_should_match=2
+        ),
+        "q_not": BooleanQuery.build(must=[TermQuery(h[2])], must_not=[TermQuery(h[0])]),
+        "q_missing": TermQuery("zzz_not_in_index"),
+        "q_dup": BooleanQuery.build(should=[TermQuery(h[3]), TermQuery(h[3])]),
+    }
+    out = searcher.batch_search(queries, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        expect = [
+            (i + 1, d, s) for i, (d, s) in enumerate(searcher.search(q, 10).collect())
+        ]
+        got = sorted(by_q.get(qid, []))
+        assert got == expect, qid
+    assert "q_missing" not in by_q
+
+
+def test_batch_rejects_unsupported(searcher):
+    with pytest.raises(NotImplementedError):
+        searcher.batch_search({"p": PhraseQuery(("a", "b"))}, k=5)
+
+
+def test_batch_single_scan_plan(spark, index8, tmp_path_factory):
+    from lucene_solr_spark.operators.indexer import InvertedIndex
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    path = str(tmp_path_factory.mktemp("bs_index"))
+    index8.write(path)
+    s = IndexSearcher(InvertedIndex.read(spark, path, index8.config))
+    qs = {
+        "a": TermQuery("the"),
+        "b": BooleanQuery.build(must=[TermQuery("of")], should=[TermQuery("and")]),
+    }
+    plan = s.batch_search(qs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas fn(term") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
