@@ -724,7 +724,62 @@ def ft_queries() -> dict:
         )
 
     q["ft_batch_search"] = ft_batch_search
+
+    def ltr_linear(spark, sf_dir):
+        """Solr LTR LinearModel rerank of the BM25 top-40 (contrib/ltr
+        LinearModel.java:117-123, LTRRescorer.java:102-141): float32 dot
+        product of normalized features, pure Catalyst codegen."""
+        from .operators.ltr import ltr_rescore
+
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 40)
+        return _ranked(ltr_rescore(s, top, _LTR_LINEAR, k=10))
+
+    q["ltr_linear"] = ltr_linear
+
+    def ltr_trees(spark, sf_dir):
+        """Solr LTR MultipleAdditiveTreesModel rerank (contrib/ltr
+        MultipleAdditiveTreesModel.java:124-183,336-341): weighted regression
+        trees with the 1E-6f threshold slack, compiled to CASE WHEN."""
+        from .operators.ltr import ltr_rescore
+
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 40)
+        return _ranked(ltr_rescore(s, top, _LTR_TREES, k=10))
+
+    q["ltr_trees"] = ltr_trees
     return q
+
+
+# ------------------------------------------------------- LTR model fixtures
+def _ltr_models():
+    from .operators.ltr import (
+        FieldValueFeature,
+        LinearModel,
+        MinMaxNormalizer,
+        MultipleAdditiveTreesModel,
+        OriginalScoreFeature,
+        TreeNode,
+    )
+
+    f_orig = OriginalScoreFeature("orig", MinMaxNormalizer(0.0, 4.0))
+    f_nch = FieldValueFeature("nch", MinMaxNormalizer(0.0, 1024.0), field="n_chars")
+    linear = LinearModel(features=(f_orig, f_nch), weights={"orig": 0.7, "nch": 0.3})
+
+    f_orig_i = OriginalScoreFeature("orig")
+    f_nch_i = FieldValueFeature("nch", field="n_chars")
+    t1 = TreeNode.split(
+        "nch",
+        300.0,
+        left=TreeNode.split("orig", 1.2, left=TreeNode.leaf(0.05), right=TreeNode.leaf(0.35)),
+        right=TreeNode.split("orig", 0.9, left=TreeNode.leaf(0.15), right=TreeNode.leaf(0.75)),
+    )
+    t2 = TreeNode.split("nch", 600.0, left=TreeNode.leaf(0.2), right=TreeNode.leaf(0.6))
+    trees = MultipleAdditiveTreesModel(features=(f_orig_i, f_nch_i), trees=((1.0, t1), (0.5, t2)))
+    return linear, trees
+
+
+_LTR_LINEAR, _LTR_TREES = _ltr_models()
 
 
 def ft_oracle_sql() -> dict:
@@ -1691,4 +1746,21 @@ def ft_oracle_sql() -> dict:
         "(SELECT * FROM qa UNION ALL SELECT * FROM qb UNION ALL SELECT * FROM qc) "
         "ORDER BY query_id, rank",
     )
+
+    # LTR rerank: the model objects generate their own float32-exact SQL —
+    # one definition drives both the Spark plan and the oracle
+    _ltr_exprs = {"orig": _R("c.score"), "nch": _R("d.n_chars")}
+    for _name, _model in (("ltr_linear", _LTR_LINEAR), ("ltr_trees", _LTR_TREES)):
+        _normed = {
+            f.name: f.norm.sql(_ltr_exprs[f.name]) for f in _model.features
+        }
+        o[_name] = _with(
+            [
+                _term_cte("sa", HOT),
+                "c AS (SELECT doc_id, score FROM sa ORDER BY score DESC, doc_id ASC LIMIT 40)",
+                f"m AS (SELECT c.doc_id AS doc_id, {_model.sql(_normed)} AS score "
+                "FROM c JOIN documents d ON c.doc_id = d.doc_id)",
+            ],
+            _topk_sql("SELECT doc_id, score FROM m", k=10),
+        )
     return o
