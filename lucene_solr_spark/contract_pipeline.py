@@ -659,6 +659,74 @@ def agg_queries() -> dict:
 
     q["sql_surface"] = sql_surface
 
+    def _tpch_edges(spark, sf_dir):
+        """Directed node graph over the star schema: customer → order →
+        part → supplier, node ids namespaced by prefix letter."""
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e1 = orders.select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+        )
+        e2 = li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        e3 = li.select(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        return e1.unionByName(e2).unionByName(e3).distinct()
+
+    def graph_shortest_path(spark, sf_dir):
+        """ShortestPathStream analog (``reference solr/solrj/.../io/graph/
+        ShortestPathStream.java:292-402``): all shortest paths C7 → S59 over
+        the customer→order→part→supplier edge graph, BFS joins + distributed
+        parent-map walk-back."""
+        from .operators.graph import shortest_path
+
+        paths = shortest_path(_tpch_edges(spark, sf_dir), "C7", "S59", "src", "dst", max_depth=4)
+        return paths.select(
+            F.array_join(F.col("path"), "->").alias("path"), F.col("depth").cast("int")
+        ).orderBy("path")
+
+    q["graph_shortest_path"] = graph_shortest_path
+
+    def graph_gather(spark, sf_dir):
+        """GatherNodesStream analog (``reference solr/solrj/.../io/graph/
+        GatherNodesStream.java:542-604``): gather the parts reached from
+        customer 7's orders with count/sum metrics and trackTraversal
+        ancestors."""
+        from .operators.graph import gather_nodes
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        roots = orders.where(F.col("o_custkey") == 7).select(
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("node")
+        )
+        edges = li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+        out = gather_nodes(
+            edges,
+            roots,
+            "src",
+            "dst",
+            metrics={"cnt": F.count(F.lit(1)).cast("long"), "qty": F.sum("qty").cast("long")},
+            track_ancestors=True,
+        )
+        return out.select(
+            "node",
+            F.col("level").cast("int"),
+            F.array_join(F.col("ancestors"), ",").alias("ancestors"),
+            "cnt",
+            "qty",
+        ).orderBy("node")
+
+    q["graph_gather"] = graph_gather
+
     return q
 
 
@@ -750,5 +818,40 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
     o["sql_surface"] = """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE n_chars >= 100 GROUP BY lang ORDER BY lang
+"""
+    # all shortest paths C7 → S59: the layered C→O→P→S graph is a DAG with
+    # one depth per node class, so BFS-with-visited-pruning and exhaustive
+    # recursive-CTE walks enumerate the same set (min-depth filter applied)
+    _edges = """
+edges AS (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst FROM orders
+  UNION SELECT DISTINCT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem
+  UNION SELECT DISTINCT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+)"""
+    o["graph_shortest_path"] = f"""
+WITH RECURSIVE {_edges},
+walk AS (
+  SELECT 'C7' AS node, 'C7' AS path, 0 AS depth
+  UNION ALL
+  SELECT e.dst, walk.path || '->' || e.dst, walk.depth + 1
+  FROM walk JOIN edges e ON e.src = walk.node
+  WHERE walk.depth < 4 AND walk.node <> 'S59'
+    AND NOT (('->' || walk.path || '->') LIKE ('%->' || e.dst || '->%'))
+),
+found AS (SELECT path, depth FROM walk WHERE node = 'S59')
+SELECT path, CAST(depth AS INT) AS depth FROM found
+WHERE depth = (SELECT min(depth) FROM found) ORDER BY path
+"""
+    o["graph_gather"] = """
+WITH roots AS (SELECT 'O' || o_orderkey AS node FROM orders WHERE o_custkey = 7),
+hop AS (
+  SELECT 'P' || l_partkey AS node, 'O' || l_orderkey AS root,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN roots ON 'O' || l_orderkey = roots.node
+)
+SELECT node, CAST(1 AS INT) AS level,
+       array_to_string(list_sort(list(DISTINCT root)), ',') AS ancestors,
+       CAST(count(*) AS BIGINT) AS cnt, CAST(sum(qty) AS BIGINT) AS qty
+FROM hop GROUP BY node ORDER BY node
 """
     return o

@@ -1,0 +1,145 @@
+"""Graph traversal streams — Solr's graph expressions re-expressed Spark-first.
+
+Reference: ``solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/``:
+
+- ``ShortestPathStream.java:292-402`` — level-synchronous breadth-first
+  search: each iteration joins the frontier against the edge collection,
+  prunes nodes already seen at ANY earlier level (``cycle()``, :485-493),
+  records every parent of each newly-reached node, stops at the first level
+  that reaches ``toNode``, then enumerates ALL shortest paths by walking the
+  per-level parent maps backward (:377-402);
+- ``GatherNodesStream.java:542-604`` + ``Node.java`` — one-hop node gather:
+  join root tuples to the edge collection on ``walk``, emit each distinct
+  gathered node with ``level``, optional ``ancestors`` (trackTraversal) and
+  per-node aggregation metrics over the contributing edge tuples.
+
+Spark-first shape: the edge "collection" is a DataFrame at any scale; one BFS
+level = one equi-join of the (small) frontier against it, so the frontier is
+broadcast and the only shuffle is the distinct/groupBy on newly-reached
+nodes — the same shape as Solr's per-level distributed join, with Spark's
+shuffle replacing the coordinator's HashSet.  Per-level parent maps stay
+DataFrames; path enumeration joins them backward, so the (possibly
+combinatorial) path set is materialized distributed, never on the driver.
+At 10^12 edges the frontier/parent DataFrames are bounded by the reachable
+set per level; ``localCheckpoint`` after each level cuts the growing lineage
+exactly where Solr's materialized per-level HashMap does.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def gather_nodes(
+    edges: DataFrame,
+    roots: DataFrame,
+    walk_col: str,
+    gather_col: str,
+    metrics: Optional[dict] = None,
+    track_ancestors: bool = False,
+    visited: Optional[DataFrame] = None,
+    level: int = 1,
+) -> DataFrame:
+    """GatherNodesStream analog.  ``roots`` must have a ``node`` column; the
+    hop joins ``roots.node == edges[walk_col]`` and gathers distinct
+    ``edges[gather_col]`` values.
+
+    ``metrics`` maps output column name -> aggregation over the contributing
+    edge rows (e.g. ``{"cnt": F.count(F.lit(1)), "total": F.sum("price")}``
+    — GatherNodesStream's count(*)/sum()/min()/max()/avg() metrics).
+    ``visited`` (a ``node``-column DataFrame) filters nodes already gathered
+    at earlier levels, the Traversal.visited check.  Output: one row per
+    gathered node ``(node, level[, ancestors][, *metrics])``.
+    """
+    hop = edges.join(
+        F.broadcast(roots.select(F.col("node").alias("_root"))),
+        F.col(walk_col) == F.col("_root"),
+    )
+    aggs = []
+    if track_ancestors:
+        aggs.append(F.sort_array(F.collect_set("_root")).alias("ancestors"))
+    for name, agg in (metrics or {}).items():
+        aggs.append(agg.alias(name))
+    if not aggs:  # distinct gather, no metrics
+        aggs.append(F.count(F.lit(1)).alias("_edges"))
+    out = (
+        hop.groupBy(F.col(gather_col).alias("node"))
+        .agg(*aggs)
+        .withColumn("level", F.lit(level))
+    )
+    if not (metrics or track_ancestors):
+        out = out.drop("_edges")
+    if visited is not None:
+        out = out.join(
+            F.broadcast(visited.select(F.col("node").alias("_seen"))),
+            F.col("node") == F.col("_seen"),
+            "left_anti",
+        )
+    return out
+
+
+def shortest_path(
+    edges: DataFrame,
+    from_node: str,
+    to_node: str,
+    from_col: str,
+    to_col: str,
+    max_depth: int = 4,
+) -> DataFrame:
+    """ShortestPathStream analog: all shortest paths from ``from_node`` to
+    ``to_node`` over the directed edge DataFrame, as
+    ``(path array<string>, depth int)`` — empty DataFrame when no path exists
+    within ``max_depth`` (the reference's "No path found" tuple).
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col(from_col).cast("string").alias("src"), F.col(to_col).cast("string").alias("dst")
+    )
+
+    frontier = spark.createDataFrame([(from_node,)], "node string")
+    visited = frontier  # cycle(): every earlier level blocks re-expansion
+    parent_levels: list[DataFrame] = []
+    found = False
+    for _depth in range(max_depth):
+        hop = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("node"))
+            .select(F.col("src").alias("parent"), F.col("dst").alias("child"))
+            .distinct()
+        )
+        # ShortestPathStream:338-364 — target edges are kept even though the
+        # cycle check would normally apply only to non-target nodes (the
+        # target cannot be in `visited`: the loop stops the level it appears)
+        new = hop.join(
+            F.broadcast(visited.select(F.col("node").alias("_v"))),
+            hop.child == F.col("_v"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        parent_levels.append(new)
+        frontier = new.select(F.col("child").alias("node")).distinct().localCheckpoint(eager=True)
+        if frontier.where(F.col("node") == to_node).limit(1).count() > 0:
+            found = True
+            break
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+
+    if not found:
+        return spark.createDataFrame([], "path array<string>, depth int")
+
+    # enumerate all shortest paths by walking the parent maps backward
+    # (ShortestPathStream.java:377-402), distributed: one join per level
+    paths = (
+        parent_levels[-1]
+        .where(F.col("child") == to_node)
+        .select(F.array(F.col("parent"), F.col("child")).alias("path"))
+    )
+    for lvl in range(len(parent_levels) - 2, -1, -1):
+        pl = parent_levels[lvl].select(
+            F.col("parent").alias("_p"), F.col("child").alias("_c")
+        )
+        paths = paths.join(pl, paths["path"][0] == F.col("_c")).select(
+            F.concat(F.array(F.col("_p")), F.col("path")).alias("path")
+        )
+    return paths.select("path", F.lit(len(parent_levels)).cast("int").alias("depth"))
