@@ -748,6 +748,20 @@ def ft_queries() -> dict:
         return _ranked(ltr_rescore(s, top, _LTR_TREES, k=10))
 
     q["ltr_trees"] = ltr_trees
+
+    def ft_freetext(spark, sf_dir):
+        """FreeTextSuggester (``lucene/suggest/.../analyzing/
+        FreeTextSuggester.java:408-580``): stupid-backoff n-gram LM
+        suggestions for the key 'row data s' (trigram model, num=8)."""
+        from .operators.freetext import FreeTextSuggester
+
+        key = ("freetext", sf_dir)
+        if key not in _INDEX_CACHE:
+            corpus = doc_searcher(spark, sf_dir).corpus
+            _INDEX_CACHE[key] = FreeTextSuggester.build(corpus, simple_analyzer(), grams=3)
+        return _INDEX_CACHE[key].lookup_df(spark, "row data s", 8)
+
+    q["ft_freetext"] = ft_freetext
     return q
 
 
@@ -1746,6 +1760,53 @@ def ft_oracle_sql() -> dict:
         "(SELECT * FROM qa UNION ALL SELECT * FROM qb UNION ALL SELECT * FROM qc) "
         "ORDER BY query_id, rank",
     )
+
+    # FreeTextSuggester: stupid-backoff trigram LM for key 'row data s'.
+    # Levels (attempted high→low, each consuming one ALPHA factor):
+    #   L2 grams LIKE 'row data s%' ctx = cnt('row data'), backoff 1.0
+    #   L1 grams LIKE 'data s%'     ctx = cnt('data'),     backoff 0.4
+    #   L0 grams LIKE 's%'          ctx = totTokens,       backoff 0.4*0.4
+    # per-level acceptance: top-8 by (cnt desc, gram asc) excluding last
+    # words already accepted at higher levels (the `seen` set); final order
+    # (score desc, suggestion asc) — score in the exact double arithmetic of
+    # the engine: ((2^63 * backoff) * cnt) / ctx.
+    _b1, _b2 = repr(0.4), repr(0.4 * 0.4)
+
+    def _ft_score(backoff: str, cnt: str, ctx: str) -> str:
+        return (
+            f"((9.223372036854775808e18 * CAST({backoff} AS DOUBLE)) * CAST({cnt} AS DOUBLE))"
+            f" / CAST({ctx} AS DOUBLE)"
+        )
+
+    o["ft_freetext"] = f"""
+WITH tokf AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+u AS (SELECT unnest(toks) AS gram FROM tokf),
+uc AS (SELECT gram, count(*) AS cnt FROM u GROUP BY gram),
+b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tokf),
+bc AS (SELECT gram, count(*) AS cnt FROM b GROUP BY gram),
+t AS (SELECT unnest(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM tokf),
+tc AS (SELECT gram, count(*) AS cnt FROM t GROUP BY gram),
+tot AS (SELECT sum(cnt) AS n FROM uc),
+l2 AS (SELECT gram, cnt, string_split(gram, ' ')[3] AS w,
+              row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rn
+       FROM tc WHERE gram LIKE 'row data s%'),
+a2 AS (SELECT gram, cnt, w, {_ft_score('1.0', 'cnt', "(SELECT cnt FROM bc WHERE gram = 'row data')")} AS score
+       FROM l2 WHERE rn <= 8),
+l1 AS (SELECT gram, cnt, string_split(gram, ' ')[2] AS w,
+              row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rn
+       FROM bc WHERE gram LIKE 'data s%' AND string_split(gram, ' ')[2] NOT IN (SELECT w FROM a2)),
+a1 AS (SELECT gram, cnt, w, {_ft_score(_b1, 'cnt', "(SELECT cnt FROM uc WHERE gram = 'data')")} AS score
+       FROM l1 WHERE rn <= 8),
+l0 AS (SELECT gram, cnt, gram AS w,
+              row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rn
+       FROM uc WHERE gram LIKE 's%'
+         AND gram NOT IN (SELECT w FROM a2 UNION ALL SELECT w FROM a1)),
+a0 AS (SELECT gram, cnt, w, {_ft_score(_b2, 'cnt', '(SELECT n FROM tot)')} AS score
+       FROM l0 WHERE rn <= 8),
+allr AS (SELECT * FROM a2 UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, gram ASC) AS INT) AS rank, gram AS suggestion
+FROM allr ORDER BY score DESC, gram ASC LIMIT 8
+"""
 
     # LTR rerank: the model objects generate their own float32-exact SQL —
     # one definition drives both the Spark plan and the oracle
