@@ -727,6 +727,36 @@ def agg_queries() -> dict:
 
     q["graph_gather"] = graph_gather
 
+    def graph_score_nodes(spark, sf_dir):
+        """ScoreNodesStream analog (``reference solr/solrj/.../io/stream/
+        ScoreNodesStream.java:227-246``): tf-idf relevance of the parts
+        gathered from customer 7's orders against their global frequency in
+        the order→part edge collection."""
+        from .operators.graph import gather_nodes, score_nodes
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        roots = orders.where(F.col("o_custkey") == 7).select(
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("node")
+        )
+        edges = li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        nodes = gather_nodes(
+            edges, roots, "src", "dst", metrics={"cnt": F.count(F.lit(1)).cast("long")}
+        )
+        scored = score_nodes(nodes, edges, "dst", "cnt")
+        w = Window.orderBy(F.desc("nodeScore"), F.asc("node"))
+        return scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "node",
+            F.col("cnt").cast("long"),
+            F.col("docFreq").cast("long").alias("doc_freq"),
+        ).orderBy("rank")
+
+    q["graph_score_nodes"] = graph_score_nodes
+
     return q
 
 
@@ -853,5 +883,24 @@ SELECT node, CAST(1 AS INT) AS level,
        array_to_string(list_sort(list(DISTINCT root)), ',') AS ancestors,
        CAST(count(*) AS BIGINT) AS cnt, CAST(sum(qty) AS BIGINT) AS qty
 FROM hop GROUP BY node ORDER BY node
+"""
+    # nodeScore = f32(ln(tf)+1) * f32(ln((numDocs+1)/(docFreq+1))+1), float32
+    # product (ScoreNodesStream.java:243)
+    o["graph_score_nodes"] = """
+WITH roots AS (SELECT 'O' || o_orderkey AS node FROM orders WHERE o_custkey = 7),
+alledges AS (SELECT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst FROM lineitem),
+nodes AS (SELECT dst AS node, count(*) AS cnt
+          FROM alledges JOIN roots ON alledges.src = roots.node GROUP BY dst),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM alledges),
+dfq AS (SELECT dst AS node, count(*) AS doc_freq FROM alledges GROUP BY dst),
+scored AS (
+  SELECT n.node, n.cnt, d.doc_freq,
+         CAST(CAST(ln(CAST(n.cnt AS DOUBLE)) + 1.0 AS REAL)
+              * CAST(ln(((SELECT n FROM nd) + 1.0) / (CAST(d.doc_freq AS DOUBLE) + 1.0)) + 1.0 AS REAL)
+              AS REAL) AS score
+  FROM nodes n JOIN dfq d USING (node))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank,
+       node, CAST(cnt AS BIGINT) AS cnt, CAST(doc_freq AS BIGINT) AS doc_freq
+FROM scored ORDER BY rank
 """
     return o

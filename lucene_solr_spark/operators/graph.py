@@ -80,6 +80,43 @@ def gather_nodes(
     return out
 
 
+def score_nodes(
+    nodes: DataFrame,
+    edges: DataFrame,
+    to_col: str,
+    cnt_col: str = "cnt",
+    num_docs: Optional[int] = None,
+) -> DataFrame:
+    """ScoreNodesStream analog (``reference solr/solrj/.../io/stream/
+    ScoreNodesStream.java:227-246``): tf-idf-style relevance for gathered
+    nodes — ``nodeScore = f32(ln(termFreq) + 1) * f32(ln((numDocs + 1) /
+    (docFreq + 1)) + 1)`` where ``termFreq`` is the node's gather count,
+    ``docFreq`` its global frequency in the edge collection and ``numDocs``
+    the edge-collection size.
+
+    The docFreq aggregation semi-joins the edge table to the (small) node set
+    BEFORE the groupBy, so the shuffle carries only matching edges — the
+    analog of Solr's TermsComponent point lookups.
+    """
+    if num_docs is None:
+        num_docs = edges.count()
+    hits = edges.join(
+        F.broadcast(nodes.select(F.col("node").alias("_n"))),
+        F.col(to_col) == F.col("_n"),
+        "left_semi",
+    )
+    dfreq = hits.groupBy(F.col(to_col).alias("node")).agg(F.count(F.lit(1)).alias("docFreq"))
+    joined = nodes.join(F.broadcast(dfreq), "node", "left").fillna({"docFreq": 0})
+    tfs = (F.log(F.col(cnt_col).cast("double")) + F.lit(1.0)).cast("float")
+    idf = (
+        F.log((F.lit(float(num_docs) + 1.0)) / (F.col("docFreq").cast("double") + F.lit(1.0)))
+        + F.lit(1.0)
+    ).cast("float")
+    return joined.withColumn("nodeScore", (tfs * idf).cast("float")).withColumn(
+        "numDocs", F.lit(int(num_docs))
+    )
+
+
 def shortest_path(
     edges: DataFrame,
     from_node: str,

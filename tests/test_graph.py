@@ -7,7 +7,7 @@ from collections import deque
 import pytest
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.operators.graph import gather_nodes, shortest_path
+from lucene_solr_spark.operators.graph import gather_nodes, score_nodes, shortest_path
 
 EDGES = [
     # diamond with two shortest paths a->z, a longer detour, and a cycle
@@ -109,3 +109,27 @@ def test_gather_nodes_metrics_ancestors_visited(spark):
     seen = spark.createDataFrame([("p1",)], "node string")
     got2 = gather_nodes(edges, roots, "src", "dst", visited=seen).collect()
     assert {r["node"] for r in got2} == {"p2"}
+
+
+def test_score_nodes_tfidf_float32(spark):
+    import math
+
+    import numpy as np
+
+    edges = spark.createDataFrame(
+        [("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o3", "p1"), ("o4", "p3")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("o1",), ("o2",)], "node string")
+    nodes = gather_nodes(edges, roots, "src", "dst", metrics={"cnt": F.count(F.lit(1))})
+    got = {r["node"]: r for r in score_nodes(nodes, edges, "dst", "cnt").collect()}
+    n_docs = 5
+    exp_df = {"p1": 3, "p2": 1}
+    exp_tf = {"p1": 2, "p2": 1}
+    f32 = np.float32
+    for node in ("p1", "p2"):
+        e = f32(math.log(exp_tf[node]) + 1.0) * f32(
+            math.log((n_docs + 1) / (exp_df[node] + 1.0)) + 1.0
+        )
+        assert got[node]["nodeScore"] == float(e), node
+        assert got[node]["docFreq"] == exp_df[node] and got[node]["numDocs"] == n_docs
