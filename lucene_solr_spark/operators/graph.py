@@ -155,10 +155,15 @@ def shortest_path(
         ).localCheckpoint(eager=True)
         parent_levels.append(new)
         frontier = new.select(F.col("child").alias("node")).distinct().localCheckpoint(eager=True)
-        if frontier.where(F.col("node") == to_node).limit(1).count() > 0:
+        # one tiny driver aggregation answers both "reached target?" and
+        # "frontier exhausted?" — one job per level, not three
+        probe = frontier.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col("node") == to_node).alias("hit")
+        ).first()
+        if probe["hit"]:
             found = True
             break
-        if frontier.limit(1).count() == 0:
+        if probe["n"] == 0:
             break
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
 
