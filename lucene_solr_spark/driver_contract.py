@@ -178,6 +178,12 @@ def _with(ctes: list, final: str) -> str:
 # fixed query terms, present at every scale factor of the documents table
 HOT, HOT2, MID, MID2, RARE = "scan", "merge", "key", "sort", "dup"
 
+# concave pentagon + rectangular hole for the polygon contract query —
+# vertices shared verbatim by the Spark predicate and the SQL oracle
+POLY_LATS = [-50.0, 60.0, -10.0, 60.0, -50.0]
+POLY_LONS = [-120.0, -80.0, 0.0, 80.0, 120.0]
+POLY_HOLE = ([-30.0, -10.0, -10.0, -30.0], [-20.0, -20.0, 20.0, 20.0])
+
 
 # --------------------------------------------------------------- registry
 def ft_queries() -> dict:
@@ -550,6 +556,43 @@ def ft_queries() -> dict:
     q["geo_distance"] = geo_distance
     q["geo_box"] = geo_box
 
+    def geo_polygon(spark, sf_dir):
+        """LatLonPoint.newPolygonQuery (LatLonPoint.java:253, Polygon2D
+        pnpoly crossings): customers inside a concave pentagon with a
+        rectangular hole."""
+        from lucene_solr_spark.functions.geo import geo_polygon_predicate
+
+        pts = _cust_points(spark, sf_dir)
+        return (
+            pts.filter(
+                geo_polygon_predicate(
+                    F.col("lat"), F.col("lon"), POLY_LATS, POLY_LONS, holes=[POLY_HOLE]
+                )
+            )
+            .select("c_custkey")
+            .orderBy("c_custkey")
+        )
+
+    def geo_distance_feature(spark, sf_dir):
+        """LatLonPoint.newDistanceFeatureQuery: distance-decay ranking
+        score = (float)(boost·pivot/(pivot+distance)), top 20."""
+        from lucene_solr_spark.functions.geo import distance_feature_score
+
+        pts = _cust_points(spark, sf_dir)
+        return (
+            pts.select(
+                "c_custkey",
+                distance_feature_score(
+                    F.col("lat"), F.col("lon"), 48.85, 2.35, 2_000_000.0, weight=2.0
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("c_custkey"))
+            .limit(20)
+        )
+
+    q["geo_polygon"] = geo_polygon
+    q["geo_distance_feature"] = geo_distance_feature
+
     def tl_igain(spark, sf_dir):
         """FeaturesSelectionStream / igain QParser: top terms by information
         gain about lang='en'; score emitted as the order-free 2^-20
@@ -762,6 +805,30 @@ def ft_queries() -> dict:
         return _INDEX_CACHE[key].lookup_df(spark, "row data s", 8)
 
     q["ft_freetext"] = ft_freetext
+
+    def agg_interval_facet(spark, sf_dir):
+        """Solr interval facets (``solr/core/.../request/IntervalFacets.
+        java``): overlapping open/closed intervals over n_chars for the HOT
+        match set — one scan, one aggregation row."""
+        s = doc_searcher(spark, sf_dir)
+        return s.interval_facet(
+            TermQuery(HOT), "n_chars", ["[*,200)", "[100,400)", "[200,800]", "(400,*]"]
+        ).orderBy("interval")
+
+    q["agg_interval_facet"] = agg_interval_facet
+
+    def geo_heatmap(spark, sf_dir):
+        """facet.heatmap / HeatmapFacetCounter (``lucene/spatial-extras/.../
+        prefix/HeatmapFacetCounter.java``): grid counts of the synthetic
+        customer points over a 6x8 grid, quantized coordinates."""
+        from lucene_solr_spark.functions.geo import heatmap_counts
+
+        pts = _cust_points(spark, sf_dir)
+        return heatmap_counts(pts, "lat", "lon", -60.0, 60.0, -120.0, 120.0, 6, 8).orderBy(
+            "row", "col"
+        )
+
+    q["geo_heatmap"] = geo_heatmap
     return q
 
 
@@ -1253,6 +1320,31 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM q "
         "WHERE qlat >= -10.0 AND qlat <= 35.5 AND qlon >= 20.25 AND qlon <= 140.0 "
         "ORDER BY c_custkey"
+    )
+
+    # polygon: the identical unrolled pnpoly program, generated from the
+    # same vertex constants (geo.polygon_predicate_sql)
+    from lucene_solr_spark.functions.geo import polygon_predicate_sql
+
+    o["geo_polygon"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM q "
+        f"WHERE {polygon_predicate_sql('qlat', 'qlon', POLY_LATS, POLY_LONS, holes=[POLY_HOLE])} "
+        "ORDER BY c_custkey"
+    )
+
+    # distance feature: double haversine → float32 score, same term order
+    _hav_paris = (
+        "2 * 6371008.7714 * asin(least(1.0, sqrt("
+        "sin(radians(48.85 - qlat)/2) * sin(radians(48.85 - qlat)/2) + "
+        "cos(radians(qlat)) * cos(radians(48.85)) * sin(radians(2.35 - qlon)/2) * sin(radians(2.35 - qlon)/2)"
+        ")))"
+    )
+    o["geo_distance_feature"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        f"CAST(2.0 * (2000000.0 / (2000000.0 + {_hav_paris})) AS FLOAT) AS score "
+        "FROM q ORDER BY score DESC, c_custkey ASC LIMIT 20"
     )
 
     # query-time join, ScoreMode.Max (max over float32 is order-free ⇒ exact)
@@ -1759,6 +1851,36 @@ def ft_oracle_sql() -> dict:
         "SELECT query_id, rank, CAST(doc_id AS BIGINT) AS doc_id FROM "
         "(SELECT * FROM qa UNION ALL SELECT * FROM qb UNION ALL SELECT * FROM qc) "
         "ORDER BY query_id, rank",
+    )
+
+    # interval facets: independent membership per interval over the HOT
+    # match set (IntervalFacets.java) — counts emitted as (interval, cnt)
+    _iv = {
+        "[*,200)": "_v < 200",
+        "[100,400)": "_v >= 100 AND _v < 400",
+        "[200,800]": "_v >= 200 AND _v <= 800",
+        "(400,*]": "_v > 400",
+    }
+    _iv_rows = " UNION ALL ".join(
+        f"SELECT '{spec}' AS \"interval\", CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS cnt FROM mv"
+        for spec, cond in _iv.items()
+    )
+    o["agg_interval_facet"] = _with(
+        [
+            f"m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')",
+            "mv AS (SELECT d.n_chars AS _v FROM m JOIN documents d USING (doc_id))",
+        ],
+        f"SELECT * FROM ({_iv_rows}) ORDER BY \"interval\"",
+    )
+
+    # heatmap grid facet: quantized points binned into a 6x8 grid
+    o["geo_heatmap"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        "SELECT CAST(least(floor((qlat - (-60.0)) / 20.0), 5) AS INT) AS row, "
+        "CAST(least(floor((qlon - (-120.0)) / 30.0), 7) AS INT) AS col, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM q "
+        "WHERE qlat >= -60.0 AND qlat <= 60.0 AND qlon >= -120.0 AND qlon <= 120.0 "
+        "GROUP BY 1, 2 ORDER BY row, col"
     )
 
     # FreeTextSuggester: stupid-backoff trigram LM for key 'row data s'.

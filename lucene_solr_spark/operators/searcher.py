@@ -1512,6 +1512,45 @@ class IndexSearcher:
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
 
+    def interval_facet(self, query: Query, col: str, intervals: list) -> DataFrame:
+        """Solr interval facets (``reference solr/core/src/java/org/apache/
+        solr/request/IntervalFacets.java``): per-interval doc counts over the
+        match set, intervals given in Solr's bracket syntax — ``[0,10)``,
+        ``(5,100]``, ``[*,42]`` — with independent (possibly overlapping)
+        membership per interval.
+
+        One corpus join + ONE aggregation row regardless of interval count:
+        each interval is a conditional-sum column, so the plan stays a single
+        scan with a scalar reduce — no per-interval pass, no shuffle of doc
+        rows (the reference likewise streams doc values once, :66-78)."""
+        import re as _re
+
+        if self.corpus is None:
+            raise ValueError("interval_facet needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        matched = self._evaluate(query, 1.0, stats).select("doc_id")
+        id_col = self.index.config.id_col
+        vals = matched.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(col).alias("_v")), "doc_id"
+        )
+        pat = _re.compile(r"^([\[\(])\s*(\*|-?\d+(?:\.\d+)?)\s*,\s*(\*|-?\d+(?:\.\d+)?)\s*([\]\)])$")
+        aggs = []
+        for spec in intervals:
+            m = pat.match(spec)
+            if not m:
+                raise ValueError(f"bad interval syntax: {spec!r} (IntervalFacets grammar)")
+            lo_b, lo, hi, hi_b = m.groups()
+            cond = F.lit(True)
+            if lo != "*":
+                cond = cond & (F.col("_v") > float(lo) if lo_b == "(" else F.col("_v") >= float(lo))
+            if hi != "*":
+                cond = cond & (F.col("_v") < float(hi) if hi_b == ")" else F.col("_v") <= float(hi))
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(spec))
+        row = vals.agg(*aggs)
+        # unpivot the single row to (interval, cnt) — stack is pure codegen
+        stack = ", ".join(f"'{s}', `{s}`" for s in intervals)
+        return row.selectExpr(f"stack({len(intervals)}, {stack}) as (`interval`, cnt)")
+
     def sampled_facet(self, query: Query, facet_col: str, rate: int = 20) -> DataFrame:
         """RandomSamplingFacetsCollector analog (``reference lucene/facet/src/
         java/org/apache/lucene/facet/RandomSamplingFacetsCollector.java``):

@@ -126,3 +126,90 @@ def test_coarse_filter_pushes_to_scan(spark, tmp_path, points):
     # the plan string elides long filter lists; the lat range bound leading
     # the list proves the coarse conjuncts reached the scan
     assert "GreaterThanOrEqual(lat" in plan
+
+
+def test_heatmap_counts_match_python_binning(points):
+    from lucene_solr_spark.functions.geo import heatmap_counts
+
+    df, pdf = points
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in heatmap_counts(df, "lat", "lon", -60.0, 60.0, -120.0, 120.0, 6, 8).collect()
+    }
+    want = {}
+    for la, lo in zip(pdf["lat"], pdf["lon"]):
+        qla, qlo = _py_quant(la, LAT_DECODE), _py_quant(lo, LON_DECODE)
+        if not (-60.0 <= qla <= 60.0 and -120.0 <= qlo <= 120.0):
+            continue
+        cell = (min(int((qla + 60.0) // 20.0), 5), min(int((qlo + 120.0) // 30.0), 7))
+        want[cell] = want.get(cell, 0) + 1
+    assert got == want and sum(want.values()) > 1000
+
+
+def _py_pnpoly(qlat, qlon, lats, lons):
+    """Brute-force pnpoly with the exact reference term order."""
+    lats, lons = list(lats) + [lats[0]], list(lons) + [lons[0]]
+    bbox = min(lats) <= qlat <= max(lats) and min(lons) <= qlon <= max(lons)
+    c = 0
+    for i in range(len(lats) - 1):
+        lat1, lon1, lat2, lon2 = lats[i], lons[i], lats[i + 1], lons[i + 1]
+        if (lat1 > qlat) != (lat2 > qlat) and qlon < (lon1 - lon2) * (qlat - lat2) / (lat1 - lat2) + lon2:
+            c += 1
+    return bbox and c % 2 == 1
+
+
+def test_polygon_matches_brute_force_with_hole(points):
+    from lucene_solr_spark.functions.geo import geo_polygon_predicate
+
+    df, pdf = points
+    lats = [-50.0, 60.0, -10.0, 60.0, -50.0]
+    lons = [-120.0, -80.0, 0.0, 80.0, 120.0]
+    hole = ([-30.0, -10.0, -10.0, -30.0], [-20.0, -20.0, 20.0, 20.0])
+    got = sorted(
+        r["id"]
+        for r in df.filter(
+            geo_polygon_predicate(F.col("lat"), F.col("lon"), lats, lons, holes=[hole])
+        ).collect()
+    )
+    want = sorted(
+        int(i)
+        for i, la, lo in zip(pdf["id"], pdf["lat"], pdf["lon"])
+        if _py_pnpoly(_py_quant(la, LAT_DECODE), _py_quant(lo, LON_DECODE), lats, lons)
+        and not _py_pnpoly(_py_quant(la, LAT_DECODE), _py_quant(lo, LON_DECODE), hole[0], hole[1])
+    )
+    assert got == want and len(want) > 100
+    # the hole actually excludes points
+    full = df.filter(geo_polygon_predicate(F.col("lat"), F.col("lon"), lats, lons)).count()
+    assert full > len(want)
+
+
+def test_polygon_coarse_prefilter_pushes_to_scan(spark, tmp_path, points):
+    from lucene_solr_spark.functions.geo import geo_polygon_predicate
+
+    _, pdf = points
+    path = str(tmp_path / "pts_poly")
+    spark.createDataFrame(pdf).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = (
+        df.filter(geo_polygon_predicate(F.col("lat"), F.col("lon"), [0.0, 20.0, 10.0], [0.0, 0.0, 15.0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lat" in plan
+
+
+def test_distance_feature_score_float32(points):
+    from lucene_solr_spark.functions.geo import distance_feature_score
+
+    df, pdf = points
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            distance_feature_score(F.col("lat"), F.col("lon"), 10.0, 20.0, 500_000.0, weight=3.0).alias("s"),
+        ).collect()
+    }
+    for i, la, lo in list(zip(pdf["id"], pdf["lat"], pdf["lon"]))[:500]:
+        d = _py_haversin(_py_quant(la, LAT_DECODE), _py_quant(lo, LON_DECODE), 10.0, 20.0)
+        want = np.float32(3.0 * (500_000.0 / (500_000.0 + d)))
+        assert got[int(i)] == pytest.approx(float(want), abs=2e-7)
+        assert 0.0 < got[int(i)] <= 3.0

@@ -133,3 +133,34 @@ def test_expand_consistent_with_group_topk(pos_searcher):
         assert exp[g]["head_doc"] == w["head"]
         got_exp = [int(x) for x in exp[g]["exp_docs"].split(",") if x]
         assert sorted(got_exp) == sorted(w["exp"])
+
+
+def test_interval_facet_matches_pandas(pos_searcher, fixture_corpus_pdf):
+    """IntervalFacets: overlapping open/closed intervals, independent
+    membership, verified against a pandas count over the true match set."""
+    specs = ["[*,3)", "[1,5)", "(2,8]", "[4,*]"]
+    got = {
+        r["interval"]: r["cnt"]
+        for r in pos_searcher.interval_facet(TermQuery("the"), "turn_idx", specs).collect()
+    }
+    pdf = fixture_corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    from lucene_solr_spark.functions.analysis import standard_analyzer
+
+    an = standard_analyzer()
+    vals = [
+        int(t_idx)
+        for t_idx, text in zip(pdf["turn_idx"], pdf["text"])
+        if "the" in dict(an.tokens_with_positions(text))
+    ]
+    want = {
+        "[*,3)": sum(v < 3 for v in vals),
+        "[1,5)": sum(1 <= v < 5 for v in vals),
+        "(2,8]": sum(2 < v <= 8 for v in vals),
+        "[4,*]": sum(v >= 4 for v in vals),
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_interval_facet_bad_syntax_rejected(pos_searcher):
+    with pytest.raises(ValueError):
+        pos_searcher.interval_facet(TermQuery("the"), "turn_idx", ["[1..5]"]).collect()
