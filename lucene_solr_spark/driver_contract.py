@@ -41,6 +41,7 @@ from .operators.indexer import IndexConfig, build_index
 from .operators.searcher import IndexSearcher
 from .plans.parser import parse_query
 from .plans.query import (
+    BlendedTermQuery,
     BooleanQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
@@ -200,6 +201,9 @@ def ft_queries() -> dict:
     q["ft_phrase"] = _search_q(PhraseQuery((HOT, HOT2)))
     q["ft_synonym"] = _search_q(SynonymQuery((MID, MID2)))
     q["ft_dismax"] = _search_q(DisjunctionMaxQuery((TermQuery(MID), TermQuery(RARE)), tie_breaker=0.3))
+    q["ft_blended"] = _search_q(
+        BlendedTermQuery(blend_terms=(MID, RARE), term_boosts=(1.0, 2.0))
+    )
 
     def ft_prefix(spark, sf_dir):
         s = doc_searcher(spark, sf_dir)
@@ -933,6 +937,34 @@ def ft_oracle_sql() -> dict:
         "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id"
     )
     o["ft_dismax"] = _with([_term_cte("sa", MID), _term_cte("sb", RARE)], _topk_sql(dm_body))
+
+    # BlendedTermQuery: df blended to max over both terms, per-term boosts,
+    # DisjunctionMax(tie = (float)0.01) combine
+    _bl_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    _bl_idf = _idf("(SELECT df FROM bdf)")
+
+    def _bl_cte(alias: str, term: str, boost: str) -> str:
+        w = _R(f"{boost} * {_bl_idf}") if boost != "1.0" else _bl_idf
+        return (
+            f"{alias} AS (SELECT tf.doc_id AS doc_id, {_R(f'{w} * {_bl_t32}')} AS score "
+            f"FROM tf JOIN dlq ON tf.doc_id = dlq.doc_id WHERE tf.term = '{term}')"
+        )
+
+    import numpy as _np
+
+    _bl_tie = repr(float(_np.float32(0.01)))
+    _bl_score = _R(f"{dmax} + {_bl_tie} * ({dtot} - {dmax})")
+    o["ft_blended"] = _with(
+        [
+            f"bdf AS (SELECT max(df) AS df FROM dfreq WHERE term IN ('{MID}', '{RARE}'))",
+            _bl_cte("ba", MID, "1.0"),
+            _bl_cte("bb", RARE, "2.0"),
+        ],
+        _topk_sql(
+            f"SELECT doc_id, {_bl_score} AS score "
+            "FROM (SELECT * FROM ba UNION ALL SELECT * FROM bb) GROUP BY doc_id"
+        ),
+    )
 
     o["ft_prefix"] = _with(
         [],

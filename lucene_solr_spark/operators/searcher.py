@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..functions import bm25
 from ..functions.codec import unpack_blocks
 from ..plans.query import (
+    BlendedTermQuery,
     BooleanQuery,
     BoostQuery,
     CommonTermsQuery,
@@ -1049,6 +1050,45 @@ class IndexSearcher:
             out = out.join(self._evaluate(sub, 1.0, stats).select("doc_id").distinct(), "doc_id", "left_anti")
         return out
 
+    def _eval_blended(self, q, boost: float, stats: dict) -> DataFrame:
+        """BlendedTermQuery (BlendedTermQuery.java:274-284): every present
+        term is scored with the BLENDED statistics df = max(df_i),
+        ttf = Σ ttf_i, then combined per the rewrite — DisjunctionMax with
+        tie 0.01f (:183) or boolean SHOULD-sum (:133).  ONE postings scan for
+        all terms (the per-term weight differs only by boost), then one
+        groupBy — same physical shape as _eval_dismax."""
+        present = [t for t in q.blend_terms if t in stats]
+        if not present:
+            return self._empty()
+        tbs = q.term_boosts or (1.0,) * len(q.blend_terms)
+        bdf = max(stats[t][0] for t in present)
+        bttf = sum(stats[t][1] for t in present)
+        weights = {}
+        for t, tb in zip(q.blend_terms, tbs):
+            if t not in stats:
+                continue
+            b = boost * q.boost * tb
+            if self.similarity is None:
+                weights[t] = float(np.float32(np.float32(b) * bm25.idf(bdf, self.index.doc_count)))
+            else:
+                weights[t] = self.similarity.term_params(
+                    b, bdf, bttf, self.index.doc_count, self.index.sum_ttf
+                )
+        u = self._scored_postings(weights).select("doc_id", "score")
+        if q.rewrite == "boolean":
+            # DisjunctionSumScorer: double sum of float sub-scores → float
+            return u.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).cast("float").alias("score")
+            )
+        tie = float(np.float32(q.tie_breaker))  # tieBreakerMultiplier is float
+        agg = u.groupBy("doc_id").agg(
+            F.max(F.col("score").cast("double")).alias("m"),
+            F.sum(F.col("score").cast("double")).alias("s"),
+        )
+        return agg.select(
+            "doc_id", (F.col("m") + F.lit(tie) * (F.col("s") - F.col("m"))).cast("float").alias("score")
+        )
+
     def _eval_dismax(self, q: DisjunctionMaxQuery, boost: float, stats: dict) -> DataFrame:
         if not q.disjuncts:
             return self._empty()
@@ -1140,6 +1180,8 @@ class IndexSearcher:
             return child.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
         if isinstance(q, DisjunctionMaxQuery):
             return self._eval_dismax(q, boost, stats)
+        if isinstance(q, BlendedTermQuery):
+            return self._eval_blended(q, boost, stats)
         if isinstance(q, CommonTermsQuery):
             return self._evaluate(self._rewrite_common_terms(q, stats), boost * q.boost, stats)
         if isinstance(q, CoveringQuery):

@@ -354,6 +354,27 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """BlendedTermQuery (reference ``lucene/core/src/java/org/apache/lucene/
+    search/BlendedTermQuery.java``): scores several terms as if they had the
+    SAME index statistics — df = max(docFreq) and ttf = Σ totalTermFreq over
+    the terms (:274-284 ``adjustFrequencies``) — then combines per-term
+    scores with DisjunctionMax(tie=0.01) by default (:183
+    ``DISJUNCTION_MAX_REWRITE``) or a SHOULD-sum (:133 ``BOOLEAN_REWRITE``).
+    Used to query the same text across synonymous surface forms without the
+    rare form dominating via its inflated idf."""
+
+    blend_terms: tuple = ()
+    term_boosts: tuple = ()  # per-term boosts, defaults to 1.0 each
+    tie_breaker: float = 0.01
+    rewrite: str = "dismax"  # "dismax" | "boolean"
+    boost: float = 1.0
+
+    def terms(self):
+        return set(self.blend_terms)
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """CommonTermsQuery (reference ``lucene/queries/src/java/org/apache/
     lucene/queries/CommonTermsQuery.java``): terms whose docFreq exceeds

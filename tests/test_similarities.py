@@ -336,3 +336,56 @@ def test_ib_ll_term(index8, spark_corpus, corpus_stats):
         for prune in (True, False):
             got = s.search(TermQuery(term), 10, prune=prune).collect()
             assert _brute_topk(expect) == [(d, sc) for d, sc in got], (term, prune)
+
+
+def _bm25_blended_scores(tf, df, norm, n_docs, sttf, terms, boosts):
+    """Brute-force BlendedTermQuery: per-term BM25 with df blended to the
+    max over the terms (BlendedTermQuery.java:274-284), reference float
+    chain (weight f32, cache double, per-hit f32)."""
+    bdf = max(df[t] for t in terms if t in df)
+    idf32 = np.float32(math.log(1.0 + (n_docs - bdf + 0.5) / (bdf + 0.5)))
+    avgdl = float(np.float32(sttf / n_docs))
+    per_term = {}
+    for t, b in zip(terms, boosts):
+        w = np.float32(np.float32(b) * idf32)
+        for (d, t_), f in tf.items():
+            if t_ != t:
+                continue
+            dl = float(byte4_to_int(np.array([norm[d]]))[0])
+            cache = 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)
+            per_term.setdefault(d, []).append(np.float32(w * np.float32(f / (f + cache))))
+    return per_term
+
+
+def test_blended_term_query_dismax_and_boolean(index8, spark_corpus, corpus_stats):
+    from lucene_solr_spark.plans.query import BlendedTermQuery
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df, n=4)
+    terms, boosts = (hot[1], hot[3]), (1.0, 2.0)
+    per_term = _bm25_blended_scores(tf, df, norm, n_docs, sttf, terms, boosts)
+
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0)
+    tie = float(np.float32(0.01))
+    expect_dm = {
+        d: float(np.float32(max(map(float, ss)) + tie * (sum(map(float, ss)) - max(map(float, ss)))))
+        for d, ss in per_term.items()
+    }
+    got = s.search(BlendedTermQuery(blend_terms=terms, term_boosts=boosts), 10).df.collect()
+    want = _brute_topk(expect_dm)
+    assert [(r["doc_id"], r["score"]) for r in got] == [(d, pytest.approx(v)) for d, v in want]
+
+    expect_bool = {d: float(np.float32(sum(map(float, ss)))) for d, ss in per_term.items()}
+    got_b = s.search(
+        BlendedTermQuery(blend_terms=terms, term_boosts=boosts, rewrite="boolean"), 10
+    ).df.collect()
+    want_b = _brute_topk(expect_bool)
+    assert [(r["doc_id"], r["score"]) for r in got_b] == [(d, pytest.approx(v)) for d, v in want_b]
+
+    # blending must actually change the rare term's idf: compare to plain dismax
+    from lucene_solr_spark.plans.query import DisjunctionMaxQuery
+
+    plain = s.search(
+        DisjunctionMaxQuery((TermQuery(terms[0]), TermQuery(terms[1], boost=2.0)), tie_breaker=tie), 10
+    ).df.collect()
+    assert [r["score"] for r in plain] != [r["score"] for r in got]
