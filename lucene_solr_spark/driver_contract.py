@@ -341,6 +341,16 @@ def ft_queries() -> dict:
 
     # ---- span queries (search/spans/*, NearSpansOrdered / NearSpansUnordered)
     q["ft_span_near"] = _const_ids(SpanNearQuery((HOT, HOT2), slop=2, in_order=True))
+
+    def ft_complex_phrase(spark, sf_dir):
+        """ComplexPhraseQueryParser: '"merge s*"' — wildcard slot expanded
+        against the term dictionary into a SpanOr, ordered adjacency."""
+        s = doc_searcher(spark, sf_dir)
+        cq = s.complex_phrase_query(f"{HOT2} s*", slop=0)
+        top = s.search(ConstantScoreQuery(cq), 30)
+        return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_complex_phrase"] = ft_complex_phrase
     q["ft_span_near_unordered"] = _const_ids(SpanNearQuery((MID, HOT), slop=3, in_order=False))
     # span algebra: first / not / or-as-near-clause (search/spans/*)
     q["ft_span_first"] = _const_ids(SpanFirstQuery(HOT, 3))
@@ -1117,6 +1127,13 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
         f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
         f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    o["ft_complex_phrase"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term = '{HOT2}' AND b.term LIKE 's%' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 0"
         ") ORDER BY doc_id LIMIT 30",
     )
     o["ft_span_near_unordered"] = _with(

@@ -1554,6 +1554,37 @@ class IndexSearcher:
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
 
+    def complex_phrase_query(self, phrase: str, slop: int = 0, in_order: bool = True):
+        """ComplexPhraseQueryParser analog (``reference lucene/queryparser/
+        src/java/org/apache/lucene/queryparser/complexPhrase/
+        ComplexPhraseQueryParser.java``): a quoted phrase whose slots may be
+        wildcard/prefix patterns.  The parser rewrites the phrase into a
+        SpanNearQuery whose pattern slots become SpanOr over the dictionary
+        expansion (``rewrite`` → SpanNear/SpanOr assembly, :234-305).
+
+        Expansion reads only the tiny sorted ``terms`` table (min/max-pruned
+        scan); the span evaluation stays one positional-postings pass.  The
+        expanded alternatives are capped at maxClauseCount like every
+        multi-term rewrite."""
+        from ..plans.query import SpanNearQuery
+
+        slots = []
+        for raw in phrase.split():
+            w = raw.lower()  # Analyzer.normalize (StandardAnalyzer: lowercase)
+            if "*" in w or "?" in w:
+                like = self._wildcard_to_like(w)
+                expanded = sorted(
+                    r["term"] for r in self.index.terms.filter(F.col("term").like(like)).collect()
+                )
+                if len(expanded) > MAX_CLAUSE_COUNT:
+                    raise ValueError(
+                        f"complex-phrase slot {raw!r} expands to {len(expanded)} terms (maxClauseCount)"
+                    )
+                slots.append(tuple(expanded))
+            else:
+                slots.append(w)
+        return SpanNearQuery(tuple(slots), slop=slop, in_order=in_order)
+
     def interval_facet(self, query: Query, col: str, intervals: list) -> DataFrame:
         """Solr interval facets (``reference solr/core/src/java/org/apache/
         solr/request/IntervalFacets.java``): per-interval doc counts over the
