@@ -843,7 +843,36 @@ def ft_queries() -> dict:
         )
 
     q["geo_heatmap"] = geo_heatmap
+
+    def ft_bm25f(spark, sf_dir):
+        """BM25FQuery (``lucene/sandbox/.../search/BM25FQuery.java`` +
+        ``MultiNormsLeafSimScorer.java``): fields text (w=1) and title
+        (= first 5 tokens, w=2) scored as one pseudo field — max-blended df,
+        weight-summed ttf/freq, re-quantized blended norms."""
+        from .operators.bm25f import bm25f_topk
+
+        idx_text, idx_title = _bm25f_indexes(spark, sf_dir)
+        top = bm25f_topk([("text", idx_text, 1.0), ("title", idx_title, 2.0)], [HOT, MID], k=10)
+        return _ranked(top)
+
+    q["ft_bm25f"] = ft_bm25f
     return q
+
+
+_TITLE_EXPR = "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 5), ' ')"
+
+
+def _bm25f_indexes(spark, sf_dir):
+    """(text index, title index) over `documents`; title = first 5 tokens."""
+    key = ("documents", sf_dir, "bm25f_title")
+    if key not in _INDEX_CACHE:
+        s = doc_searcher(spark, sf_dir)
+        corpus = s.corpus.withColumn("title", F.expr(_TITLE_EXPR))
+        idx_title = build_index(
+            corpus, IndexConfig(analyzer=simple_analyzer(), text_col="title", n_partitions=8)
+        ).persist()
+        _INDEX_CACHE[key] = (s.index, idx_title)
+    return _INDEX_CACHE[key]
 
 
 # ------------------------------------------------------- LTR model fixtures
@@ -1995,4 +2024,50 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             ],
             _topk_sql("SELECT doc_id, score FROM m", k=10),
         )
+
+    # ---- BM25F (sandbox BM25FQuery + MultiNormsLeafSimScorer): fields
+    # text (w=1) / title = first-5-tokens (w=2), terms (HOT, MID).
+    # Pseudo stats: df = max over (field, term); ttf/sumTotalTermFreq =
+    # weight-summed (integral weights => exact); per-doc freq = w-summed tf;
+    # per-doc norm = byte4-requantized w-sum of decoded per-field lengths.
+    def _q4(x: str) -> str:
+        d = f"({x}-24)"
+        return (
+            f"CASE WHEN {x} < 24 THEN {x} ELSE 24 + (CASE WHEN {d} < 8 THEN {d} "
+            f"ELSE ({d} >> (length(bin({d}))-4)) << (length(bin({d}))-4) END) END"
+        )
+
+    _bm_av = _R("CAST((SELECT sttf FROM bst) AS DOUBLE) / (SELECT n FROM st)")
+    _bm_c1 = _R(_R("0.75") + " * " + _R("bb.bl"))
+    _bm_c2 = _R(f"{_bm_c1} / {_bm_av}")
+    _bm_c3 = _R(_R("0.25") + " + " + _bm_c2)
+    _bm_cache = _R(_R("1.2") + " * " + _bm_c3)
+    _bm_t32 = _R(f"bb.freq / (bb.freq + {_D(_bm_cache)})")
+    _bm_score = _R(f"{_idf('(SELECT df FROM bdf)')} * {_bm_t32}")
+    o["ft_bm25f"] = _with(
+        [
+            "ttl AS (SELECT doc_id, array_to_string(list_slice("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5), ' ') AS title FROM documents)",
+            "tokt AS (SELECT doc_id, unnest(regexp_extract_all(title, '[a-z0-9]+')) AS term FROM ttl)",
+            "dl2 AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d "
+            "LEFT JOIN tokt t ON d.doc_id = t.doc_id GROUP BY d.doc_id)",
+            f"q2 AS (SELECT doc_id, {_q4('dl')} AS q FROM dl2)",
+            "tf2 AS (SELECT term, doc_id, count(*) AS tf FROM tokt GROUP BY term, doc_id)",
+            "bst AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) "
+            "+ 2*(SELECT CAST(sum(dl) AS BIGINT) FROM dl2) AS sttf)",
+            "bdf AS (SELECT greatest("
+            f"coalesce((SELECT df FROM dfreq WHERE term='{HOT}'),0),"
+            f"coalesce((SELECT df FROM dfreq WHERE term='{MID}'),0),"
+            f"coalesce((SELECT count(*) FROM tf2 WHERE term='{HOT}'),0),"
+            f"coalesce((SELECT count(*) FROM tf2 WHERE term='{MID}'),0)) AS df)",
+            "fr AS (SELECT doc_id, CAST(sum(wtf) AS DOUBLE) AS freq FROM ("
+            f"SELECT doc_id, sum(tf) AS wtf FROM tf WHERE term IN ('{HOT}','{MID}') GROUP BY doc_id "
+            f"UNION ALL SELECT doc_id, 2*sum(tf) FROM tf2 WHERE term IN ('{HOT}','{MID}') "
+            "GROUP BY doc_id) GROUP BY doc_id)",
+            "bn AS (SELECT fr.doc_id AS doc_id, fr.freq AS freq, (dlq.dlq + 2*q2.q) AS nv "
+            "FROM fr JOIN dlq ON fr.doc_id = dlq.doc_id JOIN q2 ON fr.doc_id = q2.doc_id)",
+            f"bb AS (SELECT doc_id, freq, {_q4('nv')} AS bl FROM bn)",
+        ],
+        _topk_sql(f"SELECT bb.doc_id AS doc_id, {_bm_score} AS score FROM bb"),
+    )
     return o
