@@ -116,6 +116,19 @@ def pipeline_queries() -> dict:
 
     q["dd_minhash_lsh"] = dd_minhash_lsh
 
+    def dd_dedup_clusters(spark, sf_dir):
+        """Duplicate-cluster formation: connected components of the MinHash-LSH
+        candidate graph (min-label propagation + pointer jumping); component
+        id = canonical survivor doc_id."""
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        comp = dedup.duplicate_components(pairs)
+        return comp.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        ).orderBy("doc_id")
+
+    q["dd_dedup_clusters"] = dd_dedup_clusters
+
     def dd_simhash(spark, sf_dir):
         return dedup.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -270,6 +283,24 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
        CAST(min(a.band) AS INT) AS first_band
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+    # duplicate clusters: same LSH pair derivation, closed transitively by a
+    # recursive CTE; component = min reachable doc_id (matches the engine's
+    # min-label fixpoint definitionally)
+    o["dd_dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES.strip()},
+mh AS (SELECT doc_id, {sig_exprs} FROM shd GROUP BY doc_id),
+bands AS ({band_selects}),
+prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a ORDER BY doc_id
 """
 
     _SIMHASH = f"""

@@ -856,6 +856,40 @@ def ft_queries() -> dict:
         return _ranked(top)
 
     q["ft_bm25f"] = ft_bm25f
+
+    def _payload_searcher(spark, sf_dir):
+        """`documents` index with the pos&7 per-occurrence payload stream
+        (the .pay-file analog), cached per sf_dir."""
+        key = ("documents", sf_dir, "payloads")
+        if key not in _INDEX_CACHE:
+            corpus = doc_searcher(spark, sf_dir).corpus
+            idx = build_index(
+                corpus,
+                IndexConfig(analyzer=simple_analyzer(), n_partitions=8, payload_mode="pos_mod8"),
+            ).persist()
+            _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+        return _INDEX_CACHE[key]
+
+    def ft_payload_score(spark, sf_dir):
+        """PayloadScoreQuery(SpanTermQuery(HOT), AveragePayloadFunction,
+        includeSpanScore) — ``lucene/queries/.../payloads/
+        PayloadScoreQuery.java`` — over pos&7 payloads."""
+        from .operators.payloads import payload_score_topk
+
+        s = _payload_searcher(spark, sf_dir)
+        return _ranked(payload_score_topk(s, HOT, function="avg", include_span_score=True, k=10))
+
+    q["ft_payload_score"] = ft_payload_score
+
+    def ft_payload_check(spark, sf_dir):
+        """SpanPayloadCheckQuery(SpanTermQuery(MID), [3]) — only occurrences
+        whose payload equals 3 survive; surviving count = span freq."""
+        from .operators.payloads import payload_check_topk
+
+        s = _payload_searcher(spark, sf_dir)
+        return _ranked(payload_check_topk(s, MID, [3], k=10))
+
+    q["ft_payload_check"] = ft_payload_check
     return q
 
 
@@ -2069,5 +2103,47 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             f"bb AS (SELECT doc_id, freq, {_q4('nv')} AS bl FROM bn)",
         ],
         _topk_sql(f"SELECT bb.doc_id AS doc_id, {_bm_score} AS score FROM bb"),
+    )
+
+    # ---- payload queries (queries/payloads): payload = pos & 7 per
+    # occurrence. Position enumeration via per-doc token ordinals.
+    _occ = (
+        "occ AS (SELECT doc_id, ord - 1 AS pos, toks[ord] AS term "
+        "FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS ord "
+        "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+        "FROM documents)))"
+    )
+    # AveragePayloadFunction: payloadScore = f32 sum of (float) payloads
+    # (small ints — exact), docScore = f32(payloadScore / n); final =
+    # f32(spanScore * payloadScore) with spanScore = the BM25 term score
+    _pay_avg = _R(f"CAST(pf.psum AS REAL) / CAST(pf.n AS REAL)")
+    o["ft_payload_score"] = _with(
+        [
+            _term_cte("sa", HOT),
+            _occ,
+            f"pf AS (SELECT doc_id, count(*) AS n, sum(pos & 7) AS psum FROM occ "
+            f"WHERE term = '{HOT}' GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            f"SELECT sa.doc_id AS doc_id, {_R(f'sa.score * {_pay_avg}')} AS score "
+            "FROM sa JOIN pf ON sa.doc_id = pf.doc_id"
+        ),
+    )
+
+    # SpanPayloadCheckQuery: freq = count of occurrences with payload == 3;
+    # term statistics stay the unfiltered term's (SpanWeight binds TermStates
+    # before payload filtering)
+    _pc_t32 = _R(f"acc.atf / (acc.atf + {_D(_CACHE)})")
+    _pc_score = _R(f"{_idf(f_pc_df := f'(SELECT df FROM dfreq WHERE term = {MID!r})')} * {_pc_t32}")
+    o["ft_payload_check"] = _with(
+        [
+            _occ,
+            f"acc AS (SELECT doc_id, count(*) AS atf FROM occ "
+            f"WHERE term = '{MID}' AND (pos & 7) = 3 GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            f"SELECT acc.doc_id AS doc_id, {_pc_score} AS score "
+            "FROM acc JOIN dlq ON acc.doc_id = dlq.doc_id"
+        ),
     )
     return o

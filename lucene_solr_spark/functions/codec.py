@@ -56,6 +56,7 @@ __all__ = [
     "pack_postings_blocks",
     "unpack_blocks",
     "unpack_positions",
+    "unpack_payloads",
 ]
 
 CODECS = ("varint", "for128")
@@ -286,6 +287,7 @@ def pack_postings_blocks(
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
     codec: str = "varint",
+    payloads: np.ndarray | None = None,
 ):
     """Pack sorted postings into per-(term, block) compressed rows.
 
@@ -322,6 +324,7 @@ def pack_postings_blocks(
             "min_norm": np.empty(0, np.int32),
             "sum_tf": np.empty(0, np.int64),
             "pos_bytes": [] if positions is not None else None,
+            "pay_bytes": [] if payloads is not None else None,
         }
 
     new_term = np.empty(n, dtype=bool)
@@ -374,27 +377,40 @@ def pack_postings_blocks(
     min_norm = np.minimum.reduceat(norms, block_start_idx).astype(np.int32)
     sum_tf = np.add.reduceat(tfs, block_start_idx).astype(np.int64)
 
+    def _occurrence_slices(values: np.ndarray) -> list:
+        """Varint-encode a flat per-occurrence stream and slice it per block
+        (block b's bytes = the occurrences of its postings)."""
+        occ_starts = np.cumsum(tfs) - tfs  # occurrence offset per posting
+        buf, sizes = encode_varint_with_sizes(values)
+        occ_of_block_start = occ_starts[block_start_idx]
+        byte_ends = np.cumsum(sizes)
+        byte_starts = byte_ends - sizes
+        b_start = byte_starts[occ_of_block_start]
+        b_end = np.concatenate((b_start[1:], byte_ends[-1:]))
+        return [buf[a:b] for a, b in zip(b_start.tolist(), b_end.tolist())]
+
     pos_slices = None
     if positions is not None:
         # within-doc delta encoding: first occurrence absolute, then gaps
         pos = np.asarray(positions, dtype=np.int64)
-        occ_starts = np.cumsum(tfs) - tfs  # occurrence offset per posting
+        occ_starts = np.cumsum(tfs) - tfs
         pdeltas = np.empty(pos.size, dtype=np.int64)
         if pos.size:
             pdeltas[0] = pos[0]
             pdeltas[1:] = pos[1:] - pos[:-1]
             pdeltas[occ_starts] = pos[occ_starts]
-        pos_buf, pos_sizes = encode_varint_with_sizes(pdeltas)
-        # byte range of block b = bytes of occurrences of its postings
-        occ_of_block_start = occ_starts[block_start_idx]
-        byte_ends = np.cumsum(pos_sizes)
-        byte_starts = byte_ends - pos_sizes
-        b_start = byte_starts[occ_of_block_start]
-        b_end = np.concatenate((b_start[1:], byte_ends[-1:]))
-        pos_slices = [pos_buf[a:b] for a, b in zip(b_start.tolist(), b_end.tolist())]
+        pos_slices = _occurrence_slices(pdeltas)
+
+    pay_slices = None
+    if payloads is not None:
+        # per-occurrence payload stream, varint, NOT delta-encoded (payload
+        # values are arbitrary, not monotone) — the .pay-file analog of
+        # Lucene50PostingsWriter's payload stream (:281-350)
+        pay_slices = _occurrence_slices(np.asarray(payloads, dtype=np.int64))
 
     return {
         "pos_bytes": pos_slices,
+        "pay_bytes": pay_slices,
         "term_code": term_codes[block_start_idx],
         "block_id": block_of_posting[block_start_idx].astype(np.int32),
         "doc_id_base": doc_ids[block_start_idx],
@@ -463,3 +479,9 @@ def unpack_positions(tfs: np.ndarray, pos_bytes_list) -> np.ndarray:
     cs = np.cumsum(deltas)
     cs_before = cs[occ_starts] - deltas[occ_starts]
     return cs - np.repeat(cs_before, tfs)
+
+
+def unpack_payloads(pay_bytes_list) -> np.ndarray:
+    """Decode the concatenated per-occurrence payload streams of N blocks
+    (plain varints, aligned with the same occurrence stream as positions)."""
+    return decode_varint(b"".join(pay_bytes_list))

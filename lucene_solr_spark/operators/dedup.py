@@ -272,3 +272,65 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) ->
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def duplicate_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Collapse candidate near-dup pairs into duplicate CLUSTERS:
+    ``(doc_id, component)`` where component = min doc_id reachable.
+
+    The step every real dedup pipeline needs after pair generation: keep one
+    representative per connected component of the similarity graph (the
+    component id IS the canonical survivor).
+
+    Distributed min-label propagation with pointer jumping (path halving):
+    each round every node takes the min label over itself, its neighbors'
+    labels, and its label's label.  The jump step collapses chains
+    geometrically, so rounds = O(log(diameter)) rather than O(diameter) —
+    the same convergence guarantee as the large-star/small-star MapReduce
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") while keeping every round two shuffles (one neighbor groupBy,
+    one label self-join), both keyed on ids, never on payloads.  Duplicate
+    clusters in practice are near-cliques from LSH banding, so typical
+    convergence is 2-3 rounds; the driver-side loop only ever sees one
+    ``count()`` per round (the changed-label check), never label data.
+
+    ``pairs``: (doc_a, doc_b) DataFrame (any extra columns ignored).
+    """
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(F.col("src").alias("doc_id"), F.least("src", "nmin").alias("label"))
+        .persist()
+    )
+    for _ in range(max_rounds):
+        nb = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        cand = labels.join(nb, "doc_id", "left").select(
+            "doc_id", F.least("label", F.coalesce("nb_min", "label")).alias("label1")
+        )
+        jump = labels.select(F.col("doc_id").alias("label1"), F.col("label").alias("jmp"))
+        new_labels = (
+            cand.join(jump, "label1", "left")
+            .select("doc_id", F.least("label1", F.coalesce("jmp", "label1")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))

@@ -51,7 +51,7 @@ _BUILD_SCHEMA = (
     "row_type int, term string, run_id bigint, block_id int, doc_id_base bigint, "
     "doc_id_max bigint, "
     "count int, doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
-    "positions binary"
+    "positions binary, payloads binary"
 )
 
 POSTINGS_COLUMNS = [
@@ -68,6 +68,7 @@ POSTINGS_COLUMNS = [
     "min_norm",
     "sum_tf",
     "positions",
+    "payloads",
 ]
 
 
@@ -79,6 +80,13 @@ class IndexConfig:
     block_size: int = BLOCK_SIZE
     n_partitions: Optional[int] = None  # index partitions ("segments"); None = keep input
     index_positions: bool = False  # DOCS_AND_FREQS vs DOCS_AND_FREQS_AND_POSITIONS
+    # per-occurrence payload stream (the .pay-file analog): None = off;
+    # "pos_mod8" = token position & 7 (a TokenOffsetPayloadTokenFilter-class
+    # payload: derived from the token stream, varies per occurrence);
+    # "token_length" = len(term) (a NumericPayloadTokenFilter-class payload).
+    # Implies index_positions semantics for the occurrence stream layout only
+    # (positions themselves are stored independently).
+    payload_mode: Optional[str] = None
     # analysis strategy: "regex" (pandas str.findall + factorize) or
     # "encoded" (byte-level numpy tokenizer -> dictionary codes, zero
     # per-token PyObjects).  Both are bit-identical (property-tested).
@@ -334,6 +342,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "min_norm": np.int32(0),
                     "sum_tf": np.int64(0),
                     "positions": None,
+                    "payloads": None,
                 }
             )
 
@@ -349,6 +358,17 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
             starts = np.flatnonzero(new)
             tfs = np.diff(np.append(starts, tc.size)).astype(np.int64)
             u_tc, u_rr = tc[starts], rr[starts]
+            pay_flat = None
+            if config.payload_mode == "pos_mod8":
+                pay_flat = (tok_pos & 7)[order]
+            elif config.payload_mode == "token_length":
+                if encoded_analysis:
+                    term_lens = np.fromiter((len(t) for t in uniques), dtype=np.int64, count=len(uniques))
+                    pay_flat = term_lens[term_codes][order]
+                else:
+                    pay_flat = np.fromiter((len(t) for t in flat), dtype=np.int64, count=flat.size)[order]
+            elif config.payload_mode is not None:
+                raise ValueError(f"unknown payload_mode {config.payload_mode!r}")
             packed = pack_postings_blocks(
                 u_tc,
                 doc_ids_batch[u_rr],
@@ -357,6 +377,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                 block_size=block_size,
                 positions=tok_pos[order] if config.index_positions else None,
                 codec=config.codec,
+                payloads=pay_flat,
             )
             terms_arr = np.asarray(uniques, dtype=object)[packed["term_code"]]
             yield pd.DataFrame(
@@ -375,6 +396,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
                     "min_norm": packed["min_norm"],
                     "sum_tf": packed["sum_tf"],
                     "positions": packed["pos_bytes"],
+                    "payloads": packed["pay_bytes"],
                 }
             )
         # reused workers keep the high-water-mark RSS of the biggest batch;

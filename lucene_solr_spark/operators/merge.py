@@ -41,6 +41,7 @@ from ..functions.codec import (
     _within_group_ranges,
     pack_postings_blocks,
     unpack_blocks,
+    unpack_payloads,
     unpack_positions,
 )
 from .indexer import POSTINGS_COLUMNS, InvertedIndex
@@ -49,7 +50,7 @@ _POSTINGS_SCHEMA = (
     "term string, run_id bigint, block_id int, doc_id_base bigint, doc_id_max bigint, "
     "count int, "
     "doc_ids binary, tfs binary, norms binary, max_tf int, min_norm int, sum_tf bigint, "
-    "positions binary"
+    "positions binary, payloads binary"
 )
 
 
@@ -179,13 +180,17 @@ def _repack_group(
         pos_in[pos_in == drop_doc_ids.size] = 0
         sel = sel[drop_doc_ids[pos_in] != doc_ids[sel]]
     has_pos = len(pdf) > 0 and pdf["positions"].notna().all()
-    pos_sorted = None
-    if has_pos:
-        pos = unpack_positions(tfs, list(pdf["positions"]))
-        # reorder the occurrence stream to the merged posting order
+    has_pay = len(pdf) > 0 and pdf["payloads"].notna().all()
+    pos_sorted = pay_sorted = gather = None
+    if has_pos or has_pay:
+        # occurrence-stream gather to the merged posting order (shared by
+        # the position and payload streams — they are index-aligned)
         occ_starts = np.cumsum(tfs) - tfs
         gather = np.repeat(occ_starts[sel], tfs[sel]) + _within_group_ranges(tfs[sel])
-        pos_sorted = pos[gather]
+    if has_pos:
+        pos_sorted = unpack_positions(tfs, list(pdf["positions"]))[gather]
+    if has_pay:
+        pay_sorted = unpack_payloads(list(pdf["payloads"]))[gather]
     packed = pack_postings_blocks(
         np.zeros(sel.size, dtype=np.int64),
         doc_ids[sel],
@@ -194,6 +199,7 @@ def _repack_group(
         block_size=block_size,
         positions=pos_sorted,
         codec=codec,
+        payloads=pay_sorted,
     )
     n = packed["block_id"].size
     return pd.DataFrame(
@@ -212,6 +218,7 @@ def _repack_group(
             "min_norm": packed["min_norm"],
             "sum_tf": packed["sum_tf"],
             "positions": packed["pos_bytes"],
+            "payloads": packed["pay_bytes"],
         }
     )
 

@@ -118,3 +118,27 @@ def test_multimodal_plumbing(docs):
     frames = sample_frames(p, every_n_bytes=10).collect()
     assert all(0 <= r["frame_byte"] < 256 for r in frames)
     assert {r["doc_id"] for r in frames} == {0, 1, 2, 3, 4}
+
+
+def test_duplicate_components_chain_cycle_and_singleton_pair(spark):
+    # chain 10-11-12-13 (forces >1 propagation round without pointer jumps),
+    # cycle 20-21-22-20, isolated pair (30, 31)
+    from lucene_solr_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in duplicate_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    # a 33-node chain: plain label propagation needs 32 rounds; pointer
+    # jumping must converge within the max_rounds budget (O(log n))
+    from lucene_solr_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100, 132)], "doc_a long, doc_b long")
+    got = duplicate_components(pairs, max_rounds=10).collect()
+    assert {r["component"] for r in got} == {100}
+    assert len(got) == 33
