@@ -890,6 +890,20 @@ def ft_queries() -> dict:
         return _ranked(payload_check_topk(s, MID, [3], k=10))
 
     q["ft_payload_check"] = ft_payload_check
+
+    def ft_term_automaton(spark, sf_dir):
+        """TermAutomatonQuery accepting "hash join" | "sort merge join"
+        (``sandbox/.../TermAutomatonQuery.java`` via the
+        ``TokenStreamToTermAutomatonQuery`` union-of-paths shape): freq =
+        accepted consecutive-position path count, idf summed over the four
+        distinct terms."""
+        from .plans.query import TermAutomatonQuery
+
+        s = doc_searcher(spark, sf_dir)
+        qy = TermAutomatonQuery.from_phrases(("hash", "join"), ("sort", "merge", "join"))
+        return _ranked(s.search(qy, 10).df)
+
+    q["ft_term_automaton"] = ft_term_automaton
     return q
 
 
@@ -2144,6 +2158,36 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
         _topk_sql(
             f"SELECT acc.doc_id AS doc_id, {_pc_score} AS score "
             "FROM acc JOIN dlq ON acc.doc_id = dlq.doc_id"
+        ),
+    )
+
+    # TermAutomatonQuery "hash join" | "sort merge join": freq = accepted
+    # consecutive-position substring count (a 2-gram + a 3-gram path);
+    # weight = f32 of the double-accumulated per-term f32 idfs of the four
+    # distinct automaton terms (BM25Similarity.idfExplain[] semantics)
+    _ta_idf = _R(
+        " + ".join(
+            _D(_idf(f"(SELECT df FROM dfreq WHERE term = '{t}')"))
+            for t in ("hash", "join", "merge", "sort")
+        )
+    )
+    _ta_t32 = _R(f"fr.freq / (fr.freq + {_D(_CACHE)})")
+    o["ft_term_automaton"] = _with(
+        [
+            _occ,
+            "p2 AS (SELECT a.doc_id, count(*) AS c FROM occ a "
+            "JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id)",
+            "p3 AS (SELECT a.doc_id, count(*) AS c FROM occ a "
+            "JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN occ c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2 "
+            "WHERE a.term = 'sort' AND b.term = 'merge' AND c3.term = 'join' "
+            "GROUP BY a.doc_id)",
+            "fr AS (SELECT doc_id, sum(c) AS freq FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3) GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            f"SELECT fr.doc_id AS doc_id, {_R(f'{_ta_idf} * {_ta_t32}')} AS score "
+            "FROM fr JOIN dlq ON fr.doc_id = dlq.doc_id"
         ),
     )
     return o

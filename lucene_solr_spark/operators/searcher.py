@@ -74,6 +74,7 @@ from ..plans.query import (
     SpanOrQuery,
     SpanWithinQuery,
     SynonymQuery,
+    TermAutomatonQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -1186,6 +1187,10 @@ class IndexSearcher:
             return self._evaluate(self._rewrite_common_terms(q, stats), boost * q.boost, stats)
         if isinstance(q, CoveringQuery):
             return self._eval_covering(q, boost, stats)
+        if isinstance(q, TermAutomatonQuery):
+            from .automaton import eval_term_automaton
+
+            return eval_term_automaton(self, q, boost, stats)
         raise NotImplementedError(type(q).__name__)
 
     @staticmethod

@@ -189,6 +189,56 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """``sandbox/.../search/TermAutomatonQuery.java``: a token automaton over
+    index positions.  States are ints (0 = initial); ``transitions`` are
+    ``(src_state, term, dst_state)`` arcs; ``accepts`` is the accepting-state
+    set.  A document matches where some path of CONSECUTIVE positions spells a
+    string the automaton accepts; ``freq`` counts every (start position,
+    accepting prefix) pair — exactly the reference scorer's per-arrival
+    accept counting (``TermAutomatonScorer.java:305-327``, note
+    ``PosState.add`` keeps duplicates, ``:380-385``).
+
+    Scoring: BM25 over that freq with idf summed across the automaton's
+    distinct present terms (``TermAutomatonWeight`` passes every
+    ``idToTerm`` entry's TermStatistics to ``similarity.scorer``,
+    ``TermAutomatonQuery.java:346-361``; multi-stats BM25 idf is the
+    float32 per-term idf sum accumulated in double,
+    ``BM25Similarity.java:172-181``).
+
+    ``addAnyTransition`` (the ANY arc) is not supported — the primary
+    public construction path, ``TokenStreamToTermAutomatonQuery`` (graph
+    token streams / multi-token synonyms), never emits one.
+    """
+
+    n_states: int
+    transitions: tuple  # of (src_state:int, term:str, dst_state:int)
+    accepts: frozenset
+    boost: float = 1.0
+
+    @staticmethod
+    def from_phrases(*phrases: tuple) -> "TermAutomatonQuery":
+        """Build the union-of-token-paths automaton
+        (``TokenStreamToTermAutomatonQuery`` over a graph token stream whose
+        alternatives are the given phrases)."""
+        transitions = []
+        n_states = 1
+        accepts = set()
+        for phrase in phrases:
+            src = 0
+            for i, term in enumerate(phrase):
+                dst = n_states
+                n_states += 1
+                transitions.append((src, term, dst))
+                src = dst
+            accepts.add(src)
+        return TermAutomatonQuery(n_states, tuple(transitions), frozenset(accepts))
+
+    def terms(self):
+        return {t for _, t, _ in self.transitions}
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """``search/spans/SpanNearQuery.java``: sub-spans (here: single terms)
     within ``slop`` positions of each other, optionally in order.
