@@ -904,6 +904,42 @@ def ft_queries() -> dict:
         return _ranked(s.search(qy, 10).df)
 
     q["ft_term_automaton"] = ft_term_automaton
+
+    def geo_nearest(spark, sf_dir):
+        """LatLonPointPrototypeQueries.nearest (sandbox NearestNeighbor.java):
+        the 15 customers closest to (37.77, -122.42), distance asc with id-asc
+        tiebreak — per-partition k-heap + k-row merge, never a full sort."""
+        from .functions.geo import nearest_neighbors
+
+        pts = _cust_points(spark, sf_dir)
+        top = nearest_neighbors(pts, F.col("lat"), F.col("lon"), 37.77, -122.42, k=15)
+        return top.select(
+            "c_custkey", F.floor(F.col("dist_m")).cast("long").alias("dist_m")
+        )
+
+    q["geo_nearest"] = geo_nearest
+
+    def ft_docvalues_terms(spark, sf_dir):
+        """DocValuesTermsQuery (sandbox): SORTED doc-values set membership —
+        a pushed-down Catalyst IN over the corpus column, constant score."""
+        from .plans.query import FieldInSetQuery
+
+        s = doc_searcher(spark, sf_dir)
+        stats: dict = {}
+        matched = s._evaluate(FieldInSetQuery("lang", ("de", "fr")), 1.0, stats)
+        return matched.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_docvalues_terms"] = ft_docvalues_terms
+
+    def ft_docvalues_numbers(spark, sf_dir):
+        """DocValuesNumbersQuery (sandbox): NUMERIC doc-values set membership."""
+        from .plans.query import FieldInSetQuery
+
+        s = doc_searcher(spark, sf_dir)
+        matched = s._evaluate(FieldInSetQuery("n_chars", (132, 218, 246)), 1.0, {})
+        return matched.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_docvalues_numbers"] = ft_docvalues_numbers
     return q
 
 
@@ -2189,5 +2225,22 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             f"SELECT fr.doc_id AS doc_id, {_R(f'{_ta_idf} * {_ta_t32}')} AS score "
             "FROM fr JOIN dlq ON fr.doc_id = dlq.doc_id"
         ),
+    )
+
+    # nearest-neighbor: same double haversine program over quantized coords,
+    # distance asc + id asc
+    o["geo_nearest"] = (
+        f"WITH {_geo_pts}, {_geo_q} "
+        f"SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(floor({_hav}) AS BIGINT) AS dist_m "
+        f"FROM q ORDER BY {_hav} ASC, c_custkey ASC LIMIT 15"
+    )
+
+    o["ft_docvalues_terms"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE lang IN ('de', 'fr') ORDER BY doc_id"
+    )
+    o["ft_docvalues_numbers"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE n_chars IN (132, 218, 246) ORDER BY doc_id"
     )
     return o

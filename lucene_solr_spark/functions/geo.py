@@ -42,6 +42,7 @@ __all__ = [
     "geo_polygon_predicate",
     "polygon_predicate_sql",
     "distance_feature_score",
+    "nearest_neighbors",
 ]
 
 LAT_DECODE = 180.0 / 4294967296.0  # GeoEncodingUtils.LAT_DECODE
@@ -122,6 +123,41 @@ def geo_distance_meters(lat_col: Column, lon_col: Column, lat: float, lon: float
     """Distance from each (quantized) point to (lat, lon) — the sort key of
     LatLonDocValuesField.newDistanceSort."""
     return haversin_meters(quantize_lat(lat_col), quantize_lon(lon_col), lat, lon)
+
+
+def nearest_neighbors(
+    df,
+    lat_col: Column,
+    lon_col: Column,
+    lat: float,
+    lon: float,
+    k: int,
+    id_cols=("c_custkey",),
+    prefilter_radius_m: float = None,
+):
+    """LatLonPointPrototypeQueries.nearest analog (``reference lucene/
+    sandbox/.../search/NearestNeighbor.java``, ``LatLonPointPrototypeQueries.
+    java``): the k points closest to (lat, lon) by haversine over quantized
+    coordinates, ties broken by the id columns ascending (the reference's
+    NearestHit comparator: distance asc, docID asc).
+
+    The reference prunes BKD cells whose minimum possible distance exceeds
+    the current kth hit; here Catalyst's TakeOrderedAndProject gives the same
+    shape for free — a per-partition k-heap and a k-row merge, never a full
+    sort.  For a bounded search radius pass ``prefilter_radius_m``: the
+    bounding-box predicate pushes into the scan (parquet/Iceberg min/max
+    pruning — the cell-level BKD skip analog).
+    """
+    dist = geo_distance_meters(lat_col, lon_col, lat, lon)
+    out = df
+    if prefilter_radius_m is not None:
+        min_lat, max_lat, min_lon, max_lon = distance_bounding_box(lat, lon, prefilter_radius_m)
+        out = out.filter(
+            (lat_col >= F.lit(min_lat)) & (lat_col <= F.lit(max_lat))
+            & (lon_col >= F.lit(min_lon)) & (lon_col <= F.lit(max_lon))
+        )
+    out = out.withColumn("dist_m", dist)
+    return out.orderBy(F.asc("dist_m"), *[F.asc(c) for c in id_cols]).limit(int(k))
 
 
 def geo_distance_predicate(lat_col: Column, lon_col: Column, lat: float, lon: float, radius_m: float) -> Column:

@@ -57,6 +57,7 @@ from ..plans.query import (
     ConstantScoreQuery,
     CoveringQuery,
     DisjunctionMaxQuery,
+    FieldInSetQuery,
     FieldRangeQuery,
     FieldTermQuery,
     FuzzyQuery,
@@ -1124,6 +1125,8 @@ class IndexSearcher:
         c = F.col(q.field)
         if isinstance(q, FieldTermQuery):
             pred = c == q.value
+        elif isinstance(q, FieldInSetQuery):
+            pred = c.isin(list(q.values))
         else:
             pred = F.lit(True)
             if q.lower is not None:
@@ -1139,7 +1142,7 @@ class IndexSearcher:
     def _evaluate(self, q: Query, boost: float, stats: dict) -> DataFrame:
         if isinstance(q, TermQuery):
             return self._eval_term(q, boost, stats)
-        if isinstance(q, (FieldTermQuery, FieldRangeQuery)):
+        if isinstance(q, (FieldTermQuery, FieldInSetQuery, FieldRangeQuery)):
             return self._eval_field(q, boost)
         if isinstance(q, BooleanQuery):
             return self._eval_boolean(q, boost, stats)

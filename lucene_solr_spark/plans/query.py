@@ -126,6 +126,22 @@ class FieldTermQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldInSetQuery(Query):
+    """Set membership on a doc-values column — ``DocValuesTermsQuery`` /
+    ``DocValuesNumbersQuery`` (``reference lucene/sandbox/.../search/
+    DocValuesTermsQuery.java``, ``DocValuesNumbersQuery.java``): match docs
+    whose SORTED/NUMERIC doc-values value is in the set, constant score.
+
+    Spark-first: doc values are ordinary columns (SURVEY §1.2), so this is a
+    Catalyst ``IN`` predicate pushed into the corpus scan — the column-scan
+    arm ``IndexOrDocValuesQuery`` would pick for low-selectivity filters."""
+
+    field: str
+    values: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldRangeQuery(Query):
     """Numeric/term range on a typed column — ``PointRangeQuery``
     (``search/PointRangeQuery.java``, BKD tree) re-expressed as a Catalyst

@@ -102,3 +102,20 @@ def test_field_query_requires_corpus(index8):
     s = IndexSearcher(index8)  # no corpus bound
     with pytest.raises(ValueError):
         s.search(FieldTermQuery("role", "user"), 5)
+
+
+def test_field_in_set_results(searcher, spark_corpus):
+    from lucene_solr_spark.plans.query import FieldInSetQuery
+
+    roles = {r["doc_id"]: r["role"] for r in spark_corpus.select("doc_id", "role").collect()}
+    want = sorted(d for d, ro in roles.items() if ro in ("user", "tool"))
+    got = searcher._evaluate(FieldInSetQuery("role", ("user", "tool")), 1.0, {})
+    rows = got.collect()
+    assert sorted(r["doc_id"] for r in rows) == want and len(want) > 0
+    assert all(float(np.float32(r["score"])) == 1.0 for r in rows)  # constant score
+
+    # numeric doc-values set (DocValuesNumbersQuery)
+    idxs = {r["doc_id"]: r["turn_idx"] for r in spark_corpus.select("doc_id", "turn_idx").collect()}
+    want2 = sorted(d for d, ti in idxs.items() if ti in (0, 3))
+    got2 = searcher._evaluate(FieldInSetQuery("turn_idx", (0, 3)), 1.0, {})
+    assert sorted(r["doc_id"] for r in got2.collect()) == want2

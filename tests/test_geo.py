@@ -213,3 +213,35 @@ def test_distance_feature_score_float32(points):
         want = np.float32(3.0 * (500_000.0 / (500_000.0 + d)))
         assert got[int(i)] == pytest.approx(float(want), abs=2e-7)
         assert 0.0 < got[int(i)] <= 3.0
+
+
+def test_nearest_neighbors_matches_python(points):
+    from lucene_solr_spark.functions.geo import nearest_neighbors
+
+    df, pdf = points
+    lat0, lon0, k = 37.77, -122.42, 25
+    got = [
+        (r["id"], math.floor(r["dist_m"]))
+        for r in nearest_neighbors(df, F.col("lat"), F.col("lon"), lat0, lon0, k, id_cols=("id",)).collect()
+    ]
+    want = sorted(
+        (
+            _py_haversin(_py_quant(la, LAT_DECODE), _py_quant(lo, LON_DECODE), lat0, lon0),
+            int(i),
+        )
+        for i, la, lo in zip(pdf["id"], pdf["lat"], pdf["lon"])
+    )[:k]
+    assert got == [(i, math.floor(d)) for d, i in want]
+
+
+def test_nearest_neighbors_prefilter_same_topk(points):
+    from lucene_solr_spark.functions.geo import nearest_neighbors
+
+    df, _ = points
+    args = (df, F.col("lat"), F.col("lon"), 37.77, -122.42, 10)
+    full = [r["id"] for r in nearest_neighbors(*args, id_cols=("id",)).collect()]
+    pre = [
+        r["id"]
+        for r in nearest_neighbors(*args, id_cols=("id",), prefilter_radius_m=5_000_000.0).collect()
+    ]
+    assert full == pre
