@@ -940,6 +940,52 @@ def ft_queries() -> dict:
         return matched.select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
     q["ft_docvalues_numbers"] = ft_docvalues_numbers
+
+    def qb_quality(spark, sf_dir):
+        """QualityBenchmark analog (``lucene/benchmark/.../quality/
+        QualityBenchmark.java``, ``QualityStats.java``): five single-term
+        topics, top-10 BM25 runs, judgments = docs with tf(term) >= 2.
+        Exact-integer projection of the stats: ``ap_num`` = Σ over relevant
+        ranks of cum_good(r)·(2520/r) — 2520 = lcm(1..10), so AvP =
+        ap_num / (2520·max_good) with no float divisions to compare."""
+        from .operators.quality import judged_results
+
+        s = doc_searcher(spark, sf_dir)
+        topics = [HOT, HOT2, MID, MID2, RARE]
+        res = None
+        for t in topics:
+            r = _ranked(s.search(TermQuery(t), 10).df).withColumn("topic", F.lit(t))
+            res = r if res is None else res.unionByName(r)
+        toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        judg = None
+        for t in topics:
+            tf = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            jt = s.corpus.filter(tf >= 2).select(
+                F.lit(t).alias("topic"), F.col("doc_id").cast("long").alias("doc_id")
+            )
+            judg = jt if judg is None else judg.unionByName(jt)
+        j = judged_results(res, judg)
+        per = j.groupBy("topic").agg(
+            F.max(F.when(F.col("rank") == 10, F.col("cum_good"))).alias("g10"),
+            F.sum(
+                F.when(F.col("rel") == 1, F.col("cum_good") * (F.lit(2520) / F.col("rank")).cast("long")).otherwise(F.lit(0))
+            ).alias("ap_num"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("fr"),
+        )
+        mg = judg.groupBy("topic").agg(F.count("*").alias("max_good"))
+        return (
+            per.join(mg, "topic", "left")
+            .select(
+                "topic",
+                F.coalesce(F.col("max_good"), F.lit(0)).cast("long").alias("max_good"),
+                F.coalesce(F.col("g10"), F.lit(0)).cast("int").alias("good_at_10"),
+                F.coalesce(F.col("fr"), F.lit(0)).cast("int").alias("first_rel"),
+                F.coalesce(F.col("ap_num"), F.lit(0)).cast("long").alias("ap_num"),
+            )
+            .orderBy("topic")
+        )
+
+    q["qb_quality"] = qb_quality
     return q
 
 
@@ -2242,5 +2288,47 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
     o["ft_docvalues_numbers"] = (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
         "WHERE n_chars IN (132, 218, 246) ORDER BY doc_id"
+    )
+
+    # QualityBenchmark: five single-term topics, judgments = tf >= 2,
+    # exact-integer AvP numerator (2520 = lcm(1..10))
+    _qb_topics = (HOT, HOT2, MID, MID2, RARE)
+    _qb_ctes = []
+    _qb_unions = []
+    for _i, _t in enumerate(_qb_topics):
+        _qb_ctes.append(_term_cte(f"qb{_i}", _t))
+        _qb_unions.append(
+            f"SELECT '{_t}' AS topic, rank, doc_id FROM "
+            f"({_topk_sql(f'SELECT doc_id, score FROM qb{_i}')})"
+        )
+    _qb_ctes.append("allr AS (" + " UNION ALL ".join(_qb_unions) + ")")
+    _qb_ctes.append(
+        "rel AS ("
+        + " UNION ALL ".join(
+            f"SELECT '{_t}' AS topic, doc_id FROM tf WHERE term = '{_t}' AND tf >= 2"
+            for _t in _qb_topics
+        )
+        + ")"
+    )
+    _qb_ctes.append(
+        "jj AS (SELECT a.topic, a.rank, "
+        "CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel "
+        "FROM allr a LEFT JOIN rel r ON a.topic = r.topic AND a.doc_id = r.doc_id)"
+    )
+    _qb_ctes.append(
+        "cc AS (SELECT topic, rank, rel, "
+        "sum(rel) OVER (PARTITION BY topic ORDER BY rank) AS cum FROM jj)"
+    )
+    _qb_ctes.append("mg AS (SELECT topic, count(*) AS max_good FROM rel GROUP BY topic)")
+    o["qb_quality"] = _with(
+        _qb_ctes,
+        "SELECT t.topic AS topic, CAST(coalesce(mg.max_good, 0) AS BIGINT) AS max_good, "
+        "CAST(coalesce(t.g10, 0) AS INT) AS good_at_10, "
+        "CAST(coalesce(t.fr, 0) AS INT) AS first_rel, "
+        "CAST(coalesce(t.ap_num, 0) AS BIGINT) AS ap_num "
+        "FROM (SELECT topic, max(CASE WHEN rank = 10 THEN cum END) AS g10, "
+        "sum(CASE WHEN rel = 1 THEN cum * (2520 // rank) ELSE 0 END) AS ap_num, "
+        "min(CASE WHEN rel = 1 THEN rank END) AS fr FROM cc GROUP BY topic) t "
+        "LEFT JOIN mg ON t.topic = mg.topic ORDER BY topic",
     )
     return o
