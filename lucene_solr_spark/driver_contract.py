@@ -986,6 +986,19 @@ def ft_queries() -> dict:
         )
 
     q["qb_quality"] = qb_quality
+
+    def ft_expression(spark, sf_dir):
+        """Expressions-module ranking (``lucene/expressions/.../js/
+        JavascriptCompiler.java``): compiled JS-like expression over
+        ``_score`` + doc values, rational arithmetic only (cross-engine
+        bit-exact — no libm)."""
+        s = doc_searcher(spark, sf_dir)
+        top = s.expression_rescore(
+            TermQuery(HOT), "_score * (n_chars >= 200 ? 1.5 : 1.0) + (n_chars % 7) / 10", 10
+        )
+        return _ranked(top.df)
+
+    q["ft_expression"] = ft_expression
     return q
 
 
@@ -2330,5 +2343,17 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
         "sum(CASE WHEN rel = 1 THEN cum * (2520 // rank) ELSE 0 END) AS ap_num, "
         "min(CASE WHEN rel = 1 THEN rank END) AS fr FROM cc GROUP BY topic) t "
         "LEFT JOIN mg ON t.topic = mg.topic ORDER BY topic",
+    )
+
+    # expressions module: the identical double program (rational ops only),
+    # float32 only at the collector boundary
+    o["ft_expression"] = _with(
+        [_term_cte("sa", HOT)],
+        _topk_sql(
+            "SELECT sa.doc_id AS doc_id, "
+            "CAST(CAST(sa.score AS DOUBLE) * (CASE WHEN d.n_chars >= 200 THEN 1.5 ELSE 1.0 END) "
+            "+ CAST(d.n_chars % 7 AS DOUBLE) / 10 AS REAL) AS score "
+            "FROM sa JOIN documents d ON sa.doc_id = d.doc_id"
+        ),
     )
     return o

@@ -2036,6 +2036,33 @@ class IndexSearcher:
         )
         return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
 
+    def expression_rescore(self, query: Query, expr_src: str, k: int = 10) -> TopDocs:
+        """Expressions-module ranking (``reference lucene/expressions/.../js/
+        JavascriptCompiler.java``; ``SimpleBindings`` with ``_score`` + doc
+        values): score matches by a compiled JS-like expression over the query
+        score and corpus columns, f32 at the collector boundary.
+
+        The expression compiles to a pure Column tree (whole-stage codegen);
+        binding resolution is ``_score`` → the query score, anything else →
+        the corpus column of that name."""
+        from ..plans.expressions import compile_expression
+
+        if self.corpus is None:
+            raise ValueError("expression rescoring needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(query.terms())
+        scored = self._evaluate(query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(self.corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+
+        def resolver(name: str):
+            if name == "_score":
+                return F.col("score").cast("double")
+            return F.col(name)
+
+        col = compile_expression(expr_src, resolver)
+        rescored = joined.select("doc_id", col.cast("float").alias("score"))
+        return TopDocs(df=rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
+
     def search_after(self, query: Query, k: int = 10, after: Optional[tuple] = None, prune: bool = True) -> TopDocs:
         """``IndexSearcher.searchAfter`` / Solr cursorMark deep paging: the
         page strictly after cursor ``(score, doc_id)`` in (score desc,
