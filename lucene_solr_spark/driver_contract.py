@@ -999,6 +999,51 @@ def ft_queries() -> dict:
         return _ranked(top.df)
 
     q["ft_expression"] = ft_expression
+
+    def _term_entries(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.index.terms.select(
+            F.col("term").alias("surface"), F.col("df").cast("long").alias("weight")
+        )
+
+    def ft_analyzing_suggest(spark, sf_dir):
+        """AnalyzingSuggester over the term dictionary weighted by df
+        (``suggest/analyzing/AnalyzingSuggester.java``; EXACT_FIRST)."""
+        from .operators.suggesters import AnalyzingSuggester
+
+        sug = AnalyzingSuggester.build(_term_entries(spark, sf_dir), simple_analyzer())
+        return sug.lookup("s", 8)
+
+    q["ft_analyzing_suggest"] = ft_analyzing_suggest
+
+    def ft_fuzzy_suggest(spark, sf_dir):
+        """FuzzySuggester: one typo allowed in the typed input past the
+        protected first character (``FuzzySuggester.java:87-109``)."""
+        from .operators.suggesters import FuzzySuggester
+
+        sug = FuzzySuggester.build(_term_entries(spark, sf_dir), simple_analyzer())
+        return sug.lookup("scam", 8)
+
+    q["ft_fuzzy_suggest"] = ft_fuzzy_suggest
+
+    def ft_blended_suggest(spark, sf_dir):
+        """BlendedInfixSuggester over word-bigram entries weighted by count:
+        POSITION_LINEAR blending, small-weight 10x pre-scale, long-truncated
+        scores (``BlendedInfixSuggester.java:215-233``)."""
+        from .operators.suggesters import AnalyzingSuggester, blended_infix_lookup
+
+        s = doc_searcher(spark, sf_dir)
+        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+        bi = s.corpus.select(toks.alias("t")).select(
+            F.explode(
+                F.expr("transform(slice(t, 1, greatest(size(t)-1, 0)), (x, i) -> concat(x, ' ', t[i+1]))")
+            ).alias("surface")
+        )
+        entries = bi.groupBy("surface").agg(F.count("*").cast("long").alias("weight"))
+        sug = AnalyzingSuggester.build(entries, simple_analyzer())
+        return blended_infix_lookup(sug, "data", 8)
+
+    q["ft_blended_suggest"] = ft_blended_suggest
     return q
 
 
@@ -2343,6 +2388,43 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
         "sum(CASE WHEN rel = 1 THEN cum * (2520 // rank) ELSE 0 END) AS ap_num, "
         "min(CASE WHEN rel = 1 THEN rank END) AS fr FROM cc GROUP BY topic) t "
         "LEFT JOIN mg ON t.topic = mg.topic ORDER BY topic",
+    )
+
+    # suggesters: term-dictionary completion weighted by df; fuzzy allows one
+    # edit in some prefix of the key anchored on the first char; blended
+    # infix runs over word-bigram entries with POSITION_LINEAR coefficients
+    o["ft_analyzing_suggest"] = _with(
+        [],
+        "SELECT term AS surface, CAST(df AS BIGINT) AS weight FROM dfreq "
+        "WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 8",
+    )
+    o["ft_fuzzy_suggest"] = _with(
+        [],
+        "SELECT term AS surface, CAST(df AS BIGINT) AS weight FROM dfreq "
+        "WHERE term LIKE 'scam%' OR (substr(term, 1, 1) = 's' AND ("
+        "levenshtein(substr(term, 1, 3), 'scam') <= 1 OR "
+        "levenshtein(substr(term, 1, 4), 'scam') <= 1 OR "
+        "levenshtein(substr(term, 1, 5), 'scam') <= 1)) "
+        "ORDER BY df DESC, term ASC LIMIT 8",
+    )
+    o["ft_blended_suggest"] = _with(
+        [
+            _occ,
+            "bg AS (SELECT a.term || ' ' || b.term AS key, count(*) AS weight "
+            "FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1)",
+            "cand AS (SELECT key, weight, "
+            "CASE WHEN split_part(key, ' ', 1) LIKE 'data%' THEN 0 "
+            "WHEN split_part(key, ' ', 2) LIKE 'data%' THEN 1 ELSE -1 END AS pos FROM bg)",
+            "sel AS (SELECT * FROM cand WHERE pos >= 0 ORDER BY weight DESC, key ASC LIMIT 80)",
+            "bl AS (SELECT key, "
+            "CASE WHEN CAST(CASE WHEN weight = 0 THEN 1 ELSE weight END AS DOUBLE) < 10 "
+            "AND CAST(CASE WHEN weight = 0 THEN 1 ELSE weight END AS DOUBLE) > -10 "
+            "THEN CAST(CASE WHEN weight = 0 THEN 1 ELSE weight END AS DOUBLE) * 10 "
+            "ELSE CAST(CASE WHEN weight = 0 THEN 1 ELSE weight END AS DOUBLE) END AS w, "
+            "CASE WHEN key LIKE 'data%' THEN 1.0 ELSE 1.0 - 0.10 * pos END AS coef FROM sel)",
+        ],
+        "SELECT key AS surface, CAST(trunc(w * coef) AS BIGINT) AS score FROM bl "
+        "ORDER BY score DESC, surface ASC LIMIT 8",
     )
 
     # expressions module: the identical double program (rational ops only),
