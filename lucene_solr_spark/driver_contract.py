@@ -1044,6 +1044,88 @@ def ft_queries() -> dict:
         return blended_infix_lookup(sug, "data", 8)
 
     q["ft_blended_suggest"] = ft_blended_suggest
+
+    def ft_mlt_exact(spark, sf_dir):
+        """Reference-exact MoreLikeThis (``queries/mlt/MoreLikeThis.java``):
+        tf>=2 / df>=5 gates, f32(tf·ClassicSimilarity-idf) term ranking,
+        top-25 OR query, source doc excluded."""
+        s = doc_searcher(spark, sf_dir)
+        q2 = s.more_like_this_query(7)
+        return _ranked(s.search(q2, 10, exclude_doc_ids=[7]).df)
+
+    q["ft_mlt_exact"] = ft_mlt_exact
+
+    def ft_blockjoin_avg(spark, sf_dir):
+        """ToParentBlockJoin ScoreMode.Avg: child BM25 scores averaged per
+        source group, top-k parents (score desc, parent asc)."""
+        s = doc_searcher(spark, sf_dir)
+        return s.block_join_topk(TermQuery(HOT), "source", score_mode="avg", k=10)
+
+    q["ft_blockjoin_avg"] = ft_blockjoin_avg
+
+    def ft_blockjoin_max(spark, sf_dir):
+        s = doc_searcher(spark, sf_dir)
+        return s.block_join_topk(
+            BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID)]),
+            "source",
+            score_mode="max",
+            k=10,
+        )
+
+    q["ft_blockjoin_max"] = ft_blockjoin_max
+
+    def ft_tochild_join(spark, sf_dir):
+        """ToChildBlockJoin: parent docs = min doc_id per source; children of
+        matching parents inherit the parent's f32 score."""
+        s = doc_searcher(spark, sf_dir)
+        return _ranked(s.to_child_block_join(TermQuery(HOT), "source", k=10).df)
+
+    q["ft_tochild_join"] = ft_tochild_join
+
+    def ft_dismax_qf(spark, sf_dir):
+        """Solr DisMaxQParser (``solr/core/.../search/DisMaxQParser.java``):
+        user query "scan merge" over qf=text^1 title^2 (title = first 5
+        tokens), tie=0.3, mm=2 (both words), pf=text phrase boost."""
+        from .operators.dismax import dismax_search
+
+        s = doc_searcher(spark, sf_dir)
+        _, idx_title = _bm25f_indexes(spark, sf_dir)
+        fs = {"text": s, "title": IndexSearcher(idx_title)}
+        top = dismax_search(
+            fs,
+            f"{HOT} {HOT2}",
+            {"text": 1.0, "title": 2.0},
+            tie=0.3,
+            mm="2",
+            pf={"text": 1.0},
+            k=10,
+        )
+        return _ranked(top)
+
+    q["ft_dismax_qf"] = ft_dismax_qf
+
+    def ft_edismax_pf2(spark, sf_dir):
+        """eDisMax shingled phrase boost (``solr/core/.../search/
+        ExtendedDismaxQParser.java:291-330,602-667``): 3-word query over
+        qf=text^1 title^2 with mm=2, pf2=text — every bigram window a phrase
+        boost, windows OR-summed as one SHOULD clause."""
+        from .operators.dismax import dismax_search
+
+        s = doc_searcher(spark, sf_dir)
+        _, idx_title = _bm25f_indexes(spark, sf_dir)
+        fs = {"text": s, "title": IndexSearcher(idx_title)}
+        top = dismax_search(
+            fs,
+            f"{HOT} {HOT2} {MID}",
+            {"text": 1.0, "title": 2.0},
+            tie=0.3,
+            mm="2",
+            pf2={"text": 1.0},
+            k=10,
+        )
+        return _ranked(top)
+
+    q["ft_edismax_pf2"] = ft_edismax_pf2
     return q
 
 
@@ -1257,6 +1339,66 @@ def ft_oracle_sql() -> dict:
         "WHERE tf.doc_id <> 7 GROUP BY tf.doc_id)",
     ]
     o["ft_mlt"] = _with(mlt_ctes, _topk_sql("SELECT doc_id, score FROM sc"))
+
+    # reference-exact MLT: interesting-term selection by f32(tf * classic
+    # idf) with tf/df gates, then the usual BM25 SHOULD-sum over the top 25
+    _mlt2_idf = _R(f"ln(((SELECT n FROM st) + 1) / (df + 1.0)) + 1.0")
+    mlt2_ctes = [
+        "mcand AS (SELECT tf.term, tf.tf, dfreq.df FROM tf JOIN dfreq USING (term) "
+        "WHERE tf.doc_id = 7 AND tf.tf >= 2 AND dfreq.df >= 5)",
+        f"msel AS (SELECT term FROM mcand "
+        f"ORDER BY {_R(f'tf * {_mlt2_idf}')} DESC, term ASC LIMIT 25)",
+        "sc2 AS (SELECT tf.doc_id AS doc_id, "
+        f"CAST(sum(CAST({per_term_score} AS DOUBLE)) AS REAL) AS score "
+        "FROM tf JOIN msel USING (term) JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+        "WHERE tf.doc_id <> 7 GROUP BY tf.doc_id)",
+    ]
+    o["ft_mlt_exact"] = _with(mlt2_ctes, _topk_sql("SELECT doc_id, score FROM sc2"))
+
+    # ToParentBlockJoin: per-parent rollup of child f32 scores; Avg = double
+    # accumulate / childCount, single f32 cast (ToParentBlockJoinQuery:351-354)
+    def _blockjoin_sql(child_cte_alias: str) -> str:
+        return (
+            "SELECT CAST(row_number() OVER (ORDER BY score DESC, parent ASC) AS INT) AS rank, "
+            "parent, n_hits FROM pj ORDER BY score DESC, parent ASC LIMIT 10"
+        )
+
+    o["ft_blockjoin_avg"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "pj AS (SELECT d.source AS parent, CAST(count(*) AS BIGINT) AS n_hits, "
+            f"{_R('sum(' + _D('sc.score') + ') / count(*)')} AS score "
+            "FROM sc JOIN documents d ON sc.doc_id = d.doc_id GROUP BY d.source)",
+        ],
+        _blockjoin_sql("sc"),
+    )
+
+    o["ft_blockjoin_max"] = _with(
+        [
+            _term_cte("sa", HOT),
+            _term_cte("sb", MID),
+            f"scd AS (SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score "
+            "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id)",
+            "pj AS (SELECT d.source AS parent, CAST(count(*) AS BIGINT) AS n_hits, "
+            "CAST(max(scd.score) AS REAL) AS score "
+            "FROM scd JOIN documents d ON scd.doc_id = d.doc_id GROUP BY d.source)",
+        ],
+        _blockjoin_sql("scd"),
+    )
+
+    # ToChildBlockJoin: parent doc = min doc_id per source; children inherit
+    # the parent's f32 score verbatim, parent row excluded
+    o["ft_tochild_join"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "par AS (SELECT source, min(doc_id) AS pdoc FROM documents GROUP BY source)",
+            "psc AS (SELECT par.source AS source, par.pdoc AS pdoc, sc.score AS score "
+            "FROM sc JOIN par ON sc.doc_id = par.pdoc)",
+            "ch AS (SELECT d.doc_id AS doc_id, psc.score AS score "
+            "FROM documents d JOIN psc ON d.source = psc.source WHERE d.doc_id <> psc.pdoc)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM ch"),
+    )
 
     # grouping / collapse: top-2 per lang over the full HOT match set
     o["ft_group_topk"] = _with(
@@ -2257,6 +2399,120 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             f"bb AS (SELECT doc_id, freq, {_q4('nv')} AS bl FROM bn)",
         ],
         _topk_sql(f"SELECT bb.doc_id AS doc_id, {_bm_score} AS score FROM bb"),
+    )
+
+    # ---- DisMaxQParser: qf = text^1 title^2, tie=0.3, mm=2, pf=text.
+    # Per word: cross-field DisjunctionMax f32(m + 0.3*(s-m)); main = f32
+    # double-sum with HAVING count>=2 (mm); pf phrase joins in as SHOULD.
+    _dx_av2 = _R("(SELECT sttf FROM dst2) / (SELECT n FROM st)")
+
+    def _dx_title_cte(alias: str, term: str) -> str:
+        idf2 = _R(f"ln(1 + ((SELECT n FROM st) - ddf2.df + 0.5) / (ddf2.df + 0.5))")
+        c1 = _R(_R("0.75") + " * " + _R("dq2.q"))
+        c2 = _R(f"{c1} / {_dx_av2}")
+        c3 = _R(_R("0.25") + " + " + c2)
+        cache2 = _R(_R("1.2") + " * " + c3)
+        w2 = _R("CAST(2.0 AS REAL) * " + idf2)
+        t32 = _R(f"dtf2.tf / (dtf2.tf + {_D(cache2)})")
+        return (
+            f"{alias} AS (SELECT dtf2.doc_id AS doc_id, {_R(w2 + ' * ' + t32)} AS score "
+            "FROM dtf2 JOIN ddf2 USING (term) JOIN dq2 ON dtf2.doc_id = dq2.doc_id "
+            f"WHERE dtf2.term = '{term}')"
+        )
+
+    def _dx_dmx(alias: str, a: str, b: str) -> str:
+        return (
+            f"{alias} AS (SELECT doc_id, {dm_score} AS score "
+            f"FROM (SELECT * FROM {a} UNION ALL SELECT * FROM {b}) GROUP BY doc_id)"
+        )
+
+    o["ft_dismax_qf"] = _with(
+        [
+            phrase_cte,
+            "dttl AS (SELECT doc_id, array_to_string(list_slice("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5), ' ') AS title FROM documents)",
+            "dtokt AS (SELECT doc_id, unnest(regexp_extract_all(title, '[a-z0-9]+')) AS term FROM dttl)",
+            "ddl2 AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d "
+            "LEFT JOIN dtokt t ON d.doc_id = t.doc_id GROUP BY d.doc_id)",
+            f"dq2 AS (SELECT doc_id, {_q4('dl')} AS q FROM ddl2)",
+            "dtf2 AS (SELECT term, doc_id, count(*) AS tf FROM dtokt GROUP BY term, doc_id)",
+            "ddf2 AS (SELECT term, count(*) AS df FROM dtf2 GROUP BY term)",
+            "dst2 AS (SELECT CAST(sum(dl) AS DOUBLE) AS sttf FROM ddl2)",
+            _term_cte("dta", HOT),
+            _term_cte("dtb", HOT2),
+            _dx_title_cte("dtta", HOT),
+            _dx_title_cte("dttb", HOT2),
+            _dx_dmx("dmxa", "dta", "dtta"),
+            _dx_dmx("dmxb", "dtb", "dttb"),
+            "dmain AS (SELECT doc_id, "
+            + _R("sum(" + _D("score") + ")")
+            + " AS score FROM (SELECT * FROM dmxa UNION ALL SELECT * FROM dmxb) "
+            "GROUP BY doc_id HAVING count(*) >= 2)",
+            f"dph AS ({ph_body})",
+        ],
+        _topk_sql(
+            "SELECT dmain.doc_id AS doc_id, "
+            + _R(_D("dmain.score") + " + coalesce(" + _D("dph.score") + ", 0)")
+            + " AS score FROM dmain LEFT JOIN dph ON dmain.doc_id = dph.doc_id"
+        ),
+    )
+
+    # ---- eDisMax pf2: 3-word query (HOT HOT2 MID), mm=2, bigram windows
+    # ("HOT HOT2", "HOT2 MID") each an exact-phrase boost on text, windows
+    # OR-summed f32(Σ double) into one SHOULD clause.
+    def _dx_phrase_cte(alias: str, t1: str, t2: str) -> str:
+        ptf = (
+            "len(regexp_extract_all(' ' || replace(array_to_string("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), ' ', '  ') || ' ', "
+            f"' {t1}  {t2} '))"
+        )
+        w = _R(
+            _D(_idf(f"(SELECT df FROM dfreq WHERE term = '{t1}')"))
+            + " + "
+            + _D(_idf(f"(SELECT df FROM dfreq WHERE term = '{t2}')"))
+        )
+        t32 = _R(f"p.ptf / (p.ptf + {_D(_CACHE)})")
+        return (
+            f"{alias} AS (SELECT p.doc_id AS doc_id, {_R(w + ' * ' + t32)} AS score "
+            f"FROM (SELECT doc_id, {ptf} AS ptf FROM documents) p "
+            "JOIN dlq ON p.doc_id = dlq.doc_id WHERE p.ptf > 0)"
+        )
+
+    o["ft_edismax_pf2"] = _with(
+        [
+            "dttl AS (SELECT doc_id, array_to_string(list_slice("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5), ' ') AS title FROM documents)",
+            "dtokt AS (SELECT doc_id, unnest(regexp_extract_all(title, '[a-z0-9]+')) AS term FROM dttl)",
+            "ddl2 AS (SELECT d.doc_id, count(t.term) AS dl FROM documents d "
+            "LEFT JOIN dtokt t ON d.doc_id = t.doc_id GROUP BY d.doc_id)",
+            f"dq2 AS (SELECT doc_id, {_q4('dl')} AS q FROM ddl2)",
+            "dtf2 AS (SELECT term, doc_id, count(*) AS tf FROM dtokt GROUP BY term, doc_id)",
+            "ddf2 AS (SELECT term, count(*) AS df FROM dtf2 GROUP BY term)",
+            "dst2 AS (SELECT CAST(sum(dl) AS DOUBLE) AS sttf FROM ddl2)",
+            _term_cte("dta", HOT),
+            _term_cte("dtb", HOT2),
+            _term_cte("dtc", MID),
+            _dx_title_cte("dtta", HOT),
+            _dx_title_cte("dttb", HOT2),
+            _dx_title_cte("dttc", MID),
+            _dx_dmx("dmxa", "dta", "dtta"),
+            _dx_dmx("dmxb", "dtb", "dttb"),
+            _dx_dmx("dmxc", "dtc", "dttc"),
+            "dmain AS (SELECT doc_id, "
+            + _R("sum(" + _D("score") + ")")
+            + " AS score FROM (SELECT * FROM dmxa UNION ALL SELECT * FROM dmxb "
+            "UNION ALL SELECT * FROM dmxc) GROUP BY doc_id HAVING count(*) >= 2)",
+            _dx_phrase_cte("dbg1", HOT, HOT2),
+            _dx_phrase_cte("dbg2", HOT2, MID),
+            "dpf2 AS (SELECT doc_id, "
+            + _R("sum(" + _D("score") + ")")
+            + " AS score FROM (SELECT * FROM dbg1 UNION ALL SELECT * FROM dbg2) GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            "SELECT dmain.doc_id AS doc_id, "
+            + _R(_D("dmain.score") + " + coalesce(" + _D("dpf2.score") + ", 0)")
+            + " AS score FROM dmain LEFT JOIN dpf2 ON dmain.doc_id = dpf2.doc_id"
+        ),
     )
 
     # ---- payload queries (queries/payloads): payload = pos & 7 per

@@ -1,0 +1,229 @@
+"""Solr DisMax query parser + multi-field dismax retrieval.
+
+Reference: ``solr/core/src/java/org/apache/solr/search/DisMaxQParser.java``
+(top-level assembly :95-215 — user query MUST + pf phrase SHOULD), and
+``solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java`` —
+``parseFieldBoosts`` (:parseFieldBoosts), ``setMinShouldMatch`` /
+``calculateMinShouldMatch`` (:619-710, the conditional ``n<spec`` grammar with
+float32 percent arithmetic and truncation toward zero).
+
+Spark-first shape: every (word, field) leaf is one pruned postings scan of
+that field's index; the per-word cross-field DisjunctionMax and the per-doc
+SHOULD sum are two groupBy aggregations over matched rows only (map-side
+combinable), never over the corpus.  The pf phrase clause joins in as a
+broadcast-sized optional frame.  All float paths mirror Lucene:
+f32(max + tie·(sum−max)) per dismax, f32(Σ double) per boolean sum, single
+f32 cast at each query-tree node boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.query import PhraseQuery, Query, TermQuery
+
+
+def parse_field_boosts(spec: str) -> dict[str, float]:
+    """``SolrPluginUtils.parseFieldBoosts``: whitespace-split ``field^boost``
+    entries; a missing ``^boost`` means 1.0 (represented as null there, a
+    no-op boost here)."""
+    out: dict[str, float] = {}
+    for part in spec.split():
+        if not part:
+            continue
+        name, _, b = part.partition("^")
+        out[name] = float(b) if b else 1.0
+    return out
+
+
+def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
+    """Exact port of ``SolrPluginUtils.calculateMinShouldMatch`` (:669-710):
+    conditional ``ub<spec`` chains evaluated left to right, percent specs via
+    float32 ``(result·percent)·(1/100f)`` truncated toward zero, negative
+    specs subtract, final clamp to [0, optionalClauseCount]."""
+    n = optional_clause_count
+    result = n
+    spec = spec.strip()
+    if "<" in spec:
+        # (\s+<\s*)|(\s*<\s+) → "<" : collapse space around <, then split
+        import re
+
+        spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s in spec.split(" "):
+            upper, _, sub = s.partition("<")
+            if n <= int(upper):
+                return result
+            result = calculate_min_should_match(n, sub)
+        return result
+    if "%" in spec:
+        percent = int(spec[: spec.index("%")])
+        calc = float(np.float32(np.float32(result * percent) * np.float32(1.0 / 100.0)))
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    return n if n < result else (0 if result < 0 else result)
+
+
+def _dismax_combine(parts: list[DataFrame], tie: float) -> DataFrame:
+    """f32(max + tie·(sum − max)) over per-field frames, accumulated in
+    double — identical arithmetic to ``IndexSearcher._eval_dismax``."""
+    if len(parts) == 1 and tie == 0.0:
+        # single disjunct: DisjunctionMaxQuery of one clause scores as the
+        # clause itself (max == sum)
+        return parts[0]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("doc_id").agg(
+        F.max(F.col("score").cast("double")).alias("m"),
+        F.sum(F.col("score").cast("double")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        (F.col("m") + F.lit(float(tie)) * (F.col("s") - F.col("m"))).cast("float").alias("score"),
+    )
+
+
+def _word_query(analyzer, word: str, slop: int = 0) -> Optional[Query]:
+    toks = analyzer.tokens(word)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return TermQuery(toks[0])
+    return PhraseQuery(tuple(toks), slop=slop)
+
+
+def _shingled_phrase_frame(
+    field_searchers: dict,
+    fields: dict[str, float],
+    words: list[str],
+    shingle_size: int,
+    slop: int,
+    tie: float,
+) -> Optional[DataFrame]:
+    """eDisMax ``addShingledPhraseQueries`` (``ExtendedDismaxQParser.java:
+    602-667``): every window of ``shingle_size`` consecutive user words
+    becomes a phrase DisjunctionMax over the pf fields (makeDismax=true,
+    :652); the windows join as SHOULD clauses of one boolean — per-doc
+    f32(Σ double) over matching windows.  ``shingle_size == 0`` means the
+    whole query (the classic pf), per ``:614``.  Returns None when the query
+    is shorter than the shingle (``:610-611``) or nothing matches."""
+    if shingle_size and len(words) < shingle_size:
+        return None
+    size = shingle_size or len(words)
+    if size < 2:
+        return None  # minClauseSize = 2 (:659): no single-term phrase boost
+    window_frames: list[DataFrame] = []
+    for i in range(len(words) - size + 1):
+        parts = []
+        for f, boost in fields.items():
+            s = field_searchers[f]
+            q = _word_query(s.index.config.analyzer, " ".join(words[i : i + size]), slop=slop)
+            if q is None or isinstance(q, TermQuery):
+                continue
+            stats = s._term_stats(q.terms())
+            parts.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+        if parts:
+            window_frames.append(_dismax_combine(parts, tie))
+    if not window_frames:
+        return None
+    if len(window_frames) == 1:
+        return window_frames[0]
+    u = window_frames[0]
+    for fr in window_frames[1:]:
+        u = u.unionByName(fr)
+    return u.groupBy("doc_id").agg(
+        F.sum(F.col("score").cast("double")).cast("float").alias("score")
+    )
+
+
+def dismax_search(
+    field_searchers: dict,
+    query_str: str,
+    qf: dict[str, float],
+    tie: float = 0.0,
+    mm: str = "100%",
+    pf: Optional[dict[str, float]] = None,
+    ps: int = 0,
+    pf2: Optional[dict[str, float]] = None,
+    ps2: Optional[int] = None,
+    pf3: Optional[dict[str, float]] = None,
+    ps3: Optional[int] = None,
+    bq: Optional[list] = None,
+    k: int = 10,
+) -> DataFrame:
+    """DisMaxQParser.parse + search (+ the eDisMax pf2/pf3/bq surface):
+    whitespace-split user words, each word a cross-field DisjunctionMax
+    (``addMainQuery``, tie from ``tie``), mm applied to the word count
+    (``getUserQuery`` → ``setMinShouldMatch``); optional SHOULD clauses —
+
+    - ``pf``/``ps``: whole user query as a phrase DisjunctionMax
+      (``getPhraseQuery:228-240``; quotes stripped first)
+    - ``pf2``/``pf3`` (+ ``ps2``/``ps3``, defaulting to ``ps``): bigram /
+      trigram shingled phrase boosts (``ExtendedDismaxQParser.java:291-330``)
+    - ``bq``: extra boost queries as ``(field, Query, boost)`` triples
+      (``DisMaxQParser.addBoostQuery:171-197``)
+
+    all summed with the mm-filtered main clause in ONE double accumulation
+    with a single final f32 cast (Lucene's BooleanScorer sum).
+
+    ``field_searchers`` maps field name → IndexSearcher over that field's
+    index; every referenced field must be present.  Returns the top-k
+    ``(doc_id, score)`` ordered (score desc, doc_id asc)."""
+    words = query_str.replace('"', "").split()
+    word_frames: list[DataFrame] = []
+    for w in words:
+        parts = []
+        for f, boost in qf.items():
+            s = field_searchers[f]
+            q = _word_query(s.index.config.analyzer, w)
+            if q is None:
+                continue
+            stats = s._term_stats(q.terms())
+            parts.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+        if parts:
+            word_frames.append(_dismax_combine(parts, tie))
+    if not word_frames:
+        return next(iter(field_searchers.values()))._empty()
+
+    msm = calculate_min_should_match(len(word_frames), mm)
+    u = word_frames[0].select("doc_id", "score", F.lit(0).alias("__c"))
+    for i, fr in enumerate(word_frames[1:], start=1):
+        u = u.unionByName(fr.select("doc_id", "score", F.lit(i).alias("__c")))
+    main = u.groupBy("doc_id").agg(
+        F.sum(F.col("score").cast("double")).alias("__d"),
+        F.count("*").alias("__nc"),
+    )
+    if msm > 1:
+        main = main.filter(F.col("__nc") >= msm)
+    # the user-query boolean is its own query-tree node: f32 cast here,
+    # before the outer sum with the SHOULD clauses (BooleanScorer boundary)
+    main = main.select("doc_id", F.col("__d").cast("float").alias("__m"))
+
+    optional: list[DataFrame] = []
+    for fields, size, sl in (
+        (pf, 0, ps),
+        (pf2, 2, ps if ps2 is None else ps2),
+        (pf3, 3, ps if ps3 is None else ps3),
+    ):
+        if fields:
+            fr = _shingled_phrase_frame(field_searchers, fields, words, size, sl, tie)
+            if fr is not None:
+                optional.append(fr)
+    for f, q, boost in bq or ():
+        s = field_searchers[f]
+        stats = s._term_stats(q.terms())
+        optional.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+
+    acc = F.col("__m").cast("double")
+    for i, fr in enumerate(optional):
+        col = f"__o{i}"
+        main = main.join(fr.withColumnRenamed("score", col), "doc_id", "left")
+        acc = acc + F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+    main = main.select("doc_id", acc.cast("float").alias("score"))
+    return main.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

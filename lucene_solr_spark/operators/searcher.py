@@ -1438,6 +1438,71 @@ class IndexSearcher:
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_query_terms]
         return BooleanQuery.build(should=[TermQuery(t) for t, _ in top])
 
+    def more_like_this_query(
+        self,
+        doc_id: int,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        max_doc_freq: Optional[int] = None,
+        max_query_terms: int = 25,
+        boost: bool = False,
+        boost_factor: float = 1.0,
+    ) -> Query:
+        """Reference-exact MoreLikeThis (``reference lucene/queries/src/java/
+        org/apache/lucene/queries/mlt/MoreLikeThis.java:649-696``): candidate
+        terms from the source doc gated by ``tf >= minTermFreq`` (default 2,
+        ``:156``) and ``minDocFreq <= df <= maxDocFreq`` (default 5 / ∞,
+        ``:164,173``), ranked by ``score = f32(tf · idf)`` with
+        ClassicSimilarity idf ``f32(ln((N+1)/(df+1)) + 1)``
+        (``ClassicSimilarity.java:61-63``), top ``maxQueryTerms`` (25) kept.
+
+        Determinism note: the reference iterates a HashMap so equal-score
+        ties are unordered; here ties break by term asc.
+
+        With ``boost``, each clause is boosted ``boostFactor · score /
+        bestScore`` where bestScore is the FIRST POPPED (i.e. smallest
+        retained) score — the reference's min-heap pop-order quirk
+        (``:621-631``) — so boosts are ≥ boostFactor.
+
+        Term stats come from one pruned terms-table lookup (cached); the
+        corpus is touched only for the source doc's row."""
+        if self.corpus is None:
+            raise ValueError("more_like_this_query needs IndexSearcher(corpus=...)")
+        id_col, text_col = self.index.config.id_col, self.index.config.text_col
+        row = self.corpus.filter(F.col(id_col) == int(doc_id)).select(text_col).collect()
+        if not row:
+            return MatchNoDocsQuery()
+        counts: dict[str, int] = {}
+        for t in self.index.config.analyzer.tokens(row[0][0]):
+            counts[t] = counts.get(t, 0) + 1
+        cand = {t: tf for t, tf in counts.items() if tf >= min_term_freq or min_term_freq <= 0}
+        stats = self._term_stats(set(cand))
+        n_docs = self.index.doc_count
+        scored = []
+        for t, tf in cand.items():
+            if t not in stats:
+                continue  # df == 0
+            df = stats[t][0]
+            if min_doc_freq > 0 and df < min_doc_freq:
+                continue
+            if max_doc_freq is not None and df > max_doc_freq:
+                continue
+            idf = np.float32(np.log((n_docs + 1) / float(df + 1)) + 1.0)
+            scored.append((float(np.float32(tf * idf)), t))
+        scored.sort(key=lambda st: (-st[0], st[1]))
+        top = scored[:max_query_terms]
+        if not top:
+            return MatchNoDocsQuery()
+        if not boost:
+            return BooleanQuery.build(should=[TermQuery(t) for _, t in top])
+        best = min(s for s, _ in top)  # pop order: least first (:627-628)
+        return BooleanQuery.build(
+            should=[
+                BoostQuery(TermQuery(t), float(np.float32(boost_factor * s / best)))
+                for s, t in top
+            ]
+        )
+
     def spellcheck(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
         """DirectSpellChecker analog (``reference solr/core/.../component/
         SpellCheckComponent.java``; ``lucene/suggest/.../DirectSpellChecker``):
@@ -1756,6 +1821,111 @@ class IndexSearcher:
                 F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("bigint").alias("best_doc"),
             )
         )
+
+    def block_join_topk(
+        self,
+        child_query: Query,
+        parent_col: str,
+        score_mode: str = "avg",
+        k: int = 10,
+    ) -> DataFrame:
+        """ToParentBlockJoinQuery with the full ScoreMode set (``reference
+        lucene/join/src/java/org/apache/lucene/search/join/
+        ToParentBlockJoinQuery.java:308-354``, ``ScoreMode.java``): child
+        hits roll up to their parent block (here: the ``parent_col`` group,
+        e.g. conv_id for conversation/turn); parent score per mode —
+
+        - ``none``  → 0 (``:322``; constant, order by parent only)
+        - ``total`` → Σ child f32 scores, accumulated in double (``:329-331``)
+        - ``avg``   → that sum / childCount (``:351-352``)
+        - ``min`` / ``max`` → order-free over float32 (``:333-337``)
+
+        final single cast to float32 (``:354``).  Returns top-k parents
+        ``(rank, parent, n_hits)`` ordered (score desc, parent asc) — the
+        parent-key tiebreak standing in for Lucene's parent-docID asc.
+
+        Scale shape: one groupBy on the parent key over the child match set
+        only (map-side combinable partial aggs), then TakeOrderedAndProject —
+        the corpus never shuffles; only matched (doc_id, score) rows do."""
+        if self.corpus is None:
+            raise ValueError("block_join_topk needs IndexSearcher(corpus=...)")
+        stats = self._term_stats(child_query.terms())
+        scored = self._evaluate(child_query, 1.0, stats)
+        id_col = self.index.config.id_col
+        joined = scored.join(
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(parent_col).alias("parent")),
+            "doc_id",
+        )
+        n_hits = F.count("*").cast("bigint").alias("n_hits")
+        if score_mode == "none":
+            agg = joined.groupBy("parent").agg(n_hits).withColumn(
+                "score", F.lit(0.0).cast("float")
+            )
+        elif score_mode == "total":
+            agg = joined.groupBy("parent").agg(
+                n_hits, F.sum(F.col("score").cast("double")).cast("float").alias("score")
+            )
+        elif score_mode == "avg":
+            agg = joined.groupBy("parent").agg(
+                n_hits,
+                (F.sum(F.col("score").cast("double")) / F.count("*"))
+                .cast("float")
+                .alias("score"),
+            )
+        elif score_mode in ("min", "max"):
+            fold = F.min if score_mode == "min" else F.max
+            agg = joined.groupBy("parent").agg(n_hits, fold("score").cast("float").alias("score"))
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        from pyspark.sql.window import Window
+
+        top = agg.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("parent"))
+        return top.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "parent",
+            "n_hits",
+        )
+
+    def to_child_block_join(
+        self, parent_query: Query, parent_col: str, k: int = 10, do_scores: bool = True
+    ) -> TopDocs:
+        """ToChildBlockJoinQuery analog (``reference lucene/join/src/java/org/
+        apache/lucene/search/join/ToChildBlockJoinQuery.java:126-230``): the
+        parent query runs against parent documents only — here the first doc
+        (min doc_id) of each ``parent_col`` group, standing in for the
+        block's distinguished parent row — and every OTHER doc of a matching
+        group inherits the parent's float32 score verbatim (``parentScore``
+        capture at ``:215-217``; the parent itself is never emitted,
+        ``:163-165``).  ``do_scores=False`` ≙ the reference's needsScores
+        false path (score 0, ``:137-139``).
+
+        Scale shape: the parent map (one row per matched group) broadcasts;
+        the child pass is one broadcast-hash join against the corpus scan —
+        no corpus shuffle."""
+        if self.corpus is None:
+            raise ValueError("to_child_block_join needs IndexSearcher(corpus=...)")
+        id_col = self.index.config.id_col
+        parents = self.corpus.groupBy(F.col(parent_col).alias("__pk")).agg(
+            F.min(id_col).cast("long").alias("__pdoc")
+        )
+        stats = self._term_stats(parent_query.terms())
+        scored = self._evaluate(parent_query, 1.0, stats)
+        pmap = scored.join(
+            F.broadcast(parents), scored["doc_id"] == parents["__pdoc"]
+        ).select("__pk", "__pdoc", F.col("score").alias("__pscore"))
+        child_score = (
+            F.col("__pscore") if do_scores else F.lit(0.0).cast("float")
+        )
+        out = (
+            self.corpus.select(F.col(id_col).alias("doc_id"), F.col(parent_col).alias("__pk"))
+            .join(F.broadcast(pmap), "__pk")
+            .filter(F.col("doc_id") != F.col("__pdoc"))
+            .select("doc_id", child_score.alias("score"))
+        )
+        if self.index.deletes is not None:
+            out = out.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        return TopDocs(df=out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k), k=k)
 
     def interval_query(
         self,
