@@ -176,26 +176,68 @@ def dismax_search(
     index; every referenced field must be present.  Returns the top-k
     ``(doc_id, score)`` ordered (score desc, doc_id asc)."""
     words = query_str.replace('"', "").split()
-    word_frames: list[DataFrame] = []
-    for w in words:
-        parts = []
-        for f, boost in qf.items():
-            s = field_searchers[f]
-            q = _word_query(s.index.config.analyzer, w)
-            if q is None:
-                continue
-            stats = s._term_stats(q.terms())
-            parts.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
-        if parts:
-            word_frames.append(_dismax_combine(parts, tie))
-    if not word_frames:
+    # ONE pruned postings scan per qf field for every single-token word
+    # (the batched-retrieval plan shape: terms IN (...) → per-term scores in
+    # one pass), instead of one scan per (word, field).  Multi-token words
+    # (field analyzers may split) fall back to per-word phrase evaluation.
+    leaf_frames: list[DataFrame] = []  # (doc_id, score, __w)
+    # a word is an mm-countable SHOULD clause as soon as some field's
+    # analyzer produces tokens for it — a df=0 term still forms a clause
+    # (DisjunctionMaxQueryParser parses it; it just never matches)
+    clause_words: set[int] = set()
+    for f, boost in qf.items():
+        s = field_searchers[f]
+        tok_by_word: dict[int, str] = {}
+        for i, w in enumerate(words):
+            toks = s.index.config.analyzer.tokens(w)
+            if len(toks) == 1:
+                tok_by_word[i] = toks[0]
+                clause_words.add(i)
+            elif len(toks) > 1:
+                clause_words.add(i)
+                q = PhraseQuery(tuple(toks))
+                stats = s._term_stats(q.terms())
+                leaf_frames.append(
+                    s._evaluate(q, float(boost), stats)
+                    .select("doc_id", "score", F.lit(i).alias("__w"))
+                )
+        terms = set(tok_by_word.values())
+        if not terms:
+            continue
+        stats = s._term_stats(terms)
+        weights = {t: s._leaf_w(float(boost), t, stats) for t in terms if t in stats}
+        if not weights:
+            continue
+        by_term: dict[str, list[int]] = {}
+        for i, t in tok_by_word.items():
+            if t in weights:
+                by_term.setdefault(t, []).append(i)
+        word_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in by_term]),
+            F.array(*[F.array(*[F.lit(i) for i in idxs]) for idxs in by_term.values()]),
+        )
+        leaf_frames.append(
+            s._scored_postings(weights)
+            .select("doc_id", "score", F.explode(word_map[F.col("term")]).alias("__w"))
+        )
+    if not leaf_frames:
         return next(iter(field_searchers.values()))._empty()
 
-    msm = calculate_min_should_match(len(word_frames), mm)
-    u = word_frames[0].select("doc_id", "score", F.lit(0).alias("__c"))
-    for i, fr in enumerate(word_frames[1:], start=1):
-        u = u.unionByName(fr.select("doc_id", "score", F.lit(i).alias("__c")))
-    main = u.groupBy("doc_id").agg(
+    msm = calculate_min_should_match(len(clause_words), mm)
+    u = leaf_frames[0]
+    for fr in leaf_frames[1:]:
+        u = u.unionByName(fr)
+    # per-word cross-field DisjunctionMax, then the SHOULD sum — two aggs
+    # over matched rows only, both map-side combinable
+    dmx = u.groupBy("doc_id", "__w").agg(
+        F.max(F.col("score").cast("double")).alias("m"),
+        F.sum(F.col("score").cast("double")).alias("s"),
+    )
+    per_word = dmx.select(
+        "doc_id",
+        (F.col("m") + F.lit(float(tie)) * (F.col("s") - F.col("m"))).cast("float").alias("score"),
+    )
+    main = per_word.groupBy("doc_id").agg(
         F.sum(F.col("score").cast("double")).alias("__d"),
         F.count("*").alias("__nc"),
     )
