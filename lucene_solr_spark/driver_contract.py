@@ -1126,6 +1126,24 @@ def ft_queries() -> dict:
         return _ranked(top)
 
     q["ft_edismax_pf2"] = ft_edismax_pf2
+
+    def ft_unified_highlight(spark, sf_dir):
+        """UnifiedHighlighter PassageScorer (``lucene/highlighter/.../
+        uhighlight/PassageScorer.java``): all HOT matches re-ranked by the
+        passage score of the single (punctuation-free) sentence for query
+        terms {HOT, MID}."""
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 1_000_000)
+        hl = s.highlight_unified(top, [HOT, MID], max_passages=1)
+        # TakeOrderedAndProject first; the rank window then sees 10 rows
+        top10 = hl.orderBy(F.desc("hl_score"), F.asc("doc_id")).limit(10)
+        w = Window.orderBy(F.desc("hl_score"), F.asc("doc_id"))
+        return top10.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("doc_id").cast("long"),
+        )
+
+    q["ft_unified_highlight"] = ft_unified_highlight
     return q
 
 
@@ -2513,6 +2531,36 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             + _R(_D("dmain.score") + " + coalesce(" + _D("dpf2.score") + ", 0)")
             + " AS score FROM dmain LEFT JOIN dpf2 ON dmain.doc_id = dpf2.doc_id"
         ),
+    )
+
+    # ---- UnifiedHighlighter PassageScorer over the single whole-text
+    # passage (corpus texts are punctuation-free): per present query term
+    # contrib = f32(tf_factor * weight); doc hl = f32(f32(Σ double) * norm(0))
+    _hl_len_ratio = _R("CAST(h.clen AS REAL) / CAST(87.0 AS REAL)")
+    _hl_numdocs = _R("CAST(1 AS REAL) + " + _hl_len_ratio)
+    _hl_weight = _R(
+        "CAST(2.2 AS REAL) * "
+        + _R(f"ln(1 + ({_D(_hl_numdocs)} + 0.5) / (t.tf + 0.5))")
+    )
+    _hl_tfnorm = _R(
+        "CAST(1.2 AS REAL) * "
+        + _R(_R("0.25") + " + " + _R(_R("0.75") + " * " + _hl_len_ratio))
+    )
+    _hl_tff = _R(f"CAST(t.tf AS REAL) / (CAST(t.tf AS REAL) + {_hl_tfnorm})")
+    _hl_norm0 = _R("1 + " + _R("1 / " + _R("ln(CAST(87.0 AS REAL) + 0)")))
+    o["ft_unified_highlight"] = _with(
+        [
+            "hpl AS (SELECT d.doc_id AS doc_id, length(d.text) AS clen FROM documents d "
+            f"WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = '{HOT}'))",
+            f"hc AS (SELECT t.doc_id AS doc_id, {_R(_hl_tff + ' * ' + _hl_weight)} AS c "
+            f"FROM tf t JOIN hpl h ON t.doc_id = h.doc_id WHERE t.term IN ('{HOT}', '{MID}'))",
+            "hsum AS (SELECT doc_id, "
+            + _R("sum(" + _D("c") + ")")
+            + " AS s FROM hc GROUP BY doc_id)",
+            f"hfin AS (SELECT doc_id, {_R('hsum.s * ' + _hl_norm0)} AS score FROM hsum)",
+        ],
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id FROM hfin ORDER BY score DESC, doc_id ASC LIMIT 10",
     )
 
     # ---- payload queries (queries/payloads): payload = pos & 7 per

@@ -2706,6 +2706,14 @@ class IndexSearcher:
 
         return rows.mapInPandas(snip, schema="doc_id bigint, score float, snippet string")
 
+    def highlight_unified(self, top: TopDocs, terms: list, max_passages: int = 1,
+                          k1: float = 1.2, b: float = 0.75, pivot: float = 87.0) -> DataFrame:
+        """UnifiedHighlighter with reference-exact PassageScorer — see
+        :mod:`lucene_solr_spark.operators.highlight`."""
+        from .highlight import unified_highlight
+
+        return unified_highlight(self, top, terms, max_passages, k1, b, pivot)
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """``IndexSearcher.explain`` / ``Weight.explain`` analog (``reference
         lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java``,
