@@ -1144,6 +1144,18 @@ def ft_queries() -> dict:
         )
 
     q["ft_unified_highlight"] = ft_unified_highlight
+
+    def ft_simple_parse(spark, sf_dir):
+        """SimpleQueryParser (``lucene/queryparser/.../simple/
+        SimpleQueryParser.java``): "HOT | MID + RARE" parses to
+        +(HOT OR MID) +RARE with the op-change wrap; searched end-to-end."""
+        from .plans.simple_parser import SimpleQueryParser
+
+        s = doc_searcher(spark, sf_dir)
+        q2 = SimpleQueryParser(s.index.config.analyzer).parse(f"{HOT} | {MID} + {RARE}")
+        return _ranked(s.search(q2, 10).df)
+
+    q["ft_simple_parse"] = ft_simple_parse
     return q
 
 
@@ -2561,6 +2573,24 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
         ],
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
         "CAST(doc_id AS BIGINT) AS doc_id FROM hfin ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
+    # ---- SimpleQueryParser "scan | key + dup" = +(scan OR key) +dup:
+    # inner SHOULD group f32-rounds at its node boundary, outer MUST sums
+    o["ft_simple_parse"] = _with(
+        [
+            _term_cte("spa", HOT),
+            _term_cte("spb", MID),
+            _term_cte("spd", RARE),
+            "spin AS (SELECT doc_id, "
+            + _R("sum(" + _D("score") + ")")
+            + " AS score FROM (SELECT * FROM spa UNION ALL SELECT * FROM spb) GROUP BY doc_id)",
+        ],
+        _topk_sql(
+            "SELECT i.doc_id AS doc_id, "
+            + _R(_D("i.score") + " + " + _D("spd.score"))
+            + " AS score FROM spin i JOIN spd ON i.doc_id = spd.doc_id"
+        ),
     )
 
     # ---- payload queries (queries/payloads): payload = pos & 7 per

@@ -174,6 +174,19 @@ class Analyzer:
 
         return "".join(FOLD_MAP.get(ch, ch) for ch in tok)
 
+    def normalize(self, text: str) -> str:
+        """``Analyzer.normalize`` (``StandardAnalyzer.java:92-95``): the
+        query-time term normalization path — the normalization-capable
+        filters only (lowercase, ASCII folding), NO tokenization/stemming.
+        Used by multi-term query construction (prefix/fuzzy/wildcard)."""
+        if text is None:
+            return ""
+        if self.lowercase:
+            text = text.lower()
+        if self.ascii_folding:
+            text = self._fold(text)
+        return text
+
     def tokens(self, text: str) -> list[str]:
         """Analyze one string (driver-side / query normalization path)."""
         if text is None:
