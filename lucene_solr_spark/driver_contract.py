@@ -1156,6 +1156,32 @@ def ft_queries() -> dict:
         return _ranked(s.search(q2, 10).df)
 
     q["ft_simple_parse"] = ft_simple_parse
+
+    def ft_span_multiterm(spark, sf_dir):
+        """SpanMultiTermQueryWrapper (``search/spans/
+        SpanMultiTermQueryWrapper.java``): prefix 'sca*' expanded to SpanOr
+        alternatives inside an ordered SpanNear with HOT2, slop 1."""
+        from .plans.query import SpanMultiTermWrapper, SpanNearQuery
+
+        s = doc_searcher(spark, sf_dir)
+        q2 = SpanNearQuery(
+            (SpanMultiTermWrapper(PrefixQuery("sca")), HOT2), slop=1, in_order=True
+        )
+        top = s.search(q2, 30)
+        return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_span_multiterm"] = ft_span_multiterm
+
+    def ft_span_posrange(spark, sf_dir):
+        """SpanPositionRangeQuery (``search/spans/SpanPositionRangeQuery
+        .java``): HOT spans with 2 <= start and end <= 6."""
+        from .plans.query import SpanPositionRangeQuery
+
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(SpanPositionRangeQuery(HOT, 2, 6), 30)
+        return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+    q["ft_span_posrange"] = ft_span_posrange
     return q
 
 
@@ -1547,6 +1573,22 @@ def ft_oracle_sql() -> dict:
     )
     o["ft_span_containing"] = _contain_sql
     o["ft_span_within"] = _contain_sql
+
+    # span multi-term wrapper: prefix-expanded first slot, ordered slop 1
+    o["ft_span_multiterm"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term LIKE 'sca%' AND b.term = '{HOT2}' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # span position range: 0-based start in [2, 6-1] <=> 1-based pos in [3, 6]
+    o["ft_span_posrange"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT doc_id FROM tokp WHERE term = '{HOT}' AND pos - 1 >= 2 AND pos <= 6"
+        ") ORDER BY doc_id LIMIT 30",
+    )
 
     # span first: 1-based tokp pos <= end  <=>  0-based pos + 1 <= end
     o["ft_span_first"] = _with(

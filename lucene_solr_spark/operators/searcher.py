@@ -566,6 +566,74 @@ class IndexSearcher:
         docs = occ.filter(F.col("pos") + 1 <= F.lit(int(q.end))).select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
+    def _eval_span_posrange(self, q, boost: float, stats: dict) -> DataFrame:
+        """SpanPositionRangeQuery (``search/spans/SpanPositionRangeQuery.
+        java``): single-term spans with ``start <= p`` and ``p+1 <= end`` —
+        one predicate over the decoded positions, no join."""
+        if q.term not in stats:
+            return self._empty()
+        if not self.index.config.index_positions:
+            raise ValueError("SpanPositionRangeQuery needs index_positions=True")
+        occ = self._positional_occurrences([q.term])
+        docs = (
+            occ.filter((F.col("pos") >= F.lit(int(q.start))) & (F.col("pos") + 1 <= F.lit(int(q.end))))
+            .select("doc_id")
+            .distinct()
+        )
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _expand_span_multiterm(self, w) -> tuple:
+        """SpanMultiTermQueryWrapper default rewrite: dictionary expansion to
+        the matching terms (→ SpanOr alternatives), maxClauseCount-capped."""
+        inner = w.query
+        expanded = [r["term"] for r in self.index.terms.filter(self._multiterm_predicate(inner)).collect()]
+        if isinstance(inner, FuzzyQuery) and inner.transpositions:
+            from ..functions.editdist import osa
+
+            expanded = [t for t in expanded if osa(t, inner.term) <= inner.max_edits]
+        if len(expanded) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"span multi-term expansion exceeds {MAX_CLAUSE_COUNT} terms (maxClauseCount)")
+        return tuple(sorted(expanded))
+
+    def _rewrite_span_multiterm(self, q: Query) -> Query:
+        """Pre-createWeight rewrite pass (the ``IndexSearcher.rewrite`` loop
+        analog): replace every SpanMultiTermWrapper with its dictionary
+        expansion so stats resolution sees concrete terms."""
+        from ..plans.query import SpanMultiTermWrapper as _SMW
+
+        if isinstance(q, _SMW):
+            terms = self._expand_span_multiterm(q)
+            return SpanOrQuery(terms) if terms else MatchNoDocsQuery()
+        if isinstance(q, SpanNearQuery) and any(isinstance(c, _SMW) for c in q.span_terms):
+            new_clauses = []
+            for c in q.span_terms:
+                if isinstance(c, _SMW):
+                    t = self._expand_span_multiterm(c)
+                    if not t:
+                        return MatchNoDocsQuery()  # a clause with no terms matches nothing
+                    new_clauses.append(t)
+                else:
+                    new_clauses.append(c)
+            return SpanNearQuery(tuple(new_clauses), slop=q.slop, in_order=q.in_order, boost=q.boost)
+        if isinstance(q, BooleanQuery):
+            from ..plans.query import BooleanClause
+
+            return BooleanQuery(
+                clauses=tuple(
+                    BooleanClause(self._rewrite_span_multiterm(c.query), c.occur) for c in q.clauses
+                ),
+                minimum_should_match=q.minimum_should_match,
+            )
+        if isinstance(q, BoostQuery):
+            return BoostQuery(self._rewrite_span_multiterm(q.query), q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._rewrite_span_multiterm(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._rewrite_span_multiterm(d) for d in q.disjuncts), q.tie_breaker
+            )
+        return q
+
     def _eval_span_or(self, q: SpanOrQuery, boost: float, stats: dict) -> DataFrame:
         """Standalone SpanOrQuery: union of the clause span streams; as a
         document predicate this is the docs containing any clause term —
@@ -1160,6 +1228,13 @@ class IndexSearcher:
             return self._eval_span_near(q, boost, stats)
         if isinstance(q, SpanFirstQuery):
             return self._eval_span_first(q, boost, stats)
+        from ..plans.query import SpanMultiTermWrapper as _SMW
+        from ..plans.query import SpanPositionRangeQuery as _SPR
+
+        if isinstance(q, _SPR):
+            return self._eval_span_posrange(q, boost, stats)
+        if isinstance(q, _SMW):
+            return self._evaluate(self._rewrite_span_multiterm(q), boost, stats)
         if isinstance(q, SpanOrQuery):
             return self._eval_span_or(q, boost, stats)
         if isinstance(q, SpanNotQuery):
@@ -1391,6 +1466,7 @@ class IndexSearcher:
     # --------------------------------------------------------------- search
     def search(self, query: Query, k: int = 10, prune: bool = True, exclude_doc_ids=()) -> TopDocs:
         """Top-k search; identical results with prune on or off (tested)."""
+        query = self._rewrite_span_multiterm(query)
         stats = self._term_stats(query.terms())
         scored = None
         if prune:

@@ -303,6 +303,39 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """``search/spans/SpanPositionRangeQuery.java``: spans accepted when
+    ``start <= match.start()`` and ``match.end() <= end`` (acceptPosition).
+    SpanFirstQuery is the ``start=0`` special case.  Constant score (same
+    documented deviation as the other span queries)."""
+
+    term: str
+    start: int
+    end: int
+    boost: float = 1.0
+
+    def terms(self):
+        return {self.term}
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(Query):
+    """``search/spans/SpanMultiTermQueryWrapper.java``: lets a MultiTermQuery
+    (prefix/wildcard/regexp/range/fuzzy) stand where a span clause is
+    expected.  The default SpanRewriteMethod expands the term dictionary into
+    a SpanOr over the matching terms (``SpanMultiTermQueryWrapper.java``
+    WRAPPED rewrite); our searcher performs the same expansion against the
+    terms table in ``IndexSearcher._rewrite_span_multiterm`` — standalone it
+    becomes a SpanOrQuery, inside a SpanNearQuery clause it becomes the
+    inline alternatives tuple."""
+
+    query: Query = None
+
+    def terms(self):
+        return set()  # unknown until the dictionary expansion rewrite
+
+
+@dataclass(frozen=True)
 class SpanOrQuery(Query):
     """``search/spans/SpanOrQuery.java`` over single-term clauses: the union
     of the clause span streams. Standalone it matches any document containing
