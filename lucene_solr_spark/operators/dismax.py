@@ -155,6 +155,7 @@ def dismax_search(
     pf3: Optional[dict[str, float]] = None,
     ps3: Optional[int] = None,
     bq: Optional[list] = None,
+    bf: Optional[list] = None,
     k: int = 10,
 ) -> DataFrame:
     """DisMaxQParser.parse + search (+ the eDisMax pf2/pf3/bq surface):
@@ -168,6 +169,11 @@ def dismax_search(
       trigram shingled phrase boosts (``ExtendedDismaxQParser.java:291-330``)
     - ``bq``: extra boost queries as ``(field, Query, boost)`` triples
       (``DisMaxQParser.addBoostQuery:171-197``)
+    - ``bf``: additive boost functions as ``(field, func_src, boost)``
+      triples (``DisMaxQParser.addBoostFunctions:158-169``; func_src uses the
+      ValueSourceParser registry, e.g. ``recip(n_chars,1,1000,1000)``); the
+      FunctionQuery matches every doc, so it contributes to every main hit —
+      ``f32(f64(boost) · f64(value))`` per doc
 
     all summed with the mm-filtered main clause in ONE double accumulation
     with a single final f32 cast (Lucene's BooleanScorer sum).
@@ -261,6 +267,23 @@ def dismax_search(
         s = field_searchers[f]
         stats = s._term_stats(q.terms())
         optional.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+    for f, src, boost in bf or ():
+        s = field_searchers[f]
+        if s.corpus is None:
+            raise ValueError("bf boost functions need IndexSearcher(corpus=...)")
+        from ..plans.function_queries import FunctionContext, compile_function
+
+        ctx = FunctionContext(s)
+        col = compile_function(src, ctx)
+        frame = s.corpus.withColumnRenamed(s.index.config.id_col, "doc_id")
+        for aux in ctx.joins.values():
+            frame = frame.join(aux, "doc_id", "left")
+        optional.append(
+            frame.select(
+                "doc_id",
+                (F.lit(float(boost)) * col.cast("double")).cast("float").alias("score"),
+            )
+        )
 
     acc = F.col("__m").cast("double")
     for i, fr in enumerate(optional):

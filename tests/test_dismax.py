@@ -180,3 +180,23 @@ def test_bq_adds_should_clause(searcher, title_searcher):
     for d, s in got.items():
         want = np.float32(np.float64(base[d]) + (np.float64(extra[d]) if d in extra.index else 0.0))
         assert s == pytest.approx(float(want), rel=1e-6)
+
+
+def test_bf_boost_function_adds_value(searcher, title_searcher):
+    fs = {"text": searcher, "title": title_searcher}
+    base = {
+        r["doc_id"]: r["score"]
+        for r in dismax_search(fs, W1, {"text": 1.0}, mm="1", k=10000).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_search(
+            fs, W1, {"text": 1.0}, mm="1",
+            bf=[("text", "linear(turn_idx,1,0)", 0.5)], k=10000,
+        ).collect()
+    }
+    tix = {r["doc_id"]: r["turn_idx"] for r in searcher.corpus.select("doc_id", "turn_idx").collect()}
+    assert set(got) == set(base)
+    for d, s in got.items():
+        want = np.float32(np.float64(base[d]) + np.float64(np.float32(0.5 * tix[d])))
+        assert s == pytest.approx(float(want), rel=1e-6)

@@ -114,3 +114,27 @@ def test_negation_end_to_end(searcher):
     assert rows
     with_w = {r["doc_id"] for r in searcher.search(TermQuery("wuloze"), 10000).df.collect()}
     assert all(r["doc_id"] not in with_w for r in rows)
+
+
+# ---- never-raise property (the reference parser "will never throw an
+# exception... will most likely not give you the results you expected
+# either" — SimpleQueryParser.java class javadoc)
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except Exception:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @given(st.text(alphabet='ab("|+-~*\\) \t01', max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_raises(s):
+        q = SimpleQueryParser(standard_analyzer()).parse(s)
+        assert q is not None
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=150, deadline=None)
+    def test_parser_never_raises_unicode(s):
+        assert SimpleQueryParser(standard_analyzer()).parse(s) is not None
