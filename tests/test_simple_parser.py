@@ -138,3 +138,34 @@ if _HAS_HYP:
     @settings(max_examples=150, deadline=None)
     def test_parser_never_raises_unicode(s):
         assert SimpleQueryParser(standard_analyzer()).parse(s) is not None
+
+
+# ---- randomized parse-then-search equivalence: any operator soup the
+# parser accepts must evaluate identically on the distributed engine and
+# the scalar oracle (the TestBoolean2 / control-collection pattern)
+if _HAS_HYP:
+    from hypothesis import HealthCheck
+
+    @pytest.fixture(scope="module")
+    def parse_vocab(oracle):
+        by_df = sorted(oracle.postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+        terms = [t for t, _ in by_df[:3]] + [t for t, _ in by_df[len(by_df) // 2:][:2]]
+        return terms + ["zzz_absent"]
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(data=st.data())
+    def test_random_parsed_strings_match_oracle(data, searcher, oracle, parse_vocab):
+        ops = st.sampled_from(["+", "-", "|", "(", ")", '"'])
+        prefixes = st.sampled_from([w[:2] + "*" for w in parse_vocab[:3]])
+        piece = st.one_of(st.sampled_from(parse_vocab), ops, prefixes)
+        sep = data.draw(st.sampled_from([" ", ""]))
+        s = sep.join(data.draw(st.lists(piece, min_size=1, max_size=6)))
+        q = SimpleQueryParser(standard_analyzer()).parse(s)
+        expect = oracle.search(q, 10)
+        got = searcher.search(q, 10, prune=True).collect()
+        assert [(d, sc) for d, sc in expect] == got, (s, q)
