@@ -1196,6 +1196,25 @@ def ft_queries() -> dict:
         return _ranked(top)
 
     q["ft_edismax_ops"] = ft_edismax_ops
+
+    def pc_percolate(spark, sf_dir):
+        """Percolation (``lucene/memory/.../MemoryIndex.java:178`` single-doc
+        matching + monitor-pattern trigger pruning): three registered queries
+        matched against the whole documents stream in one Arrow pass."""
+        from .operators.percolator import Percolator
+
+        s = doc_searcher(spark, sf_dir)
+        p = Percolator(
+            {
+                "term_hot": TermQuery(HOT),
+                "mid_not_hot": BooleanQuery.build(must=[TermQuery(MID)], must_not=[TermQuery(HOT)]),
+                "phrase": PhraseQuery((HOT, HOT2)),
+            },
+            s.index.config.analyzer,
+        )
+        return p.match(s.corpus).orderBy("doc_id", "query_id")
+
+    q["pc_percolate"] = pc_percolate
     return q
 
 
@@ -2614,6 +2633,19 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             + " AS score FROM exa LEFT JOIN exb ON exa.doc_id = exb.doc_id "
             "WHERE exa.doc_id NOT IN (SELECT doc_id FROM exd)"
         ),
+    )
+
+    # ---- percolation: (doc, query_id) membership pairs
+    o["pc_percolate"] = _with(
+        [phrase_cte],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, query_id FROM ("
+        f"  SELECT doc_id, 'term_hot' AS query_id FROM tf WHERE term = '{HOT}'"
+        "  UNION ALL "
+        f"  SELECT doc_id, 'mid_not_hot' FROM tf WHERE term = '{MID}'"
+        f"    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{HOT}')"
+        "  UNION ALL "
+        "  SELECT doc_id, 'phrase' FROM ph WHERE ptf > 0"
+        ") ORDER BY doc_id, query_id",
     )
 
     # ---- UnifiedHighlighter PassageScorer over the single whole-text
