@@ -67,3 +67,36 @@ def test_pruning_still_complete(searcher, spark_corpus):
     pruned = Percolator(QUERIES, searcher.index.config.analyzer)
     fast = {(r["doc_id"], r["query_id"]) for r in pruned.match(spark_corpus).collect()}
     assert fast == brute
+
+
+def test_streaming_percolation_foreachbatch(spark, fixture_corpus_pdf, searcher, tmp_path_factory):
+    """Percolation over a file stream: two micro-batches through foreachBatch
+    must produce exactly the batch match set (exactly-once via checkpoint)."""
+    base = tmp_path_factory.mktemp("percolate")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    pdf = fixture_corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pdf = pdf.assign(doc_id=range(len(pdf)))[["doc_id", "text"]]
+    half = len(pdf) // 2
+    p = Percolator({"q_term": QUERIES["q_term"], "q_mm": QUERIES["q_mm"]}, searcher.index.config.analyzer)
+
+    def percolate_batch(batch_df, _bid):
+        p.match(batch_df).write.mode("append").parquet(out)
+
+    schema = spark.createDataFrame(pdf).schema
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src + f"/c{i}")
+        q = (
+            spark.readStream.schema(schema).parquet(src + "/c*")
+            .writeStream.foreachBatch(percolate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["query_id"]) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in p.match(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == want and got
