@@ -409,6 +409,39 @@ def ft_queries() -> dict:
 
     q["agg_taxonomy_rollup"] = agg_taxonomy_rollup
 
+    def agg_json_facet(spark, sf_dir):
+        """JSON Facet API nested terms facets (``solr/core/.../search/facet/
+        FacetField*``): lang buckets sorted by sum(n_chars) desc limit 3,
+        nested source sub-buckets sorted by count desc limit 2, avg stat."""
+        from .operators.jsonfacet import json_facet
+
+        docs = _load(spark, sf_dir, "documents")
+        spec = {
+            "name": "lang",
+            "field": "lang",
+            "limit": 3,
+            "sort": "chars_sum desc",
+            "stats": {"chars_sum": "sum(n_chars)"},
+            "facet": {
+                "name": "src",
+                "field": "source",
+                "limit": 2,
+                "sort": "count desc",
+                "stats": {"chars_avg": "avg(n_chars)"},
+            },
+        }
+        out = json_facet(docs, spec)
+        return out.select(
+            "lang",
+            "source",
+            F.col("lang_count").cast("bigint").alias("lang_count"),
+            F.col("lang_chars_sum").cast("bigint").alias("lang_chars_sum"),
+            F.col("src_count").cast("bigint").alias("src_count"),
+            F.col("src_chars_avg").cast("double").alias("src_chars_avg"),
+        ).orderBy("lang", "source")
+
+    q["agg_json_facet"] = agg_json_facet
+
     # ---- FILTER occur (non-scoring clause) + boosted SHOULD clause
     q["ft_filter_clause"] = _search_q(
         BooleanQuery.build(must=[TermQuery(MID)], filter=[TermQuery(HOT)])
@@ -1715,6 +1748,23 @@ def ft_oracle_sql() -> dict:
         "SELECT coalesce(lang, '<ALL>') AS lang, coalesce(source, '<ALL>') AS source, "
         "CAST(count(*) AS BIGINT) AS cnt FROM documents "
         "GROUP BY ROLLUP(lang, source) ORDER BY lang, source"
+    )
+
+    # JSON Facet nested terms facets: top-3 langs by sum(n_chars), top-2
+    # sources per lang by count; ties break by bucket value asc (index order)
+    o["agg_json_facet"] = (
+        "WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_count, "
+        "CAST(sum(n_chars) AS BIGINT) AS lang_chars_sum FROM documents GROUP BY lang "
+        "ORDER BY lang_chars_sum DESC, lang ASC LIMIT 3), "
+        "g2 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS src_count, "
+        "CAST(avg(n_chars) AS DOUBLE) AS src_chars_avg FROM documents "
+        "WHERE lang IN (SELECT lang FROM l) GROUP BY lang, source), "
+        "r2 AS (SELECT *, row_number() OVER (PARTITION BY lang "
+        "ORDER BY src_count DESC, source ASC) AS rn FROM g2) "
+        "SELECT l.lang AS lang, r2.source AS source, l.lang_count AS lang_count, "
+        "l.lang_chars_sum AS lang_chars_sum, r2.src_count AS src_count, "
+        "r2.src_chars_avg AS src_chars_avg "
+        "FROM r2 JOIN l USING (lang) WHERE r2.rn <= 2 ORDER BY lang, source"
     )
 
     # naive Bayes classification: fixed-point (2^-20) integer scores — the
