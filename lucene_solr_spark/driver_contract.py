@@ -563,6 +563,23 @@ def ft_queries() -> dict:
         return fn
 
     q["itv_ordered"] = _itv([HOT, HOT2], True, 3)
+
+    def itv_nested_or(spark, sf_dir):
+        """Nested interval source (Intervals.ordered(Intervals.or(t1, t2),
+        t3) with maxgaps): quantized minimal-interval frequency rank."""
+        from .functions.interval_sources import IOr, IOrdered, ITerm
+
+        s = doc_searcher(spark, sf_dir)
+        src = IOrdered((IOr((ITerm(HOT2), ITerm(MID))), ITerm(HOT)), max_gaps=3)
+        out = s.interval_source_query(src, k=20, output="freq_q")
+        w = Window.orderBy(F.desc("freq_q"), F.asc("doc_id"))
+        return out.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("doc_id").cast("long"),
+            F.col("freq_q").cast("long"),
+        )
+
+    q["itv_nested_or"] = itv_nested_or
     q["itv_unordered"] = _itv([MID, HOT], False, 2)
 
     # deterministic synthetic coordinates for the spatial queries: integer
@@ -1822,6 +1839,20 @@ def ft_oracle_sql() -> dict:
          "WHERE e - s - 1 <= 3 GROUP BY doc_id)"],
         _itv_rank,
     )
+    # nested: ordered(or(HOT2, MID), HOT) — the or() of width-1 terms is the
+    # union of their positions; the rest is the itv_ordered minimization
+    o["itv_nested_or"] = _with(
+        [tokp,
+         f"cand AS (SELECT b.doc_id AS doc_id, (SELECT max(a.pos) FROM tokp a WHERE a.doc_id = b.doc_id "
+         f"AND a.term IN ('{HOT2}', '{MID}') AND a.pos < b.pos) AS s, b.pos AS e FROM tokp b WHERE b.term = '{HOT}')",
+         "mini AS (SELECT DISTINCT doc_id, s, e FROM cand c WHERE s IS NOT NULL AND NOT EXISTS ("
+         "SELECT 1 FROM cand c2 WHERE c2.doc_id = c.doc_id AND c2.s IS NOT NULL "
+         "AND c2.s >= c.s AND c2.e <= c.e AND (c2.s <> c.s OR c2.e <> c.e)))",
+         f"fqt AS (SELECT doc_id, sum({_itv_contrib}) AS freq_q FROM mini "
+         "WHERE e - s - 1 <= 3 GROUP BY doc_id)"],
+        _itv_rank,
+    )
+
     o["itv_unordered"] = _with(
         [tokp,
          # unordered(t1, t2): every occurrence pair spans a candidate window

@@ -2129,6 +2129,106 @@ class IndexSearcher:
             scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
         return scored.orderBy(F.desc(val_col), F.asc("doc_id")).limit(k)
 
+    def interval_source_query(
+        self,
+        source,
+        boost: float = 1.0,
+        pivot: float = 1.0,
+        k: int = 10,
+        output: str = "score",
+    ) -> DataFrame:
+        """Nested IntervalQuery (``Intervals.or/phrase/ordered/unordered``
+        combinators — see functions/interval_sources.py): minimal-interval
+        evaluation of an arbitrary source tree per document, scored with the
+        saturation function, or ``output='freq_q'`` for the order-free
+        fixed-point contract path.
+
+        Same plan shape as :meth:`interval_query`: bulk .pos decode, ONE
+        doc_id shuffle, per-doc evaluation inside Arrow batches."""
+        from ..functions.interval_sources import (
+            source_freq,
+            source_freq_quantized,
+            source_terms,
+        )
+        from ..functions.intervals import saturation_score
+
+        if not self.index.config.index_positions:
+            raise ValueError("interval_source_query needs index_positions=True")
+        terms = sorted(source_terms(source))
+        stats = self._term_stats(set(terms))
+        live = [t for t in terms if t in stats]
+        if not live:
+            return self._empty() if output == "score" else self._empty().withColumnRenamed("score", "freq_q")
+        quantized = output == "freq_q"
+        val_col = "freq_q" if quantized else "score"
+        val_dtype = np.int64 if quantized else np.float32
+        schema = f"doc_id long, {val_col} {'long' if quantized else 'float'}"
+        occ = self._positional_occurrences(live)
+
+        def scan(iterator):
+            carry = None
+            out_docs: list = []
+            out_vals: list = []
+
+            def run_doc(doc: int, terms_arr: np.ndarray, pos: np.ndarray) -> None:
+                positions = {}
+                for t in np.unique(terms_arr):
+                    positions[t] = np.sort(pos[terms_arr == t]).tolist()
+                if quantized:
+                    v = source_freq_quantized(source, positions)
+                    if v:
+                        out_docs.append(doc)
+                        out_vals.append(v)
+                else:
+                    v = source_freq(source, positions)
+                    if v:
+                        out_docs.append(doc)
+                        out_vals.append(saturation_score(v, boost, pivot))
+
+            def run_range(d: np.ndarray, terms_arr, pos: np.ndarray) -> None:
+                bounds = np.flatnonzero(np.diff(d)) + 1
+                for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, d.size]):
+                    run_doc(int(d[lo]), terms_arr[lo:hi], pos[lo:hi])
+
+            def flush() -> pd.DataFrame:
+                pdf_out = pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(out_docs, dtype=np.int64),
+                        val_col: np.asarray(out_vals, dtype=val_dtype),
+                    }
+                )
+                out_docs.clear()
+                out_vals.clear()
+                return pdf_out
+
+            for pdf in iterator:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                d = pdf["doc_id"].to_numpy(dtype=np.int64)
+                if d.size == 0:
+                    continue
+                cut = np.searchsorted(d, d[-1], side="left")
+                carry = pdf.iloc[cut:].copy()
+                if cut:
+                    run_range(
+                        d[:cut],
+                        pdf["term"].to_numpy()[:cut],
+                        pdf["pos"].to_numpy(dtype=np.int64)[:cut],
+                    )
+                    yield flush()
+            if carry is not None and len(carry):
+                run_range(
+                    carry["doc_id"].to_numpy(dtype=np.int64),
+                    carry["term"].to_numpy(),
+                    carry["pos"].to_numpy(dtype=np.int64),
+                )
+                yield flush()
+
+        scored = occ.repartition("doc_id").sortWithinPartitions("doc_id").mapInPandas(scan, schema)
+        if self.index.deletes is not None:
+            scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        return scored.orderBy(F.desc(val_col), F.asc("doc_id")).limit(k)
+
     def join_query(
         self,
         from_query: Query,
