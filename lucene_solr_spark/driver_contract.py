@@ -1265,6 +1265,15 @@ def ft_queries() -> dict:
         return p.match(s.corpus).orderBy("doc_id", "query_id")
 
     q["pc_percolate"] = pc_percolate
+
+    def ft_spell_collate(spark, sf_dir):
+        """SpellCheckCollator (``solr/core/.../spelling/SpellCheckCollator
+        .java``): 'scann kei' → suggestion substitution, cross-product tries,
+        hit-verified collations (hits desc, try order asc)."""
+        s = doc_searcher(spark, sf_dir)
+        return s.spellcheck_collate(["scann", "kei"])
+
+    q["ft_spell_collate"] = ft_spell_collate
     return q
 
 
@@ -2714,6 +2723,30 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             + " AS score FROM exa LEFT JOIN exb ON exa.doc_id = exb.doc_id "
             "WHERE exa.doc_id NOT IN (SELECT doc_id FROM exd)"
         ),
+    )
+
+    # ---- spellcheck collation: suggestion substitution + hit verification
+    def _sc_opts(alias: str, w: str) -> str:
+        return (
+            f"{alias} AS (SELECT term, rn FROM (SELECT term, row_number() OVER ("
+            f"ORDER BY levenshtein(term, '{w}') ASC, df DESC, term ASC) AS rn "
+            f"FROM dfreq WHERE levenshtein(term, '{w}') <= 2 AND term <> '{w}') WHERE rn <= 3)"
+        )
+
+    o["ft_spell_collate"] = _with(
+        [
+            _sc_opts("sc1", "scann"),
+            _sc_opts("sc2", "kei"),
+            "scc AS (SELECT sc1.term AS t1, sc2.term AS t2, "
+            "(sc1.rn - 1) * (SELECT count(*) FROM sc2) + sc2.rn AS try "
+            "FROM sc1 CROSS JOIN sc2)",
+            "scv AS (SELECT t1, t2, try, (SELECT count(*) FROM ("
+            "SELECT doc_id FROM tf WHERE term = c.t1 INTERSECT "
+            "SELECT doc_id FROM tf WHERE term = c.t2)) AS hits "
+            "FROM scc c WHERE try <= 10)",
+        ],
+        "SELECT t1 || ' ' || t2 AS collation, CAST(hits AS BIGINT) AS hits "
+        "FROM scv WHERE hits > 0 ORDER BY hits DESC, try ASC LIMIT 3",
     )
 
     # ---- percolation: (doc, query_id) membership pairs

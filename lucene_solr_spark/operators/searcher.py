@@ -1601,6 +1601,72 @@ class IndexSearcher:
             .limit(n)
         )
 
+    def spellcheck_collate(
+        self,
+        words: list,
+        max_suggestions_per_word: int = 3,
+        max_tries: int = 10,
+        max_collations: int = 3,
+        max_edits: int = 2,
+    ) -> DataFrame:
+        """SpellCheckCollator analog (``reference solr/core/src/java/org/
+        apache/solr/spelling/SpellCheckCollator.java``): substitute top
+        spelling suggestions into the user's query, verify each candidate
+        rewrite actually hits, return up to ``max_collations`` with hit
+        counts, ordered (hits desc, try order asc).
+
+        Correctly-spelled words (df > 0) pass through; each misspelled word
+        contributes its top suggestions (DirectSpellChecker ranking); the
+        cross-product is tried in product order, capped at ``max_tries``
+        (SpellCheckCollator.maxCollationTries).
+
+        Scale shape: the reference re-queries once per candidate; here ALL
+        candidates verify in ONE pruned postings scan — per-doc word-presence
+        flags then one conditional-count aggregation row (pure codegen)."""
+        import itertools
+
+        norm = [self.index.config.analyzer.normalize(w) for w in words]
+        stats = self._term_stats(set(norm))
+        options: list[list[str]] = []
+        any_misspelled = False
+        for w in norm:
+            if w in stats:
+                options.append([w])
+                continue
+            any_misspelled = True
+            sugg = [r["term"] for r in self.spellcheck(w, max_edits, max_suggestions_per_word).collect()]
+            if not sugg:
+                return self.spark.createDataFrame([], "collation string, hits long")
+            options.append(sugg)
+        if not any_misspelled:
+            return self.spark.createDataFrame([], "collation string, hits long")
+        candidates = list(itertools.islice(itertools.product(*options), max_tries))
+        vocab = sorted({w for c in candidates for w in c})
+        scored = self._scored_postings({w: 0.0 for w in vocab})
+        flags = scored.groupBy("doc_id").agg(
+            *[F.max((F.col("term") == w).cast("int")).alias(f"__w{i}") for i, w in enumerate(vocab)]
+        )
+        widx = {w: i for i, w in enumerate(vocab)}
+        counts = flags.select(
+            *[
+                F.sum(
+                    F.when(
+                        sum(F.col(f"__w{widx[w]}") for w in set(c)) == len(set(c)), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__c{j}")
+                for j, c in enumerate(candidates)
+            ]
+        ).collect()[0]
+        rows = [
+            (" ".join(c), int(counts[f"__c{j}"])) for j, c in enumerate(candidates)
+        ]
+        rows = [r for r in rows if r[1] > 0]
+        rows.sort(key=lambda r: -r[1])  # stable: ties keep try order
+        out = rows[:max_collations]
+        return self.spark.createDataFrame(out or [], "collation string, hits long")
+
     def drill_sideways(self, base_query: Query, dims: dict) -> DataFrame:
         """DrillSideways analog (``reference lucene/facet/src/java/org/apache/
         lucene/facet/DrillSideways.java``): for each drill-down dimension,
