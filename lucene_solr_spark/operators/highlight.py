@@ -138,7 +138,7 @@ def _highlight_one(text: str, terms: set, scorer: PassageScorer, max_passages: i
 def unified_highlight(
     searcher,
     top,
-    terms: list,
+    terms,
     max_passages: int = 1,
     k1: float = 1.2,
     b: float = 0.75,
@@ -146,13 +146,19 @@ def unified_highlight(
 ) -> DataFrame:
     """Highlight the top-k winners: fetch their stored text (broadcast
     semi-join, the GET_FIELDS phase) and produce ``(doc_id, score,
-    hl_score, snippet)`` via one Arrow batch pass."""
+    hl_score, snippet)`` via one Arrow batch pass.
+
+    ``terms`` is a term list or a Query — a Query highlights its extracted
+    terms (``UnifiedHighlighter.extractTerms``; phrase/boolean terms
+    highlight individually, the re-analysis offset strategy's behavior)."""
     if searcher.corpus is None:
         raise ValueError("unified_highlight needs IndexSearcher(corpus=...)")
     id_col = searcher.index.config.id_col
     text_col = searcher.index.config.text_col
     scorer = PassageScorer(k1, b, pivot)
-    tset = set(terms)
+    from ..plans.query import Query as _Q
+
+    tset = set(terms.terms()) if isinstance(terms, _Q) else set(terms)
     rows = top.df.join(
         searcher.corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
         "doc_id",

@@ -96,3 +96,13 @@ def test_end_to_end_dataframe(searcher):
     for r in out:
         assert "<b>wuloze</b>" in r["snippet"]
         assert r["hl_score"] > 0
+
+
+def test_query_argument_extracts_terms(searcher):
+    from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
+
+    q = BooleanQuery.build(should=[TermQuery("wuloze"), TermQuery("ge0")])
+    top = searcher.search(q, 5)
+    out = searcher.highlight_unified(top, q).collect()
+    assert len(out) == 5
+    assert any("<b>" in r["snippet"] for r in out)
