@@ -26,15 +26,28 @@ from .contract_pipeline import (  # noqa: F401 — re-exported for __spark_entry
 )
 from .functions.analysis import simple_analyzer
 from .functions.similarities import (
+    AfterEffectB,
+    AxiomaticF1EXPSimilarity,
     AxiomaticF2EXPSimilarity,
     AxiomaticF2LOGSimilarity,
-    DFIChiSquaredSimilarity,
-    IBLLSimilarity,
+    AxiomaticF3LOGSimilarity,
+    BasicModelG,
+    BasicModelIF,
     BooleanSimilarity,
     ClassicSimilarity,
+    DFIChiSquaredSimilarity,
+    DFISimilarity,
     DFRInL2Similarity,
+    DFRSimilarity,
+    DistributionSPL,
+    IBLLSimilarity,
+    IBSimilarity,
+    IndependenceSaturated,
+    LambdaTTF,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,
+    NormalizationH1,
+    NormalizationH2,
     SweetSpotSimilarity,
 )
 from .operators.indexer import IndexConfig, build_index
@@ -682,6 +695,20 @@ def ft_queries() -> dict:
     q["ft_ib_ll_topk"] = _sim_search_q(TermQuery(MID), IBLLSimilarity)
     q["ft_ax_f2exp_topk"] = _sim_search_q(TermQuery(HOT2), AxiomaticF2EXPSimilarity)
     q["ft_ax_f2log_topk"] = _sim_search_q(TermQuery(MID2), AxiomaticF2LOGSimilarity)
+    # composable SimilarityBase family — DFR(model, after-effect, norm),
+    # IB(distribution, lambda, norm), DFI(independence), Axiomatic F1/F3
+    q["ft_dfr_gb1_topk"] = _sim_search_q(
+        TermQuery(HOT), lambda: DFRSimilarity(BasicModelG(), AfterEffectB(), NormalizationH1())
+    )
+    q["ft_dfr_ifb2_topk"] = _sim_search_q(
+        TermQuery(MID2), lambda: DFRSimilarity(BasicModelIF(), AfterEffectB(), NormalizationH2())
+    )
+    q["ft_ib_spl_topk"] = _sim_search_q(
+        TermQuery(MID), lambda: IBSimilarity(DistributionSPL(), LambdaTTF(), NormalizationH2())
+    )
+    q["ft_dfi_sat_topk"] = _sim_search_q(TermQuery(HOT), lambda: DFISimilarity(IndependenceSaturated()))
+    q["ft_ax_f1exp_topk"] = _sim_search_q(TermQuery(MID), AxiomaticF1EXPSimilarity)
+    q["ft_ax_f3log_topk"] = _sim_search_q(TermQuery(HOT2), lambda: AxiomaticF3LOGSimilarity(0.25, 1))
 
     # CommonTermsQuery (queries/CommonTermsQuery.java): df-classified groups —
     # the ~78%-df terms land in the optional high-frequency group, RARE (5%)
@@ -2202,6 +2229,105 @@ def ft_oracle_sql() -> dict:
             f"{_R(f'greatest({ax_tfln} * {ax_f2log_idf}, 0.0)')} AS score "
             f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
             f"WHERE tf.term = '{MID2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # ---- composable SimilarityBase family
+    _TTFQ = "ttfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)"
+    # DFR G + AfterEffectB + NormalizationH1(c=1): λ = (ttf+1)/(N+ttf+1),
+    # A = log2(λ+1), B = log2((1+λ)/λ), ae = (ttf+2)/(df+1),
+    # tfn = tf·c·(avgdl/dl); score = f32((B − (B−A)/(1+tfn))·ae)
+    # (BasicModelG.java:36-50, AfterEffectB.java:32-36, NormalizationH1.java:56-58)
+    g_f = "(ttfq.ttf + 1.0)"
+    g_lam = f"({g_f} / ((SELECT n FROM st) + {g_f}))"
+    g_a = f"(ln({g_lam} + 1.0) / ln(2.0))"
+    g_b = f"(ln((1.0 + {g_lam}) / {g_lam}) / ln(2.0))"
+    g_ae = "((ttfq.ttf + 2.0) / (dfreq.df + 1))"
+    g_tfn = f"(tf.tf * 1.0 * ({dfr_avgdl} / dlq.dlq))"
+    o["ft_dfr_gb1_topk"] = _with(
+        [
+            _TTFQ,
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'({g_b} - ({g_b} - {g_a}) / (1.0 + {g_tfn})) * {g_ae}')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN ttfq USING (term) "
+            f"JOIN dlq ON tf.doc_id = dlq.doc_id WHERE tf.term = '{HOT}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # DFR I(F) + AfterEffectB + H2(c=1): A = log2(1 + (N+1)/(F+0.5)) with
+    # F = ttf, ae = (ttf+2)/(df+1), tfn = tf·log2(1+avgdl/dl);
+    # score = f32(A·ae·(1 − 1/(1+tfn))) (BasicModelIF.java:34-45)
+    if_a = "(ln(1.0 + ((SELECT n FROM st) + 1) / (ttfq.ttf + 0.5)) / ln(2.0))"
+    if_tfn = f"(tf.tf * (ln(1.0 + {dfr_avgdl} / dlq.dlq) / ln(2.0)))"
+    o["ft_dfr_ifb2_topk"] = _with(
+        [
+            _TTFQ,
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'{if_a} * {g_ae} * (1.0 - 1.0 / (1.0 + {if_tfn}))')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN ttfq USING (term) "
+            f"JOIN dlq ON tf.doc_id = dlq.doc_id WHERE tf.term = '{MID2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # IB SPL + LambdaTTF + H2(c=1): λ = f32((ttf+1)/(N+1)), q = 1−1/(tfn+1),
+    # score = f32(−ln((λ^q − λ)/(1 − λ))) (DistributionSPL.java:36-59,
+    # LambdaTTF.java:32-38; the ulp nudges never fire for 0 < λ < 1, q < 1)
+    spl_lam = _R("((ttfq.ttf + 1.0) / ((SELECT n FROM st) + 1.0))")
+    spl_q = f"(1.0 - 1.0 / ({if_tfn} + 1.0))"
+    o["ft_ib_spl_topk"] = _with(
+        [
+            _TTFQ,
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'-ln((pow({spl_lam}, {spl_q}) - {spl_lam}) / (1.0 - {spl_lam}))')} AS score "
+            f"FROM tf JOIN ttfq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # DFI Saturated: expected = ((ttf+1)·dl)/(sttf+1); 0 when tf <= expected
+    # else f32(log2((tf−e)/e + 1)) (DFISimilarity.java:55-65,
+    # IndependenceSaturated.java:35-36)
+    sat_exp = "(((ttfq.ttf + 1) * dlq.dlq) / ((SELECT sttf FROM st) + 1.0))"
+    sat_raw = f"(ln((tf.tf - {sat_exp}) / {sat_exp} + 1.0) / ln(2.0))"
+    o["ft_dfi_sat_topk"] = _with(
+        [
+            _TTFQ,
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'CASE WHEN tf.tf <= {sat_exp} THEN 0.0 ELSE {sat_raw} END')} AS score "
+            f"FROM tf JOIN ttfq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # Axiomatic F1EXP (s=0.25, k=f32(0.35)): t = 1+ln(1+ln(tf+1)),
+    # l = (avgdl+s)/(avgdl+dl·s), idf = pow((N+1)/df, k);
+    # score = f32(max(((t·l)·idf)·1, 0)) (AxiomaticF1EXP.java:60-90)
+    ax1_t = "(1.0 + ln(1.0 + ln(tf.tf + 1.0)))"
+    ax1_l = f"(({dfr_avgdl} + 0.25) / ({dfr_avgdl} + dlq.dlq * 0.25))"
+    o["ft_ax_f1exp_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'greatest(({ax1_t} * {ax1_l}) * {ax_f2exp_idf}, 0.0)')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # Axiomatic F3LOG (s=0.25, queryLen=1): gamma = ((dl−1)·s·1)/avgdl;
+    # score = f32(max(t·idf − gamma, 0)) (AxiomaticF3LOG.java:45-82)
+    ax3_gamma = f"((dlq.dlq - 1) * 0.25 * 1 / {dfr_avgdl})"
+    o["ft_ax_f3log_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, "
+            f"{_R(f'greatest({ax1_t} * {ax_f2log_idf} - {ax3_gamma}, 0.0)')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT2}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
     )

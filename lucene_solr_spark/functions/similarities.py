@@ -49,7 +49,32 @@ __all__ = [
     "IBLLSimilarity",
     "AxiomaticF2EXPSimilarity",
     "AxiomaticF2LOGSimilarity",
+    "AxiomaticF1EXPSimilarity",
+    "AxiomaticF1LOGSimilarity",
+    "AxiomaticF3EXPSimilarity",
+    "AxiomaticF3LOGSimilarity",
     "SweetSpotSimilarity",
+    "DFRSimilarity",
+    "BasicModelIn",
+    "BasicModelIF",
+    "BasicModelIne",
+    "BasicModelG",
+    "AfterEffectL",
+    "AfterEffectB",
+    "NormalizationH1",
+    "NormalizationH2",
+    "NormalizationH3",
+    "NormalizationZ",
+    "NoNormalization",
+    "IBSimilarity",
+    "DistributionLL",
+    "DistributionSPL",
+    "LambdaDF",
+    "LambdaTTF",
+    "DFISimilarity",
+    "IndependenceChiSquared",
+    "IndependenceSaturated",
+    "IndependenceStandardized",
 ]
 
 # Java SimilarityBase.log2 divides by a precomputed Math.log(2)
@@ -63,9 +88,15 @@ def _length_table() -> np.ndarray:
 
 
 class Similarity:
-    """Interface; see module docstring. ``name`` keys caches/logs."""
+    """Interface; see module docstring. ``name`` keys caches/logs.
+
+    ``n_params`` is the arity of the ``term_params`` tuple; the searcher
+    plumbs that many float64 slot columns through the Arrow kernel and calls
+    ``score(*slots, tfs, norms)``. Two slots suffice for the classic kernels;
+    the composable DFR/IB families below use more."""
 
     name = "base"
+    n_params = 2
 
     def term_params(self, boost, df, ttf, doc_count, sum_ttf):
         raise NotImplementedError
@@ -297,6 +328,434 @@ class AxiomaticF2LOGSimilarity(_AxiomaticF2):
     """F2LOG: ``idf = ln((N+1)/df)`` (``AxiomaticF2LOG.java:78``)."""
 
     name = "axiomatic_f2log"
+
+    def _idf(self, df, doc_count):
+        return np.log((doc_count + 1.0) / float(df))
+
+
+# --------------------------------------------------------------------------
+# Composable SimilarityBase framework: DFR(basic model, after-effect,
+# normalization), IB(distribution, lambda, normalization), DFI(independence),
+# Axiomatic F1/F3 — the full pluggable family of the reference
+# (``search/similarities/``). Every kernel is double precision with one
+# float32 cast at the end (``SimilarityBase.java:228``) and boost applied as
+# the reference does (multiplied into the model score, not folded into a
+# per-term product — exact for boost = 1, the contract configuration).
+# All kernels are monotone ↑tf / ↓dl, so block-max pruning stays sound.
+
+
+class Normalization:
+    """Second (length) normalization: tf -> tfn (``Normalization.java``).
+    ``term_param`` resolves the one per-term scalar H3 needs (0 elsewhere);
+    ``tfn`` is the vectorized kernel over (tf, dl) with the collection
+    ``avgdl`` threaded in."""
+
+    def term_param(self, ttf, sum_ttf) -> float:
+        return 0.0
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        raise NotImplementedError
+
+
+class NormalizationH1(Normalization):
+    """``tfn = tf · c · (avgdl/dl)`` (``NormalizationH1.java:56-58``, c=1)."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(np.float32(c))
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        return tf * self.c * (avgdl / dl)
+
+
+class NormalizationH2(Normalization):
+    """``tfn = tf · log2(1 + c·avgdl/dl)`` (``NormalizationH2.java:58-60``)."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(np.float32(c))
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        return tf * (np.log(1.0 + self.c * avgdl / dl) / _LOG_2)
+
+
+class NormalizationH3(Normalization):
+    """Dirichlet-prior normalization ``tfn = (tf + μ·r32)/(dl + μ)·μ`` with the
+    float32 collection ratio ``r32 = f32(f32(ttf+1f)/f32(sumttf+1f))``
+    (``NormalizationH3.java:48-50`` — the ``+1F`` literals make the inner
+    ratio single-precision); μ default 800 (``:33``)."""
+
+    def __init__(self, mu: float = 800.0):
+        self.mu = float(np.float32(mu))
+
+    def term_param(self, ttf, sum_ttf) -> float:
+        r32 = (np.float32(ttf) + np.float32(1.0)) / (np.float32(sum_ttf) + np.float32(1.0))
+        return float(np.float32(np.float32(self.mu) * r32))
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        return (tf + ntp) / (dl + self.mu) * self.mu
+
+
+class NormalizationZ(Normalization):
+    """Pareto-Zipf ``tfn = tf · pow(avgdl/dl, z)`` (``NormalizationZ.java:49-51``,
+    z default 0.30f ``:33``)."""
+
+    def __init__(self, z: float = 0.30):
+        self.z = float(np.float32(z))
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        return tf * np.power(avgdl / dl, self.z)
+
+
+class NoNormalization(Normalization):
+    """Identity tfn (``Normalization.java`` NoNormalization: tfn = tf)."""
+
+    def tfn(self, tf, dl, avgdl, ntp):
+        return tf
+
+
+class BasicModel:
+    """DFR information-content model (``BasicModel.java``): per-term
+    ``params(df, ttf, N, ae) -> (p1, p2, p3)`` on the driver and the
+    vectorized ``vec(tfn, p1, p2, p3)`` kernel, already combined with the
+    after-effect factor ``ae`` exactly as the reference's rewritten
+    ``score(stats, tfn, aeTimes1pTfn)``."""
+
+    def params(self, df, ttf, doc_count, ae):
+        raise NotImplementedError
+
+    def vec(self, tfn, p1, p2, p3):
+        raise NotImplementedError
+
+
+class _BasicModelA(BasicModel):
+    """Shared shape ``A · ae · (1 − 1/(1+tfn))`` for In/I(F)/I(ne)
+    (``BasicModelIn.java:32-43``, ``BasicModelIF.java:34-45``,
+    ``BasicModelIne.java:34-46``)."""
+
+    def _a(self, df, ttf, doc_count):
+        raise NotImplementedError
+
+    def params(self, df, ttf, doc_count, ae):
+        return (float(self._a(df, ttf, doc_count)), float(ae), 0.0)
+
+    def vec(self, tfn, p1, p2, p3):
+        return p1 * p2 * (1.0 - 1.0 / (1.0 + tfn))
+
+
+class BasicModelIn(_BasicModelA):
+    """``A = log2((N+1)/(df+0.5))`` (``BasicModelIn.java:35``)."""
+
+    def _a(self, df, ttf, doc_count):
+        return np.log((doc_count + 1) / (df + 0.5)) / _LOG_2
+
+
+class BasicModelIF(_BasicModelA):
+    """``A = log2(1 + (N+1)/(F+0.5))`` with F = ttf (``BasicModelIF.java:37``)."""
+
+    def _a(self, df, ttf, doc_count):
+        return np.log(1.0 + (doc_count + 1) / (ttf + 0.5)) / _LOG_2
+
+
+class BasicModelIne(_BasicModelA):
+    """``ne = N·(1 − ((N−1)/N)^F)``, ``A = log2((N+1)/(ne+0.5))``
+    (``BasicModelIne.java:34-39``)."""
+
+    def _a(self, df, ttf, doc_count):
+        n = float(doc_count)
+        ne = n * (1.0 - np.power((doc_count - 1) / n, float(ttf)))
+        return np.log((doc_count + 1) / (ne + 0.5)) / _LOG_2
+
+
+class BasicModelG(BasicModel):
+    """Geometric approximation (``BasicModelG.java:36-50``): λ = F/(N+F) with
+    F = ttf+1, A = log2(λ+1), B = log2((1+λ)/λ), score =
+    ``(B − (B−A)/(1+tfn)) · ae``."""
+
+    def params(self, df, ttf, doc_count, ae):
+        f = float(ttf + 1)
+        lam = f / (doc_count + f)
+        a = np.log(lam + 1.0) / _LOG_2
+        b = np.log((1.0 + lam) / lam) / _LOG_2
+        return (float(b), float(b - a), float(ae))
+
+    def vec(self, tfn, p1, p2, p3):
+        return (p1 - p2 / (1.0 + tfn)) * p3
+
+
+class AfterEffectL:
+    """First normalization L: aeTimes1pTfn = 1 (``AfterEffectL.java:32-34``)."""
+
+    def ae(self, df, ttf) -> float:
+        return 1.0
+
+
+class AfterEffectB:
+    """Bernoulli after-effect: ``aeTimes1pTfn = (F+1)/n`` with F = ttf+1,
+    n = df+1 (``AfterEffectB.java:32-36``)."""
+
+    def ae(self, df, ttf) -> float:
+        return ((ttf + 1) + 1.0) / (df + 1)
+
+
+class DFRSimilarity(Similarity):
+    """Composable DFR (``DFRSimilarity.java:98-114``): ``score =
+    boost · basicModel.score(stats, tfn, aeTimes1pTfn)`` with tfn from the
+    normalization, float32 cast at the end. Slots: (boost, p1, p2, p3, ntp).
+    The hardwired :class:`DFRInL2Similarity` fast path predates this and is
+    bit-identical to ``DFRSimilarity(BasicModelIn(), AfterEffectL(),
+    NormalizationH2(1))`` for boost = 1 (property-tested)."""
+
+    n_params = 5
+
+    def __init__(self, basic_model: BasicModel, after_effect, normalization: Normalization):
+        self.model = basic_model
+        self.norm = normalization
+        self.after = after_effect
+        self._length_table = _length_table()
+        self._avgdl = None
+        self.name = "dfr_{}_{}_{}".format(
+            type(basic_model).__name__, type(after_effect).__name__, type(normalization).__name__
+        ).lower()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._avgdl = float(sum_ttf) / float(doc_count)
+        ae = self.after.ae(df, ttf)
+        p1, p2, p3 = self.model.params(df, ttf, doc_count, ae)
+        return (float(boost), p1, p2, p3, self.norm.term_param(ttf, sum_ttf))
+
+    def score(self, w1, w2, w3, w4, w5, tfs, norms):
+        dl = self._length_table[norms]
+        tfn = self.norm.tfn(tfs.astype(np.float64), dl, self._avgdl, w5)
+        return (w1 * self.model.vec(tfn, w2, w3, w4)).astype(np.float32)
+
+
+class DistributionLL:
+    """Log-logistic: ``−ln(λ/(tfn+λ))`` (``DistributionLL.java:33-36``)."""
+
+    def vec(self, tfn, lam):
+        return -np.log(lam / (tfn + lam))
+
+
+class DistributionSPL:
+    """Smoothed power-law (``DistributionSPL.java:36-59``): ``q = 1−1/(tfn+1)``
+    (nextDown(1.0) if it rounds to 1), ``pow = λ^q`` nudged one ulp off λ when
+    rounding collapses them, ``−ln((pow−λ)/(1−λ))``."""
+
+    def vec(self, tfn, lam):
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+        p = np.power(lam, q)
+        collide = p == lam
+        if np.any(collide):
+            nudged = np.where(lam < 1.0, np.nextafter(lam, np.inf), np.nextafter(lam, -np.inf))
+            p = np.where(collide, nudged, p)
+        return -np.log((p - lam) / (1.0 - lam))
+
+
+class LambdaDF:
+    """``λ = f32((df+1)/(N+1))``, nextDown'd off 1 (``LambdaDF.java:32-39``)."""
+
+    def lam(self, df, ttf, doc_count) -> float:
+        lam = np.float32((df + 1.0) / (doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(0.0), dtype=np.float32)
+        return float(lam)
+
+
+class LambdaTTF:
+    """``λ = f32((ttf+1)/(N+1))``, nextUp'd off 1 (``LambdaTTF.java:32-38``)."""
+
+    def lam(self, df, ttf, doc_count) -> float:
+        lam = np.float32((ttf + 1.0) / (doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(2.0), dtype=np.float32)
+        return float(lam)
+
+
+class IBSimilarity(Similarity):
+    """Composable information-based similarity (``IBSimilarity.java:99-105``):
+    ``score = boost · distribution.score(stats, tfn, λ)``. Slots:
+    (boost, λ, ntp). :class:`IBLLSimilarity` is the pre-existing hardwired
+    IB(LL, DF, H2(1)) fast path, bit-identical for boost = 1."""
+
+    n_params = 3
+
+    def __init__(self, distribution, lambda_, normalization: Normalization):
+        self.dist = distribution
+        self.lambda_ = lambda_
+        self.norm = normalization
+        self._length_table = _length_table()
+        self._avgdl = None
+        self.name = "ib_{}_{}_{}".format(
+            type(distribution).__name__, type(lambda_).__name__, type(normalization).__name__
+        ).lower()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._avgdl = float(sum_ttf) / float(doc_count)
+        return (float(boost), self.lambda_.lam(df, ttf, doc_count), self.norm.term_param(ttf, sum_ttf))
+
+    def score(self, w1, w2, w3, tfs, norms):
+        dl = self._length_table[norms]
+        tfn = self.norm.tfn(tfs.astype(np.float64), dl, self._avgdl, w3)
+        return (w1 * self.dist.vec(tfn, w2)).astype(np.float32)
+
+
+class IndependenceChiSquared:
+    """``(f−e)²/e`` (``IndependenceChiSquared.java:36-38``)."""
+
+    def vec(self, freq, expected):
+        return (freq - expected) * (freq - expected) / expected
+
+
+class IndependenceSaturated:
+    """``(f−e)/e`` (``IndependenceSaturated.java:35-36``)."""
+
+    def vec(self, freq, expected):
+        return (freq - expected) / expected
+
+
+class IndependenceStandardized:
+    """``(f−e)/√e`` (``IndependenceStandardized.java:37-38``)."""
+
+    def vec(self, freq, expected):
+        return (freq - expected) / np.sqrt(expected)
+
+
+class DFISimilarity(Similarity):
+    """Composable divergence-from-independence (``DFISimilarity.java:55-65``):
+    ``expected = ((ttf+1)·dl)/(sumTotalTermFreq+1)`` — the reference's exact
+    left-associated order — 0 when ``f <= expected`` else ``boost ·
+    log2(measure+1)``. Slots: (boost, ttf+1); sumttf+1 is a collection
+    constant stashed at Weight time. The pre-existing
+    :class:`DFIChiSquaredSimilarity` keeps its historical (pc·dl) expected
+    grouping; this class matches the reference bit-for-bit."""
+
+    n_params = 2
+
+    def __init__(self, independence):
+        self.independence = independence
+        self._length_table = _length_table()
+        self._sttf1 = None
+        self.name = "dfi_{}".format(type(independence).__name__).lower()
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._sttf1 = float(sum_ttf) + 1.0
+        return (float(boost), float(ttf) + 1.0)
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        freq = tfs.astype(np.float64)
+        expected = w2 * dl / self._sttf1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = self.independence.vec(freq, expected)
+            s = w1 * (np.log(measure + 1.0) / _LOG_2)
+        return np.where(freq <= expected, 0.0, s).astype(np.float32)
+
+
+class _AxiomaticF1(Similarity):
+    """Axiomatic F1 family (``AxiomaticF1EXP.java:60-90``,
+    ``AxiomaticF1LOG.java:50-80``): ``tf = 1 + ln(1 + ln(freq+1))``,
+    ``ln = (avgdl+s)/(avgdl + dl·s)``, tfln = 1, gamma = 0 →
+    ``score = f32(max(0, ((tf·ln)·idf)·boost))`` (``Axiomatic.java:103-112``).
+    Slots: (idf, boost); avgdl stashed at Weight time."""
+
+    def __init__(self, s: float = 0.25):
+        if not (0.0 <= s <= 1.0):
+            raise ValueError("s must be within [0, 1]")
+        self.s = float(np.float32(s))
+        self._length_table = _length_table()
+        self._avgdl = None
+
+    def _idf(self, df, doc_count):
+        raise NotImplementedError
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._avgdl = float(sum_ttf) / float(doc_count)
+        return (float(self._idf(df, doc_count)), float(boost))
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        t = 1.0 + np.log(1.0 + np.log(tfs.astype(np.float64) + 1.0))
+        ln = (self._avgdl + self.s) / (self._avgdl + dl * self.s)
+        return np.maximum(((t * ln) * w1) * w2, 0.0).astype(np.float32)
+
+
+class AxiomaticF1EXPSimilarity(_AxiomaticF1):
+    """F1EXP: ``idf = pow((N+1)/df, k)`` (``AxiomaticF1EXP.java:86-88``)."""
+
+    name = "axiomatic_f1exp"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        super().__init__(s)
+        if not (0.0 <= k <= 1.0):
+            raise ValueError("k must be within [0, 1]")
+        self.k = float(np.float32(k))
+
+    def _idf(self, df, doc_count):
+        return np.power((doc_count + 1.0) / float(df), self.k)
+
+
+class AxiomaticF1LOGSimilarity(_AxiomaticF1):
+    """F1LOG: ``idf = ln((N+1)/df)`` (``AxiomaticF1LOG.java:77-79``)."""
+
+    name = "axiomatic_f1log"
+
+    def _idf(self, df, doc_count):
+        return np.log((doc_count + 1.0) / float(df))
+
+
+class _AxiomaticF3(Similarity):
+    """Axiomatic F3 family (``AxiomaticF3EXP.java:58-95``,
+    ``AxiomaticF3LOG.java:45-82``): ``tf = 1 + ln(1 + ln(freq+1))``,
+    ln = tfln = 1, ``gamma = (((dl−queryLen)·s)·queryLen)/avgdl`` →
+    ``score = f32(max(0, (t·idf − gamma)·boost))``. F3 requires an explicit
+    queryLen (the reference offers no default constructor)."""
+
+    def __init__(self, s: float, query_len: int):
+        if not (0.0 <= s <= 1.0):
+            raise ValueError("s must be within [0, 1]")
+        if query_len < 0:
+            raise ValueError("illegal query length")
+        self.s = float(np.float32(s))
+        self.query_len = int(query_len)
+        self._length_table = _length_table()
+        self._avgdl = None
+
+    def _idf(self, df, doc_count):
+        raise NotImplementedError
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        self._avgdl = float(sum_ttf) / float(doc_count)
+        return (float(self._idf(df, doc_count)), float(boost))
+
+    def score(self, w1, w2, tfs, norms):
+        dl = self._length_table[norms]
+        t = 1.0 + np.log(1.0 + np.log(tfs.astype(np.float64) + 1.0))
+        gamma = (dl - self.query_len) * self.s * self.query_len / self._avgdl
+        return np.maximum((t * w1 - gamma) * w2, 0.0).astype(np.float32)
+
+
+class AxiomaticF3EXPSimilarity(_AxiomaticF3):
+    """F3EXP: ``idf = pow((N+1)/df, k)`` (``AxiomaticF3EXP.java:84-86``)."""
+
+    name = "axiomatic_f3exp"
+
+    def __init__(self, s: float = 0.25, query_len: int = 1, k: float = 0.35):
+        super().__init__(s, query_len)
+        if not (0.0 <= k <= 1.0):
+            raise ValueError("k must be within [0, 1]")
+        self.k = float(np.float32(k))
+
+    def _idf(self, df, doc_count):
+        return np.power((doc_count + 1.0) / float(df), self.k)
+
+
+class AxiomaticF3LOGSimilarity(_AxiomaticF3):
+    """F3LOG: ``idf = ln((N+1)/df)`` (``AxiomaticF3LOG.java:73-75``)."""
+
+    name = "axiomatic_f3log"
+
+    def __init__(self, s: float = 0.25, query_len: int = 1):
+        super().__init__(s, query_len)
 
     def _idf(self, df, doc_count):
         return np.log((doc_count + 1.0) / float(df))

@@ -154,17 +154,21 @@ def _make_unpack_score_sim(params: dict, sim, codec: str = "varint"):
                 list(pdf["norms"]),
                 codec=codec,
             )
-            w1b = pdf["term"].map({t: p[0] for t, p in params.items()}).to_numpy(dtype=np.float64)
-            w2b = pdf["term"].map({t: p[1] for t, p in params.items()}).to_numpy(dtype=np.float64)
-            w1 = np.repeat(w1b, counts)
-            w2 = np.repeat(w2b, counts)
+            nslots = getattr(sim, "n_params", 2)
+            ws = [
+                np.repeat(
+                    pdf["term"].map({t: p[i] for t, p in params.items()}).to_numpy(dtype=np.float64),
+                    counts,
+                )
+                for i in range(nslots)
+            ]
             yield pd.DataFrame(
                 {
                     "term": np.repeat(pdf["term"].to_numpy(dtype=object), counts),
                     "doc_id": doc_ids,
                     "tf": tfs.astype(np.int32),
                     "norm": norms.astype(np.int32),
-                    "score": sim.score(w1, w2, tfs, norms),
+                    "score": sim.score(*ws, tfs, norms),
                 }
             )
         from lucene_solr_spark.memutil import trim_task_memory
@@ -320,7 +324,7 @@ class IndexSearcher:
         # blended stats: df = max over terms, ttf summed per entry
         blended_df = max(stats[t][0] for t in mult)
         sim = self.similarity
-        dummy = {t: ((1.0, 1.0) if sim is not None else 1.0) for t in mult}
+        dummy = {t: ((1.0,) * getattr(sim, "n_params", 2) if sim is not None else 1.0) for t in mult}
         scored = self._scored_postings(dummy)
         if any(m > 1 for m in mult.values()):
             mfac = F.lit(1)
@@ -343,16 +347,15 @@ class IndexSearcher:
 
         else:
             blended_ttf = sum(stats[t][1] * m for t, m in mult.items())
-            w1s, w2s = sim.term_params(
+            wps = sim.term_params(
                 boost * q.boost, blended_df, blended_ttf, self.index.doc_count, self.index.sum_ttf
             )
 
             @F.pandas_udf(T.FloatType())
             def syn_score(tf: pd.Series, norm: pd.Series) -> pd.Series:
                 tfs = tf.to_numpy(dtype=np.int64)
-                return pd.Series(
-                    sim.score(np.full(tfs.shape, w1s), np.full(tfs.shape, w2s), tfs, norm.to_numpy(dtype=np.int64))
-                )
+                ws = [np.full(tfs.shape, w) for w in wps]
+                return pd.Series(sim.score(*ws, tfs, norm.to_numpy(dtype=np.int64)))
 
         return raw.select("doc_id", syn_score("tf", "norm").alias("score"))
 
@@ -1390,9 +1393,11 @@ class IndexSearcher:
             if sim is None:
                 w = pd.Series(terms_arr).map(weights).to_numpy(dtype=np.float32)
                 return (w * bm25.score_tf_norm(tfs, norms, np.float32(1.0), cache)).astype(np.float32)
-            w1 = pd.Series(terms_arr).map({t: p[0] for t, p in weights.items()}).to_numpy(dtype=np.float64)
-            w2 = pd.Series(terms_arr).map({t: p[1] for t, p in weights.items()}).to_numpy(dtype=np.float64)
-            return sim.score(w1, w2, tfs, norms)
+            ws = [
+                pd.Series(terms_arr).map({t: p[i] for t, p in weights.items()}).to_numpy(dtype=np.float64)
+                for i in range(getattr(sim, "n_params", 2))
+            ]
+            return sim.score(*ws, tfs, norms)
 
         @F.pandas_udf(T.FloatType())
         def ub_udf(term: pd.Series, max_tf: pd.Series, min_norm: pd.Series) -> pd.Series:
