@@ -799,6 +799,26 @@ def agg_queries() -> dict:
 
     q["graph_score_nodes"] = graph_score_nodes
 
+    def graph_traversal(spark, sf_dir):
+        """Solr GraphQuery / {!graph} (``reference solr/core/src/java/org/
+        apache/solr/search/join/GraphQuery.java:56-260``): traverse from
+        customer C7's edge docs through order → part → supplier to fixpoint
+        (maxDepth=-1) over a doc set whose supplier docs carry no out-edge,
+        returning onlyLeafNodes — the reachable suppliers."""
+        from .operators.graph import graph_query
+
+        supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        docs = _tpch_edges(spark, sf_dir).unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.lit(None).cast("string").alias("dst"),
+            )
+        )
+        out = graph_query(docs, F.col("src") == "C7", "src", "dst", max_depth=-1, only_leaf_nodes=True)
+        return out.select(F.col("src").alias("node")).orderBy("node")
+
+    q["graph_traversal"] = graph_traversal
+
     return q
 
 
@@ -944,5 +964,20 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank,
        node, CAST(cnt AS BIGINT) AS cnt, CAST(doc_freq AS BIGINT) AS doc_freq
 FROM scored ORDER BY rank
+"""
+    # GraphQuery fixpoint: value-level reachability is exactly the recursive
+    # CTE closure; leaf docs = NULL out-edge (supplier rows)
+    o["graph_traversal"] = f"""
+WITH RECURSIVE {_edges},
+docs AS (SELECT src, dst FROM edges
+         UNION SELECT 'S' || s_suppkey AS src, NULL AS dst FROM supplier),
+reach(val) AS (
+  SELECT DISTINCT dst FROM docs WHERE src = 'C7' AND dst IS NOT NULL
+  UNION
+  SELECT d.dst FROM docs d JOIN reach r ON d.src = r.val WHERE d.dst IS NOT NULL
+)
+SELECT src AS node FROM docs
+WHERE (src = 'C7' OR src IN (SELECT val FROM reach)) AND dst IS NULL
+ORDER BY node
 """
     return o

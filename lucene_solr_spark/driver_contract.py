@@ -722,6 +722,15 @@ def ft_queries() -> dict:
         CoveringQuery((TermQuery(HOT), TermQuery(HOT2), TermQuery(MID)), "n_chars % 2 + 1")
     )
 
+    def ft_high_freq_terms(spark, sf_dir):
+        """HighFreqTerms (``reference lucene/misc/.../HighFreqTerms.java``):
+        top-20 dictionary terms by totalTermFreq (the -t comparator),
+        (freq desc, term desc) reference tie order."""
+        s = doc_searcher(spark, sf_dir)
+        return s.high_freq_terms(20, order="ttf")
+
+    q["ft_high_freq_terms"] = ft_high_freq_terms
+
     def ft_terms_enum(spark, sf_dir):
         """TermsComponent: dictionary enumeration, count order, mincount."""
         s = doc_searcher(spark, sf_dir)
@@ -2317,6 +2326,15 @@ def ft_oracle_sql() -> dict:
             f"WHERE tf.term = '{MID}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # HighFreqTerms -t: top-20 by totalTermFreq, (ttf desc, term desc)
+    o["ft_high_freq_terms"] = _with(
+        [
+            "hft AS (SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)"
+        ],
+        "SELECT term, df, ttf FROM hft ORDER BY ttf DESC, term DESC LIMIT 20",
     )
 
     # Axiomatic F3LOG (s=0.25, queryLen=1): gamma = ((dl−1)·s·1)/avgdl;

@@ -185,3 +185,79 @@ def shortest_path(
             F.concat(F.array(F.col("_p")), F.col("path")).alias("path")
         )
     return paths.select("path", F.lit(len(parent_levels)).cast("int").alias("depth"))
+
+
+def graph_query(
+    docs: DataFrame,
+    root_filter,
+    from_col: str,
+    to_col: str,
+    max_depth: int = -1,
+    only_leaf_nodes: bool = False,
+    return_root: bool = True,
+    traversal_filter=None,
+) -> DataFrame:
+    """Solr GraphQuery / ``{!graph}`` analog (``reference solr/core/src/java/
+    org/apache/solr/search/join/GraphQuery.java:56-260``): start from the
+    documents matching ``root_filter`` (depth 1), collect their ``to_col``
+    edge values, match the documents whose ``from_col`` carries one of them
+    (optionally AND ``traversal_filter``, GraphQuery.java:105-109), and repeat
+    to fixpoint or ``max_depth`` levels (-1 = unbounded, :369).  Flags follow
+    the reference: ``only_leaf_nodes`` keeps only documents with no edge value
+    (NULL ``to_col``, the DocValuesFieldExistsQuery complement, :247-251);
+    ``return_root=False`` drops the depth-1 documents.
+
+    Spark-first shape: one BFS level = one semi-join of the corpus against the
+    (small, distinct) frontier-value set; the reference's per-segment
+    ``resultBits``/``GraphTermsCollector`` cycle guard becomes a value-level
+    anti-join against the already-probed frontier values — equivalent because
+    frontier matching is by ``from_col`` value, so re-probing a value can
+    never add new documents.  Each level localCheckpoints the (tiny) value
+    frontier; document rows are only unioned lazily and deduplicated once at
+    the end, so the corpus is scanned once per level with the frontier
+    broadcast — no full-corpus shuffle at any level.
+    """
+    spark = docs.sparkSession
+    roots = docs.where(root_filter)
+    matched = [roots]
+
+    # values probed at any earlier level (the resultBits analog)
+    visited = spark.createDataFrame([], "val string")
+    frontier = (
+        roots.where(F.col(to_col).isNotNull())
+        .select(F.col(to_col).cast("string").alias("val"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    depth = 1
+    while (max_depth == -1 or depth < max_depth) and frontier.limit(1).count() > 0:
+        hop = docs.join(
+            F.broadcast(frontier.select(F.col("val").alias("_f"))),
+            F.col(from_col).cast("string") == F.col("_f"),
+            "left_semi",
+        )
+        if traversal_filter is not None:
+            hop = hop.where(traversal_filter)
+        matched.append(hop)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        frontier = (
+            hop.where(F.col(to_col).isNotNull())
+            .select(F.col(to_col).cast("string").alias("val"))
+            .distinct()
+            .join(visited.select(F.col("val").alias("_v")), F.col("val") == F.col("_v"), "left_anti")
+            .select("val")
+            .localCheckpoint(eager=True)
+        )
+        depth += 1
+
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.unionByName(m)
+    out = out.distinct()
+    if not return_root:
+        # the reference clears the root docs from the final bitset even when a
+        # hop re-matched them (GraphQuery returnRoot=false)
+        out = out.subtract(roots)
+    if only_leaf_nodes:
+        out = out.where(F.col(to_col).isNull())
+    return out

@@ -2551,6 +2551,21 @@ class IndexSearcher:
         )
         return t.orderBy(*order).limit(limit).select("term", F.col("df").cast("long"))
 
+    def high_freq_terms(self, num_terms: int = 100, order: str = "df") -> DataFrame:
+        """HighFreqTerms analog (``reference lucene/misc/src/java/org/apache/
+        lucene/misc/HighFreqTerms.java:138-168``): the top ``num_terms``
+        dictionary terms by docFreq (default) or totalTermFreq (``-t``),
+        highest first with the reference comparator's (freq, term) ascending
+        tie order reversed — i.e. (freq desc, term desc).  One pruned scan of
+        the terms stats table + TakeOrderedAndProject; the priority queue over
+        a full TermsEnum walk becomes a distributed top-k."""
+        key = "ttf" if order == "ttf" else "df"
+        return (
+            self.index.terms.orderBy(F.desc(key), F.desc("term"))
+            .limit(int(num_terms))
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        )
+
     def elevate(self, query: Query, elevated_ids: list, k: int = 10, exclude_ids: list = ()) -> DataFrame:
         """QueryElevationComponent (``reference solr/core/src/java/org/apache/
         solr/handler/component/QueryElevationComponent.java``): pin the

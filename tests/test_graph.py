@@ -133,3 +133,98 @@ def test_score_nodes_tfidf_float32(spark):
         )
         assert got[node]["nodeScore"] == float(e), node
         assert got[node]["docFreq"] == exp_df[node] and got[node]["numDocs"] == n_docs
+
+
+# ---------------------------------------------------------------- GraphQuery
+def brute_graph_query(docs, root_pred, max_depth=-1, only_leaf=False,
+                      return_root=True, hop_pred=None):
+    """Reference semantics of GraphQuery.java: doc-set BFS with a resultBits
+    cycle guard; docs are (frm, to) rows, to=None marks a leaf."""
+    result = {i for i, d in enumerate(docs) if root_pred(d)}
+    roots = set(result)
+    frontier = set(result)
+    depth = 1
+    while frontier and (max_depth == -1 or depth < max_depth):
+        edge_vals = {docs[i][1] for i in frontier if docs[i][1] is not None}
+        new = {
+            i
+            for i, d in enumerate(docs)
+            if d[0] in edge_vals and i not in result and (hop_pred is None or hop_pred(d))
+        }
+        result |= new
+        frontier = new
+        depth += 1
+    if not return_root:
+        result -= roots
+    if only_leaf:
+        result = {i for i in result if docs[i][1] is None}
+    return sorted(docs[i] for i in result)
+
+
+GQ_DOCS = [
+    ("r1", "x"), ("r2", "y"),          # roots (frm starts with r)
+    ("x", "y"), ("x", "z"), ("y", "r1"),  # cycle back into a root value
+    ("z", None), ("w", "z"),           # leaf doc; unreachable doc
+    ("y", "w2"), ("w2", None),         # second leaf branch
+]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(max_depth=2),
+        dict(only_leaf_nodes=True),
+        dict(return_root=False),
+        dict(max_depth=3, return_root=False, only_leaf_nodes=True),
+    ],
+    ids=lambda kw: ",".join(f"{k}={v}" for k, v in kw.items()) or "fixpoint",
+)
+def test_graph_query_flags(spark, kw):
+    from lucene_solr_spark.operators.graph import graph_query
+
+    docs = spark.createDataFrame(GQ_DOCS, "frm string, t string")
+    got = graph_query(docs, F.col("frm").startswith("r"), "frm", "t", **kw)
+    want = brute_graph_query(
+        GQ_DOCS,
+        lambda d: d[0].startswith("r"),
+        max_depth=kw.get("max_depth", -1),
+        only_leaf=kw.get("only_leaf_nodes", False),
+        return_root=kw.get("return_root", True),
+    )
+    assert sorted((r["frm"], r["t"]) for r in got.collect()) == want
+
+
+def test_graph_query_traversal_filter(spark):
+    """traversalFilter applies to hop matches only, never the roots."""
+    from lucene_solr_spark.operators.graph import graph_query
+
+    docs = spark.createDataFrame(GQ_DOCS, "frm string, t string")
+    got = graph_query(
+        docs,
+        F.col("frm").startswith("r"),
+        "frm",
+        "t",
+        traversal_filter=F.col("frm") != "y",
+    )
+    want = brute_graph_query(
+        GQ_DOCS, lambda d: d[0].startswith("r"), hop_pred=lambda d: d[0] != "y"
+    )
+    assert sorted((r["frm"], r["t"]) for r in got.collect()) == want
+
+
+def test_high_freq_terms_order(searcher, oracle):
+    """HighFreqTerms: df and ttf comparators, (freq desc, term desc)."""
+    import pandas as pd
+
+    got_df = searcher.high_freq_terms(15, order="df").toPandas()
+    got_ttf = searcher.high_freq_terms(15, order="ttf").toPandas()
+    stats = {t: (len(pl), sum(pl.values())) for t, pl in oracle.postings.items()}
+    by_df = sorted(stats.items(), key=lambda kv: (-kv[1][0], [-ord(c) for c in kv[0]]))[:15]
+    by_ttf = sorted(stats.items(), key=lambda kv: (-kv[1][1], [-ord(c) for c in kv[0]]))[:15]
+    assert [(r.term, r.df, r.ttf) for r in got_df.itertuples()] == [
+        (t, d, f) for t, (d, f) in by_df
+    ]
+    assert [(r.term, r.df, r.ttf) for r in got_ttf.itertuples()] == [
+        (t, d, f) for t, (d, f) in by_ttf
+    ]
