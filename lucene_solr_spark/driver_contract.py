@@ -205,6 +205,25 @@ def ft_queries() -> dict:
 
     q["ft_term_topk"] = _search_q(TermQuery(HOT))
     q["ft_term_rare_topk"] = _search_q(TermQuery(RARE))
+
+    def ft_bloom_topk(spark, sf_dir):
+        """BloomFilteringPostingsFormat analog (``reference lucene/codecs/...
+        /bloom/BloomFilteringPostingsFormat.java``): the same rare-term BM25
+        top-k evaluated through per-run FuzzySet pruning — bloom NO is
+        definitive, so results are bit-identical to the unpruned scan."""
+        from .operators.bloom import build_term_blooms
+
+        s = doc_searcher(spark, sf_dir)
+        key = ("blooms", sf_dir)
+        if key not in _INDEX_CACHE:
+            b = build_term_blooms(s.index).persist()
+            b.count()
+            _INDEX_CACHE[key] = b
+        top = s.set_term_blooms(_INDEX_CACHE[key]).search(TermQuery(MID2), 10)
+        s.set_term_blooms(None)
+        return _ranked(top.df)
+
+    q["ft_bloom_topk"] = ft_bloom_topk
     q["ft_bool_and"] = _search_q(BooleanQuery.build(must=[TermQuery(HOT), TermQuery(HOT2)]))
     q["ft_bool_or"] = _search_q(BooleanQuery.build(should=[TermQuery(MID), TermQuery(RARE)]))
     q["ft_minshouldmatch"] = _search_q(
@@ -1365,6 +1384,8 @@ def ft_oracle_sql() -> dict:
 
     o["ft_term_topk"] = _with([_term_cte("sc", HOT)], _topk_sql("SELECT doc_id, score FROM sc"))
     o["ft_term_rare_topk"] = _with([_term_cte("sc", RARE)], _topk_sql("SELECT doc_id, score FROM sc"))
+    # bloom-pruned scan is result-identical to the plain term scan
+    o["ft_bloom_topk"] = _with([_term_cte("sc", MID2)], _topk_sql("SELECT doc_id, score FROM sc"))
 
     # MUST+MUST: double-sum of the two float32 clause scores, cast back to f32
     and_sum = _R(_D("a.score") + " + " + _D("b.score"))

@@ -231,8 +231,36 @@ class IndexSearcher:
         # the historical cache-on-first-use behavior.
         self._filter_cache_min_uses = max(1, int(filter_cache_min_uses))
         self._filter_use_counts: dict = {}
+        # BloomFilteringPostingsFormat analog (operators/bloom.py): per-run
+        # term FuzzySets; when set, every postings scan adds a run_id
+        # predicate that skips runs whose bloom rejects all query terms
+        self._term_blooms: Optional[DataFrame] = None
         # TermStates cache: term -> (df, ttf) or None if absent from the index
         self._stats_cache: dict = {}
+
+    def set_term_blooms(self, blooms: Optional[DataFrame]) -> "IndexSearcher":
+        """Attach a per-run bloom table from
+        :func:`lucene_solr_spark.operators.bloom.build_term_blooms` (the
+        BloomFilteringPostingsFormat ``seekExact`` fast-reject). Results are
+        identical with or without (bloom NO is definitive); pass None to
+        detach. Returns self for chaining."""
+        self._term_blooms = blooms
+        return self
+
+    def _postings_for(self, terms: list) -> DataFrame:
+        """Postings blocks for the given terms, bloom-pruned by run when a
+        bloom table is attached: one tiny job over the (runs-sized) bloom
+        table resolves the surviving run_ids, then the scan predicate becomes
+        ``term IN (...) AND run_id IN (...)`` — row groups of runs that
+        provably lack every term are never read."""
+        blocks = self.index.postings.filter(F.col("term").isin(list(terms)))
+        if self._term_blooms is not None:
+            from .bloom import prune_run_ids
+
+            passing = prune_run_ids(self._term_blooms, list(terms))
+            if passing is not None:
+                blocks = blocks.filter(F.col("run_id").isin(passing))
+        return blocks
 
     def cached_filter(self, query: Query) -> DataFrame:
         """Doc-id set of `query`, persisted and LRU-cached across searches
@@ -291,7 +319,7 @@ class IndexSearcher:
         """(term, doc_id, tf, norm, score) for all terms in `weights`."""
         if not weights:
             return self.spark.createDataFrame([], _SCORED_SCHEMA)
-        blocks = self.index.postings.filter(F.col("term").isin(list(weights)))
+        blocks = self._postings_for(list(weights))
         if self.similarity is not None:
             return blocks.mapInPandas(
                 _make_unpack_score_sim(weights, self.similarity, self.index.config.codec),
@@ -483,7 +511,7 @@ class IndexSearcher:
         — shared by phrase and span evaluation. No per-row Python."""
         from ..functions.codec import unpack_blocks, unpack_positions
 
-        blocks = self.index.postings.filter(F.col("term").isin(list(uniq_terms)))
+        blocks = self._postings_for(list(uniq_terms))
         codec = self.index.config.codec
 
         def occurrences(iterator):
@@ -1382,7 +1410,7 @@ class IndexSearcher:
         cache = self._scorer().cache() if sim is None else None
         weights = {t: self._leaf_w(b, t, stats) for t, b in present.items()}
 
-        blocks = self.index.postings.filter(F.col("term").isin(list(present)))
+        blocks = self._postings_for(list(present))
 
         def _score_terms(terms_arr, tfs, norms):
             # shared by the UB pass and the θ sample pass; every similarity
