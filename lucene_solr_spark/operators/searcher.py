@@ -2906,6 +2906,40 @@ class IndexSearcher:
             .select("term", F.col("df").cast("long"))
         )
 
+    def double_metaphone_terms(self, word: str, n: int = 10, max_code_len: int = 4) -> DataFrame:
+        """DoubleMetaphoneFilter analog (``reference lucene/analysis/phonetic/
+        .../DoubleMetaphoneFilter.java``, commons-codec DoubleMetaphone
+        encoder): dictionary terms whose primary OR alternate code matches
+        either code of the query word, most frequent first — one narrow
+        vectorized scan of the terms table, never of postings."""
+        from ..functions.metaphone import dm_batch, double_metaphone
+
+        targets = {
+            c
+            for c in (
+                double_metaphone(word, max_code_len),
+                double_metaphone(word, max_code_len, alternate=True),
+            )
+            if c
+        }
+        if not targets:
+            return self.spark.createDataFrame([], "term string, df bigint")
+
+        @F.pandas_udf("boolean")
+        def match_udf(t: pd.Series) -> pd.Series:
+            from ..functions.metaphone import double_metaphone as dm
+
+            prim = dm_batch(t, max_code_len)
+            alt = [dm(x, max_code_len, alternate=True) or "" for x in t]
+            return pd.Series([p in targets or a in targets for p, a in zip(prim, alt)])
+
+        return (
+            self.index.terms.filter(match_udf(F.col("term")))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", F.col("df").cast("long"))
+        )
+
     def term_vectors(self, doc_ids: list) -> DataFrame:
         """Term vectors for k documents (``reference lucene/core/src/java/org/
         apache/lucene/codecs/lucene50/Lucene50TermVectorsFormat.java``; Solr
