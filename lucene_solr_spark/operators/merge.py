@@ -494,3 +494,145 @@ def force_merge(index: InvertedIndex, max_runs: int = 1, policy: Optional[Tiered
         ]
         next_id += 1
     return replace(index, postings=postings)
+
+
+# ----------------------------------------------------------- index splitting
+def _make_split_blocks(lo: int, hi: Optional[int], codec: str):
+    """mapInPandas fn for boundary-straddling block rows: decode each block
+    INDEPENDENTLY (no shuffle — block rows are self-contained), keep the
+    postings whose doc_id falls in [lo, hi), and re-pack the slice as one
+    block carrying the ORIGINAL block_id.  Original block_ids are assigned in
+    doc order at pack time, so the part's pass-through blocks and rewritten
+    pieces interleave correctly under the CheckIndex (term, run, block_id)
+    doc-order invariant, and each source block contributes at most one piece
+    per part — ids stay unique."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["count"].to_numpy(dtype=np.int64)
+            doc_ids, tfs, norms, _ = unpack_blocks(
+                pdf["doc_id_base"].to_numpy(dtype=np.int64),
+                counts,
+                list(pdf["doc_ids"]),
+                list(pdf["tfs"]),
+                list(pdf["norms"]),
+                codec=codec,
+            )
+            starts = np.cumsum(counts) - counts
+            keep = doc_ids >= lo
+            if hi is not None:
+                keep &= doc_ids < hi
+            has_pos = pdf["positions"].notna().all()
+            has_pay = pdf["payloads"].notna().all()
+            pos_flat = unpack_positions(tfs, list(pdf["positions"])) if has_pos else None
+            pay_flat = unpack_payloads(list(pdf["payloads"])) if has_pay else None
+            occ_starts = np.cumsum(tfs) - tfs
+            rows = []
+            for bi in range(len(pdf)):
+                s, e = starts[bi], starts[bi] + counts[bi]
+                m = keep[s:e]
+                if not m.any():
+                    continue
+                d, t_, nr = doc_ids[s:e][m], tfs[s:e][m], norms[s:e][m]
+                pos_slice = pay_slice = None
+                if pos_flat is not None or pay_flat is not None:
+                    occ_mask = np.repeat(m, tfs[s:e])
+                    o_s = occ_starts[s]
+                    o_e = occ_starts[e - 1] + tfs[e - 1]
+                    if pos_flat is not None:
+                        pos_slice = pos_flat[o_s:o_e][occ_mask]
+                    if pay_flat is not None:
+                        pay_slice = pay_flat[o_s:o_e][occ_mask]
+                packed = pack_postings_blocks(
+                    np.zeros(d.size, dtype=np.int64),
+                    d,
+                    t_,
+                    nr,
+                    block_size=int(d.size),  # one piece per source block
+                    positions=pos_slice,
+                    codec=codec,
+                    payloads=pay_slice,
+                )
+                rows.append(
+                    {
+                        "term": pdf["term"].iloc[bi],
+                        "run_id": np.int64(pdf["run_id"].iloc[bi]),
+                        "block_id": np.int32(pdf["block_id"].iloc[bi]),
+                        "doc_id_base": packed["doc_id_base"][0],
+                        "doc_id_max": packed["doc_id_max"][0],
+                        "count": packed["count"][0],
+                        "doc_ids": packed["doc_bytes"][0],
+                        "tfs": packed["tf_bytes"][0],
+                        "norms": packed["norm_bytes"][0],
+                        "max_tf": packed["max_tf"][0],
+                        "min_norm": packed["min_norm"][0],
+                        "sum_tf": packed["sum_tf"][0],
+                        "positions": packed["pos_bytes"][0] if pos_flat is not None else None,
+                        "payloads": packed["pay_bytes"][0] if pay_flat is not None else None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return fn
+
+
+def split_index(index: InvertedIndex, boundaries: list[int]) -> list[InvertedIndex]:
+    """Split one index into contiguous doc_id-range parts — the
+    MultiPassIndexSplitter / PKIndexSplitter analog (``reference lucene/misc/
+    src/java/org/apache/lucene/index/MultiPassIndexSplitter.java``,
+    ``PKIndexSplitter.java``: the PK filter over our ingestion-ordered global
+    doc_ids IS a doc-range predicate).  ``boundaries = [b1 < b2 < ...]``
+    yields parts [0,b1), [b1,b2), …, [bk,∞) — the re-sharding primitive for
+    moving an index from N to 4N executors.
+
+    Scale shape: a block fully inside a part passes through BYTE-IDENTICAL
+    (pure Catalyst filter, its payload never decoded); only blocks straddling
+    a boundary — at most (runs x terms x boundaries) rows, manifest-scale —
+    are decoded and re-packed, in a shuffle-free mapInPandas.  Per-part term
+    stats are re-aggregated from block summaries (count/sum_tf), never from
+    decoded postings."""
+    bs = sorted(int(b) for b in boundaries)
+    if not bs or bs != sorted(set(bs)):
+        raise ValueError("boundaries must be a non-empty strictly-increasing list")
+    ranges = [(0, bs[0])] + [(bs[i], bs[i + 1]) for i in range(len(bs) - 1)] + [(bs[-1], None)]
+    p = index.postings
+    out = []
+    for lo, hi in ranges:
+        inside = (F.col("doc_id_base") >= lo) & (
+            F.lit(True) if hi is None else (F.col("doc_id_max") < hi)
+        )
+        overlaps = (F.col("doc_id_max") >= lo) & (
+            F.lit(True) if hi is None else (F.col("doc_id_base") < hi)
+        )
+        pass_through = p.filter(inside)
+        straddle = p.filter(overlaps & ~inside).mapInPandas(
+            _make_split_blocks(lo, hi, index.config.codec), schema=p.schema
+        )
+        postings_i = pass_through.unionByName(straddle)
+        docs_i = index.docs.filter(
+            (F.col("doc_id") >= lo) & (F.lit(True) if hi is None else (F.col("doc_id") < hi))
+        )
+        terms_i = postings_i.groupBy("term").agg(
+            F.sum("count").cast("bigint").alias("df"), F.sum("sum_tf").cast("bigint").alias("ttf")
+        )
+        stats = docs_i.agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).collect()[0]
+        deletes_i = None
+        if index.deletes is not None:
+            deletes_i = index.deletes.filter(
+                (F.col("doc_id") >= lo) & (F.lit(True) if hi is None else (F.col("doc_id") < hi))
+            )
+        out.append(
+            replace(
+                index,
+                postings=postings_i,
+                docs=docs_i,
+                terms=terms_i,
+                doc_count=int(stats["n"]),
+                sum_ttf=int(stats["s"]),
+                deletes=deletes_i,
+            )
+        )
+    return out
