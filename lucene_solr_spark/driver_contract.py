@@ -384,6 +384,23 @@ def ft_queries() -> dict:
 
     q["ft_complex_phrase"] = ft_complex_phrase
     q["ft_span_near_unordered"] = _const_ids(SpanNearQuery((MID, HOT), slop=3, in_order=False))
+
+    def _surround(expr: str, limit=30):
+        """Surround query language (queryparser/surround/parser/QueryParser.jj)
+        through parse_surround — constant-score id sets."""
+
+        def fn(spark, sf_dir):
+            from .plans.surround_parser import parse_surround
+
+            s = doc_searcher(spark, sf_dir)
+            top = s.search(ConstantScoreQuery(parse_surround(expr)), limit)
+            return top.df.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+        return fn
+
+    # infix W + unordered N + top-level OR; nested left-associative W chain
+    q["ft_surround"] = _surround(f"({HOT} 3W {HOT2}) OR ({MID} N {MID2})")
+    q["ft_surround_nested"] = _surround(f"({HOT} w {HOT2}) 4w {MID}")
     # span algebra: first / not / or-as-near-clause (search/spans/*)
     q["ft_span_first"] = _const_ids(SpanFirstQuery(HOT, 3))
     q["ft_span_not"] = _const_ids(SpanNotQuery(MID, HOT, pre=1, post=1))
@@ -1705,6 +1722,29 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
         f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
         f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # surround "(HOT 3W HOT2) OR (MID N MID2)": ordered within-3 union
+    # unordered adjacency (distance default 1)
+    o["ft_surround"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
+        "  UNION"
+        f"  SELECT DISTINCT c.doc_id AS doc_id FROM tokp c JOIN tokp d USING (doc_id)"
+        f"  WHERE c.term = '{MID}' AND d.term = '{MID2}' AND c.pos <> d.pos AND abs(d.pos - c.pos) - 1 <= 0"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # surround "(HOT w HOT2) 4w MID": inner exact adjacency (slop 0), outer
+    # ordered with total gap <= 3 from the inner span's end (b.pos + 1)
+    o["ft_surround_nested"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id"
+        f"  FROM tokp a JOIN tokp b USING (doc_id) JOIN tokp c USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND b.pos = a.pos + 1"
+        f"  AND c.term = '{MID}' AND c.pos >= b.pos + 1 AND c.pos - (b.pos + 1) <= 3"
         ") ORDER BY doc_id LIMIT 30",
     )
     # span containment: big = ordered near(HOT, HOT2, slop 6) spanning

@@ -552,6 +552,20 @@ class IndexSearcher:
         ``sum(p_{i+1}-p_i-1) = p_last - p_first - (n-1)`` for an increasing
         chain, so one filter at the end suffices.  Constant score (documented
         deviation — see plans.query.SpanNearQuery)."""
+        # nested near clauses (surround `a W b W c` trees): evaluate via the
+        # recursive span enumerator — same join machinery, (s, e) streams
+        if any(isinstance(c, SpanNearQuery) for c in q.span_terms):
+            if not self.index.config.index_positions:
+                raise ValueError("SpanNearQuery needs an index built with index_positions=True")
+            uniq = sorted(t for t in q.terms() if t in stats)
+            if not uniq:
+                return self._empty()
+            occ = self._positional_occurrences(uniq).persist()
+            st = self._span_enum(q, occ, stats)
+            if st is None:
+                return self._empty()
+            docs = st.select("doc_id").distinct()
+            return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
         # normalize clauses: a tuple element is an inline single-term SpanOr
         # (SpanOrQuery.java — union of the alternatives' span streams); a
         # clause with no indexed alternative yields no spans at all
@@ -635,7 +649,9 @@ class IndexSearcher:
         if isinstance(q, _SMW):
             terms = self._expand_span_multiterm(q)
             return SpanOrQuery(terms) if terms else MatchNoDocsQuery()
-        if isinstance(q, SpanNearQuery) and any(isinstance(c, _SMW) for c in q.span_terms):
+        if isinstance(q, SpanNearQuery) and any(
+            isinstance(c, (_SMW, SpanNearQuery)) for c in q.span_terms
+        ):
             new_clauses = []
             for c in q.span_terms:
                 if isinstance(c, _SMW):
@@ -643,6 +659,11 @@ class IndexSearcher:
                     if not t:
                         return MatchNoDocsQuery()  # a clause with no terms matches nothing
                     new_clauses.append(t)
+                elif isinstance(c, SpanNearQuery):
+                    rc = self._rewrite_span_multiterm(c)
+                    if isinstance(rc, MatchNoDocsQuery):
+                        return MatchNoDocsQuery()
+                    new_clauses.append(rc)
                 else:
                     new_clauses.append(c)
             return SpanNearQuery(tuple(new_clauses), slop=q.slop, in_order=q.in_order, boost=q.boost)
@@ -723,31 +744,42 @@ class IndexSearcher:
                 "doc_id", F.col("pos").alias("s"), (F.col("pos") + 1).alias("e")
             )
         if isinstance(clause, _SNQ):
-            subs = [tuple(c) if isinstance(c, tuple) else (c,) for c in clause.span_terms]
-            subs = [tuple(t for t in c if t in stats) for c in subs]
-            if any(not c for c in subs):
-                return None
-            parts = [
-                occ.filter(F.col("term").isin(list(c))).select("doc_id", F.col("pos").alias(f"p{i}"))
-                for i, c in enumerate(subs)
-            ]
+            # children may themselves be terms, tuples, or nested near
+            # queries (the surround parser's left-associative `a W b W c`);
+            # recursion keeps each child a (doc_id, s, e) span stream. For
+            # unit-width children the general conditions below reduce exactly
+            # to the historical position formulas (s_i >= e_{i-1} == p_i >
+            # p_{i-1}; gap sum == p_last - p_0 - (n-1)).
+            n = len(clause.span_terms)
+            parts = []
+            for i, c in enumerate(clause.span_terms):
+                st = self._span_enum(c, occ, stats)
+                if st is None:
+                    return None
+                parts.append(st.select("doc_id", F.col("s").alias(f"s{i}"), F.col("e").alias(f"e{i}")))
             if clause.in_order:
+                # NearSpansOrdered: non-overlapping ordered sub-spans, total
+                # inter-span gap <= slop
                 m = parts[0]
-                for i in range(1, len(parts)):
-                    m = m.join(parts[i], "doc_id").filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
-                last = f"p{len(subs)-1}"
-                m = m.filter((F.col(last) - F.col("p0") - F.lit(len(subs) - 1)) <= F.lit(int(clause.slop)))
-                return m.select("doc_id", F.col("p0").alias("s"), (F.col(last) + 1).alias("e"))
-            if len(subs) != 2:
+                gap = F.lit(0)
+                for i in range(1, n):
+                    m = m.join(parts[i], "doc_id").filter(F.col(f"s{i}") >= F.col(f"e{i-1}"))
+                    gap = gap + (F.col(f"s{i}") - F.col(f"e{i-1}"))
+                m = m.filter(gap <= F.lit(int(clause.slop)))
+                return m.select("doc_id", F.col("s0").alias("s"), F.col(f"e{n-1}").alias("e"))
+            if n != 2:
                 raise NotImplementedError("unordered span-near enumeration supports exactly 2 clauses")
+            # NearSpansUnordered two-clause window: (max end - min start)
+            # minus the two span widths <= slop; identical spans excluded
+            w = (F.col("e0") - F.col("s0")) + (F.col("e1") - F.col("s1"))
             m = parts[0].join(parts[1], "doc_id").filter(
-                (F.abs(F.col("p1") - F.col("p0")) - 1 <= F.lit(int(clause.slop)))
-                & (F.col("p1") != F.col("p0"))
+                ((F.greatest("e0", "e1") - F.least("s0", "s1")) - w <= F.lit(int(clause.slop)))
+                & ((F.col("s0") != F.col("s1")) | (F.col("e0") != F.col("e1")))
             )
             return m.select(
                 "doc_id",
-                F.least("p0", "p1").alias("s"),
-                (F.greatest("p0", "p1") + 1).alias("e"),
+                F.least("s0", "s1").alias("s"),
+                F.greatest("e0", "e1").alias("e"),
             )
         raise NotImplementedError(f"span clause {type(clause).__name__}")
 

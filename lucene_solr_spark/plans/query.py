@@ -272,7 +272,10 @@ class SpanNearQuery(Query):
 
     A clause may also be a tuple of terms — a nested single-term
     ``SpanOrQuery`` (``search/spans/SpanOrQuery.java``): that slot matches
-    at any occurrence of any of its alternatives.
+    at any occurrence of any of its alternatives — or a nested
+    ``SpanNearQuery`` (the surround parser's ``a W b W c`` left-associative
+    nesting): that slot matches at every (start, end) span of the inner
+    near query.
     """
 
     span_terms: tuple
@@ -283,7 +286,12 @@ class SpanNearQuery(Query):
     def terms(self):
         out = set()
         for c in self.span_terms:
-            out |= set(c) if isinstance(c, tuple) else {c}
+            if isinstance(c, tuple):
+                out |= set(c)
+            elif isinstance(c, Query):
+                out |= c.terms()
+            else:
+                out |= {c}
         return out
 
 
