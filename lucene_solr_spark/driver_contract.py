@@ -793,6 +793,18 @@ def ft_queries() -> dict:
 
     q["ft_shingle_topk"] = ft_shingle_topk
 
+    def ft_edge_ngram_topk(spark, sf_dir):
+        """EdgeNGramTokenFilter(2,4) index (search-as-you-type): BM25 top-10
+        for the prefix gram 'sca'; all grams of a token share its position,
+        so the field length counts one gram per emitting token (tokens
+        shorter than min_gram emit nothing and count zero)."""
+        from lucene_solr_spark.functions.analysis import edge_ngram_analyzer
+
+        s = alt_searcher(spark, sf_dir, "edgegram", edge_ngram_analyzer(2, 4))
+        return _ranked(s.search(TermQuery(HOT[:3]), 10).df)
+
+    q["ft_edge_ngram_topk"] = ft_edge_ngram_topk
+
     def ft_synmap_topk(spark, sf_dir):
         """SynonymGraphFilter replace-mode index ('sort => key' rule applied
         at index AND query time): BM25 top-10 for the merged term."""
@@ -2483,6 +2495,38 @@ def ft_oracle_sql() -> dict:
                 + _R(f"btf.tf / (btf.tf + {_D(_CACHE)})")
             )
             + " AS score FROM btf JOIN dlq ON btf.doc_id = dlq.doc_id)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # edge-ngram(2,4) index: tf of gram 'sca' = tokens with that 3-prefix;
+    # dl = emitting tokens (length >= min_gram); own byte4 quantization,
+    # collection stats, and float32 BM25 cache over the re-derived lengths
+    _eg_gram = HOT[:3]
+    _eg_dlq_case = (
+        "CASE WHEN dl < 24 THEN dl ELSE 24 + (CASE WHEN dl-24 < 8 THEN dl-24 "
+        "ELSE ((dl-24) >> (length(bin(dl-24))-4)) << (length(bin(dl-24))-4) END) END"
+    )
+    _eg_avg = _R("(SELECT sttf FROM st2) / (SELECT n FROM st2)")
+    _eg_cache = _R(
+        _R("1.2") + " * " + _R(_R("0.25") + " + " + _R(_R(_R("0.75") + " * " + _R("dlq2.dlq")) + " / " + _eg_avg))
+    )
+    _eg_idf = _R(
+        "ln(1 + ((SELECT n FROM st2) - (SELECT df FROM gdf) + 0.5) / ((SELECT df FROM gdf) + 0.5))"
+    )
+    _eg_t32 = _R(f"gtf.tf / (gtf.tf + {_D(_eg_cache)})")
+    o["ft_edge_ngram_topk"] = _with(
+        [
+            f"gtf AS (SELECT doc_id, count(*) AS tf FROM tok "
+            f"WHERE length(term) >= 3 AND substr(term, 1, 3) = '{_eg_gram}' GROUP BY doc_id)",
+            "gdf AS (SELECT count(*) AS df FROM gtf)",
+            "dl2 AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl FROM documents d LEFT JOIN "
+            "(SELECT doc_id, count(*) AS c FROM tok WHERE length(term) >= 2 GROUP BY doc_id) t "
+            "ON d.doc_id = t.doc_id)",
+            f"dlq2 AS (SELECT doc_id, {_eg_dlq_case} AS dlq FROM dl2)",
+            "st2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) AS sttf FROM dl2)",
+            f"sc AS (SELECT gtf.doc_id AS doc_id, {_R(_eg_idf + ' * ' + _eg_t32)} AS score "
+            f"FROM gtf JOIN dlq2 ON gtf.doc_id = dlq2.doc_id)",
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
     )

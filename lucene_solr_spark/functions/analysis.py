@@ -125,6 +125,18 @@ class Analyzer:
     # Lucene derives sumTotalTermFreq from postings so shingles inflate its
     # avgdl while norms discount them.
     shingles: bool = False
+    # NGramTokenFilter / EdgeNGramTokenFilter (``reference lucene/analysis/
+    # common/src/java/org/apache/lucene/analysis/ngram/NGramTokenFilter.java``,
+    # ``EdgeNGramTokenFilter.java``): each kept token decomposes into its
+    # [min_gram, max_gram] character n-grams (all offsets, sizes ascending
+    # per offset; edge = prefixes only).  All grams of one source token sit
+    # at the SOURCE position (the filters stopped advancing positions in
+    # LUCENE-7960), so exactly one gram per emitting token counts toward the
+    # BM25 field length (discountOverlaps); a token that emits nothing
+    # (shorter than min_gram without preserve_original) contributes 0.
+    # Tuple (min_gram, max_gram) or (min_gram, max_gram, preserve_original).
+    ngrams: tuple = ()
+    edge_ngrams: tuple = ()
 
     def __post_init__(self):
         if self.shingles and (self.stopwords or self.max_token_length):
@@ -132,6 +144,35 @@ class Analyzer:
                 "shingles require a hole-free chain (no stopwords, "
                 "max_token_length=0); filler tokens are not modeled"
             )
+        if self.ngrams and self.edge_ngrams:
+            raise ValueError("ngrams and edge_ngrams are mutually exclusive")
+        if (self.ngrams or self.edge_ngrams) and (self.shingles or self.cjk_bigrams):
+            raise ValueError("n-gram filters do not compose with shingles/cjk_bigrams")
+        for g in (self.ngrams, self.edge_ngrams):
+            if g and not (1 <= int(g[0]) <= int(g[1])):
+                # NGramTokenFilter.java ctor: minGram >= 1, minGram <= maxGram
+                raise ValueError("require 1 <= min_gram <= max_gram")
+
+    def _gram_expand(self, tok: str) -> list[str]:
+        """Gram emission for one token, in the reference's state-machine
+        order (per offset, sizes ascending; edge = offset 0 only); the
+        preserved original (when out of [min, max]) follows the grams."""
+        spec = self.ngrams or self.edge_ngrams
+        mn, mx = int(spec[0]), int(spec[1])
+        preserve = len(spec) > 2 and bool(spec[2])
+        n = len(tok)
+        out = []
+        last_pos = 0 if self.edge_ngrams else max(n - mn, 0)
+        for pos in range(0, last_pos + 1):
+            if pos + mn > n:
+                break
+            for size in range(mn, mx + 1):
+                if pos + size > n:
+                    break
+                out.append(tok[pos : pos + size])
+        if preserve and (n < mn or n > mx):
+            out.append(tok)
+        return out
 
     def _expand_cjk(self, tok: str) -> list[str]:
         if not _CJK_RUN_RE.match(tok) or len(tok) == 1:
@@ -213,6 +254,8 @@ class Analyzer:
             out = [m.get(t, t) for t in out]
         if self.shingles:
             out = out + [f"{a} {b}" for a, b in zip(out, out[1:])]
+        if self.ngrams or self.edge_ngrams:
+            out = [g for t in out for g in self._gram_expand(t)]
         return out
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -248,6 +291,8 @@ class Analyzer:
                 if i + 1 < len(out):
                     merged.append((f"{t} {out[i + 1][0]}", p))
             out = merged
+        if self.ngrams or self.edge_ngrams:
+            out = [(g, p) for t, p in out for g in self._gram_expand(t)]
         return out
 
     def analyze_batch(self, texts: pd.Series):
@@ -340,6 +385,28 @@ class Analyzer:
                 # ahead of the shingle sharing its (row, position)
                 order = np.lexsort((positions, row_index))
                 flat, row_index, positions = flat[order], row_index[order], positions[order]
+        if (self.ngrams or self.edge_ngrams) and flat.size:
+            # expand through the batch dictionary (tokens repeat heavily);
+            # every gram inherits its source token's (row, position)
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            gram_lists = [self._gram_expand(u) for u in uniques]
+            glens = np.array([len(g) for g in gram_lists], dtype=np.int64)
+            all_grams = np.empty(int(glens.sum()), dtype=object)
+            w = 0
+            for lst in gram_lists:
+                all_grams[w : w + len(lst)] = lst
+                w += len(lst)
+            offs = np.cumsum(glens) - glens
+            reps = glens[codes]
+            idx = np.repeat(offs[codes], reps) + (
+                np.arange(int(reps.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(reps) - reps, reps)
+            )
+            # dl: one countable (posIncr-carrying) gram per EMITTING token
+            dl = np.bincount(row_index[reps > 0], minlength=n_rows).astype(np.int64)
+            flat = all_grams[idx]
+            row_index = np.repeat(row_index, reps)
+            positions = np.repeat(positions, reps)
         return flat, row_index, dl, positions
 
     # ------------------------------------------------- encoded (hot) path
@@ -376,7 +443,14 @@ class Analyzer:
         """Vectorized ASCII tokenizer; None when the batch needs the regex
         fallback (non-ASCII text, NUL bytes, unsupported pattern, or a kept
         token longer than the fixed-width dictionary bound)."""
-        if self.strip_possessive or self.stemmer is not None or self.token_map or self.shingles:
+        if (
+            self.strip_possessive
+            or self.stemmer is not None
+            or self.token_map
+            or self.shingles
+            or self.ngrams
+            or self.edge_ngrams
+        ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
             apostrophe_joins = True
@@ -508,6 +582,31 @@ def shingle_analyzer() -> Analyzer:
     .../shingle/ShingleAnalyzerWrapper.java``): the oracle-parity simple
     chain plus 2-gram word shingles with unigrams."""
     return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0, shingles=True)
+
+
+def ngram_analyzer(min_gram: int = 2, max_gram: int = 3) -> Analyzer:
+    """NGramTokenFilter(min, max) over the simple chain (``reference lucene/
+    analysis/common/.../ngram/NGramTokenFilter.java``)."""
+    return Analyzer(
+        pattern=_SIMPLE_PATTERN,
+        lowercase=True,
+        stopwords=frozenset(),
+        max_token_length=0,
+        ngrams=(min_gram, max_gram),
+    )
+
+
+def edge_ngram_analyzer(min_gram: int = 2, max_gram: int = 4) -> Analyzer:
+    """EdgeNGramTokenFilter(min, max) over the simple chain (``reference
+    lucene/analysis/common/.../ngram/EdgeNGramTokenFilter.java``) — the
+    classic search-as-you-type indexing chain."""
+    return Analyzer(
+        pattern=_SIMPLE_PATTERN,
+        lowercase=True,
+        stopwords=frozenset(),
+        max_token_length=0,
+        edge_ngrams=(min_gram, max_gram),
+    )
 
 
 def synonym_analyzer(rules: dict) -> Analyzer:

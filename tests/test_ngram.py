@@ -1,0 +1,119 @@
+"""NGramTokenFilter / EdgeNGramTokenFilter: gram tables, LUCENE-7960
+same-position semantics, preserve_original, field-length accounting, batch
+parity, and an end-to-end edge-gram index search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.functions.analysis import (
+    Analyzer,
+    edge_ngram_analyzer,
+    ngram_analyzer,
+)
+
+
+def test_ngram_gram_table():
+    a = ngram_analyzer(2, 3)
+    # per offset, sizes ascending (NGramTokenFilter state machine)
+    assert a.tokens("abcd") == ["ab", "abc", "bc", "bcd", "cd"]
+    assert a.tokens("ab") == ["ab"]
+    assert a.tokens("a") == []  # shorter than min_gram, no preserve
+
+
+def test_edge_ngram_gram_table():
+    e = edge_ngram_analyzer(2, 4)
+    assert e.tokens("abcdef") == ["ab", "abc", "abcd"]
+    assert e.tokens("abc") == ["ab", "abc"]
+    assert e.tokens("x") == []
+
+
+def test_preserve_original():
+    p = Analyzer(edge_ngrams=(3, 4, True))
+    assert p.tokens("ab") == ["ab"]  # shorter than min -> original kept
+    assert p.tokens("abcdefgh") == ["abc", "abcd", "abcdefgh"]  # longer than max
+    assert p.tokens("abcd") == ["abc", "abcd"]  # in range -> no duplicate
+    n = Analyzer(ngrams=(2, 2, True))
+    assert n.tokens("a") == ["a"]
+
+
+def test_positions_shared_and_dl():
+    a = ngram_analyzer(2, 3)
+    # all grams of a token at the source position (LUCENE-7960)
+    assert a.tokens_with_positions("abcd xy") == [
+        ("ab", 0), ("abc", 0), ("bc", 0), ("bcd", 0), ("cd", 0), ("xy", 1),
+    ]
+    flat, rows, dl, pos = a.analyze_batch_with_positions(pd.Series(["abcd xy", "a", ""]))
+    # dl counts one gram per EMITTING source token
+    assert list(dl) == [2, 0, 0]
+    assert list(pos) == [0, 0, 0, 0, 0, 1]
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        Analyzer(ngrams=(0, 2))
+    with pytest.raises(ValueError):
+        Analyzer(ngrams=(3, 2))
+    with pytest.raises(ValueError):
+        Analyzer(ngrams=(2, 3), edge_ngrams=(2, 3))
+    with pytest.raises(ValueError):
+        Analyzer(ngrams=(2, 3), shingles=True)
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [lambda: ngram_analyzer(2, 3), lambda: edge_ngram_analyzer(2, 4), lambda: Analyzer(ngrams=(1, 2, True))],
+)
+def test_batch_scalar_parity(factory):
+    an = factory()
+    texts = ["abcd a xy", "hello world", "", "x", "abc ab abcd abc", None]
+    flat, rows, dl, pos = an.analyze_batch_with_positions(pd.Series(texts))
+    got = [[] for _ in texts]
+    for t, r, p in zip(flat, rows, pos):
+        got[r].append((t, int(p)))
+    assert got == [an.tokens_with_positions(t) for t in texts]
+    # dl parity: emitting-source-token count per row
+    for i, t in enumerate(texts):
+        srcs = Analyzer().tokens(t or "")
+        want = sum(1 for s in srcs if an._gram_expand(s))
+        assert dl[i] == want, (t, dl[i], want)
+
+
+def test_edge_ngram_index_end_to_end(spark, fixture_corpus_pdf):
+    """Search-as-you-type: 'sca' prefix gram scores against a hand-computed
+    BM25 over the gram statistics."""
+    import math
+
+    from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import TermQuery
+
+    an = edge_ngram_analyzer(2, 4)
+    pdf = fixture_corpus_pdf.head(400).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    corpus = assign_doc_ids(df, ("conv_id", "turn_idx"), n_partitions=8)
+    idx = build_index(corpus, IndexConfig(n_partitions=8, analyzer=an))
+    s = IndexSearcher(idx, corpus)
+
+    base = Analyzer()
+    tf, dl = {}, {}
+    for doc_id, text in enumerate(pdf["text"]):
+        srcs = base.tokens(text)
+        dl[doc_id] = sum(1 for t in srcs if len(t) >= 2)
+        c = sum(1 for t in srcs if len(t) >= 3 and t[:3] == "sca")
+        if c:
+            tf[doc_id] = c
+    n = len(pdf)
+    sttf = sum(dl.values())
+    avgdl = np.float32(np.float64(sttf) / n)
+    dfq = len(tf)
+    idf = np.float32(math.log(1 + (n - dfq + 0.5) / (dfq + 0.5)))
+    expect = {}
+    for d, f in tf.items():
+        dlq = float(byte4_to_int(int_to_byte4(np.array([dl[d]])))[0])
+        cache = np.float32(np.float32(1.2) * np.float32(np.float32(0.25) + np.float32(np.float32(np.float32(0.75) * np.float32(dlq)) / avgdl)))
+        expect[d] = float(np.float32(idf * np.float32(f / (f + float(cache)))))
+    got = s.search(TermQuery("sca"), 10).collect()
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, sc) for d, sc in got] == want
