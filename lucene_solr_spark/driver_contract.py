@@ -384,6 +384,10 @@ def ft_queries() -> dict:
 
     q["ft_complex_phrase"] = ft_complex_phrase
     q["ft_span_near_unordered"] = _const_ids(SpanNearQuery((MID, HOT), slop=3, in_order=False))
+    # n-ary NearSpansUnordered window (one span per clause, any order)
+    q["ft_span_near_unordered3"] = _const_ids(
+        SpanNearQuery((HOT, MID, MID2), slop=4, in_order=False)
+    )
 
     def _surround(expr: str, limit=30):
         """Surround query language (queryparser/surround/parser/QueryParser.jj)
@@ -1734,6 +1738,16 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
         f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
         f"  WHERE a.term = '{MID}' AND b.term = '{HOT}' AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"
+        ") ORDER BY doc_id LIMIT 30",
+    )
+    # 3-ary unordered window: max(pos)+1 - min(pos) - 3 <= slop
+    o["ft_span_near_unordered3"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id"
+        f"  FROM tokp a JOIN tokp b USING (doc_id) JOIN tokp c USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term = '{MID}' AND c.term = '{MID2}'"
+        "  AND greatest(a.pos, b.pos, c.pos) + 1 - least(a.pos, b.pos, c.pos) - 3 <= 4"
         ") ORDER BY doc_id LIMIT 30",
     )
     # surround "(HOT 3W HOT2) OR (MID N MID2)": ordered within-3 union

@@ -575,8 +575,6 @@ class IndexSearcher:
             return self._empty()
         if not self.index.config.index_positions:
             raise ValueError("SpanNearQuery needs an index built with index_positions=True")
-        if not q.in_order and len(clauses) != 2:
-            raise NotImplementedError("unordered span-near supported for exactly 2 clauses")
         uniq = list(dict.fromkeys(t for c in clauses for t in c))
         occ = self._positional_occurrences(uniq)
         occ = occ.persist() if len(uniq) > 1 else occ
@@ -592,9 +590,20 @@ class IndexSearcher:
             m = m.filter(
                 (F.col(f"p{len(clauses)-1}") - F.col("p0") - F.lit(len(clauses) - 1)) <= F.lit(int(q.slop))
             )
-        else:
+        elif len(clauses) == 2:
             m = parts[0].join(parts[1], "doc_id").filter(
                 (F.abs(F.col("p1") - F.col("p0")) - 1 <= F.lit(int(q.slop))) & (F.col("p1") != F.col("p0"))
+            )
+        else:
+            # n-ary NearSpansUnordered window over unit-width spans:
+            # (max(p)+1 - min(p)) - n <= slop (NearSpansUnordered.java:44-95)
+            pcols = [F.col(f"p{i}") for i in range(len(clauses))]
+            m = parts[0]
+            for i in range(1, len(parts)):
+                m = m.join(parts[i], "doc_id")
+            m = m.filter(
+                (F.greatest(*pcols) + 1 - F.least(*pcols)) - F.lit(len(clauses))
+                <= F.lit(int(q.slop))
             )
         docs = m.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
@@ -767,19 +776,27 @@ class IndexSearcher:
                     gap = gap + (F.col(f"s{i}") - F.col(f"e{i-1}"))
                 m = m.filter(gap <= F.lit(int(clause.slop)))
                 return m.select("doc_id", F.col("s0").alias("s"), F.col(f"e{n-1}").alias("e"))
-            if n != 2:
-                raise NotImplementedError("unordered span-near enumeration supports exactly 2 clauses")
-            # NearSpansUnordered two-clause window: (max end - min start)
-            # minus the two span widths <= slop; identical spans excluded
-            w = (F.col("e0") - F.col("s0")) + (F.col("e1") - F.col("s1"))
-            m = parts[0].join(parts[1], "doc_id").filter(
-                ((F.greatest("e0", "e1") - F.least("s0", "s1")) - w <= F.lit(int(clause.slop)))
-                & ((F.col("s0") != F.col("s1")) | (F.col("e0") != F.col("e1")))
-            )
-            return m.select(
+            # NearSpansUnordered window (NearSpansUnordered.java:44-95):
+            # maxEndPosition - minStartPosition - totalSpanLength <= slop,
+            # one span per clause, overlap allowed. The historical two-clause
+            # case additionally excludes identical spans (a refinement that
+            # only differs when both clauses share a term; pinned by the
+            # ft_span_near_unordered oracle).
+            scols = [F.col(f"s{i}") for i in range(n)]
+            ecols = [F.col(f"e{i}") for i in range(n)]
+            total = scols[0] * 0
+            for i in range(n):
+                total = total + (ecols[i] - scols[i])
+            m = parts[0]
+            for i in range(1, n):
+                m = m.join(parts[i], "doc_id")
+            cond = (F.greatest(*ecols) - F.least(*scols)) - total <= F.lit(int(clause.slop))
+            if n == 2:
+                cond = cond & ((F.col("s0") != F.col("s1")) | (F.col("e0") != F.col("e1")))
+            return m.filter(cond).select(
                 "doc_id",
-                F.least("s0", "s1").alias("s"),
-                F.greatest("e0", "e1").alias("e"),
+                F.least(*scols).alias("s"),
+                F.greatest(*ecols).alias("e"),
             )
         raise NotImplementedError(f"span clause {type(clause).__name__}")
 

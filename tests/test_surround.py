@@ -106,10 +106,13 @@ def _brute_spans(tokens, node):
                 if all(acc[j][0] >= acc[j - 1][1] for j in range(1, len(acc))) and gap <= node.slop:
                     out.append((acc[0][0], acc[-1][1]))
             else:
-                (s0, e0), (s1, e1) = acc
-                w = (e0 - s0) + (e1 - s1)
-                if (max(e0, e1) - min(s0, s1)) - w <= node.slop and (s0, e0) != (s1, e1):
-                    out.append((min(s0, s1), max(e0, e1)))
+                # NearSpansUnordered window; the binary case keeps the
+                # identical-span exclusion (engine refinement)
+                w = sum(e - s for s, e in acc)
+                lo, hi = min(s for s, _ in acc), max(e for _, e in acc)
+                distinct_ok = len(acc) != 2 or acc[0] != acc[1]
+                if hi - lo - w <= node.slop and distinct_ok:
+                    out.append((lo, hi))
             return
         for sp in subs[i]:
             rec(i + 1, acc + [sp])
@@ -127,6 +130,8 @@ def _brute_spans(tokens, node):
         "(scan 2w merge) 5w key",
         "OR(scan, merge) 3N key",  # unordered with an OR slot
         "(scan w merge) n key",  # nested inside unordered
+        "4N(scan, merge, key)",  # n-ary unordered window
+        "8N(scan, key, sort, dup)",  # 4-ary
     ],
 )
 def test_surround_eval_vs_brute_force(pos_searcher, fixture_corpus_pdf, expr):
