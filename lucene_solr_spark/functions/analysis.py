@@ -137,6 +137,15 @@ class Analyzer:
     # Tuple (min_gram, max_gram) or (min_gram, max_gram, preserve_original).
     ngrams: tuple = ()
     edge_ngrams: tuple = ()
+    # LengthFilter (``reference lucene/analysis/common/src/java/org/apache/
+    # lucene/analysis/miscellaneous/LengthFilter.java``): keep tokens with
+    # min <= length <= max; a FilteringTokenFilter, so dropped tokens leave
+    # position holes exactly like stopwords. Tuple (min_len, max_len).
+    length_filter: tuple = ()
+    # KeywordMarkerFilter (``.../miscellaneous/SetKeywordMarkerFilter.java``):
+    # terms in this set bypass the stemmer (KeywordAttribute contract the
+    # stem filters honor). Tuple of protected terms (hashable).
+    keyword_terms: tuple = ()
 
     def __post_init__(self):
         if self.shingles and (self.stopwords or self.max_token_length):
@@ -194,6 +203,8 @@ class Analyzer:
         return tok
 
     def _stem(self, tok: str) -> str:
+        if self.keyword_terms and tok in self.keyword_terms:
+            return tok  # KeywordMarkerFilter: protected from stemming
         if self.stemmer == "porter":
             from .porterstem import porter_stem
 
@@ -241,7 +252,9 @@ class Analyzer:
             toks = self._expand_cjk_list(toks)
         for tok in toks:
             if maxlen and len(tok) > maxlen:
-                continue  # skipped but positions advance (not modeled here)
+                continue
+            if self.length_filter and not (self.length_filter[0] <= len(tok) <= self.length_filter[1]):
+                continue  # LengthFilter hole (position-preserving)  # skipped but positions advance (not modeled here)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
             if self.ascii_folding:
@@ -273,6 +286,8 @@ class Analyzer:
         for pos, tok in enumerate(toks):
             if maxlen and len(tok) > maxlen:
                 continue
+            if self.length_filter and not (self.length_filter[0] <= len(tok) <= self.length_filter[1]):
+                continue  # LengthFilter hole (position-preserving)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
             if self.ascii_folding:
@@ -346,9 +361,12 @@ class Analyzer:
         positions = np.arange(flat.shape[0], dtype=np.int64) - np.repeat(starts, counts)
 
         keep = np.ones(flat.shape[0], dtype=bool)
-        if self.max_token_length:
+        if self.max_token_length or self.length_filter:
             lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
-            keep &= lens <= self.max_token_length
+            if self.max_token_length:
+                keep &= lens <= self.max_token_length
+            if self.length_filter:
+                keep &= (lens >= self.length_filter[0]) & (lens <= self.length_filter[1])
         if self.strip_possessive:
             # transform on the batch dictionary, gather back (tokens are
             # heavily repeated; the dictionary is small)
@@ -509,6 +527,8 @@ class Analyzer:
         keep = np.ones(starts.size, dtype=bool)
         if self.max_token_length:
             keep &= lens <= self.max_token_length
+        if self.length_filter:
+            keep &= (lens >= self.length_filter[0]) & (lens <= self.length_filter[1])
         starts, lens, row_index, positions = starts[keep], lens[keep], row_index[keep], positions[keep]
         n_tok = starts.size
         if n_tok == 0:

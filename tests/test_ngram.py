@@ -117,3 +117,21 @@ def test_edge_ngram_index_end_to_end(spark, fixture_corpus_pdf):
     got = s.search(TermQuery("sca"), 10).collect()
     want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(d, sc) for d, sc in got] == want
+
+
+def test_length_filter_and_keyword_marker():
+    """LengthFilter holes + KeywordMarkerFilter stem protection."""
+    a = Analyzer(length_filter=(3, 5))
+    assert a.tokens("ab abc abcdef world xy") == ["abc", "world"]
+    # holes preserved (FilteringTokenFilter position increments)
+    assert a.tokens_with_positions("ab abc abcdef world") == [("abc", 1), ("world", 3)]
+    flat, rows, dl, pos = a.analyze_batch_with_positions(pd.Series(["ab abc abcdef world", ""]))
+    assert list(flat) == ["abc", "world"] and list(pos) == [1, 3] and list(dl) == [2, 0]
+    # encoded path parity (pure-ASCII fast tokenizer applies the same mask)
+    codes, uniques, rows2, dl2, pos2 = a.analyze_batch_encoded(pd.Series(["ab abc abcdef world", ""]))
+    assert list(uniques[codes]) == ["abc", "world"] and list(pos2) == [1, 3] and list(dl2) == [2, 0]
+
+    k = Analyzer(stemmer="porter", keyword_terms=("running",))
+    assert k.tokens("running jumping") == ["running", "jump"]
+    flat, _, _, _ = k.analyze_batch_with_positions(pd.Series(["running jumping"]))
+    assert list(flat) == ["running", "jump"]
