@@ -100,6 +100,34 @@ def pipeline_queries() -> dict:
 
     q["dd_ngram_jaccard"] = dd_ngram_jaccard
 
+    def dd_decontam(spark, sf_dir):
+        """Benchmark decontamination: training docs sharing >= 1 distinct
+        3-gram shingle with the held-out eval slice (doc_id % 23 == 0)."""
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 23 == 0)
+        train = docs.filter(F.col("doc_id") % 23 != 0)
+        out = dedup.ngram_contamination(train, ev)
+        return (
+            out.filter(F.col("n_hits") > 0)
+            .select("doc_id", "n_shingles", "n_hits")
+            .orderBy("doc_id")
+        )
+
+    q["dd_decontam"] = dd_decontam
+
+    def ta_stratified(spark, sf_dir):
+        """Deterministic stratified downsampling: per-lang keep rates over
+        the documents table, verified by per-stratum counts."""
+        from .operators.sampling import stratified_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang"
+        )
+        kept = stratified_sample(docs, "lang", {"en": 2, "de": 5}, default_rate=10)
+        return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("kept")).orderBy("lang")
+
+    q["ta_stratified"] = ta_stratified
+
     def dd_minhash_sigs(spark, sf_dir):
         sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
         return sigs.select("doc_id", *[F.col(f"sig_{i}").cast("long") for i in range(N_MINHASH)]).orderBy(
@@ -242,6 +270,23 @@ SELECT CAST(sum(c) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups FROM g
 """
 
+    o["dd_decontam"] = f"""
+WITH {_SHINGLES},
+ev AS (SELECT DISTINCT shingle_hash FROM shd WHERE doc_id % 23 = 0),
+tr AS (SELECT * FROM shd WHERE doc_id % 23 <> 0),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+ht AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       FROM tr JOIN ev USING (shingle_hash) GROUP BY doc_id)
+SELECT CAST(sz.doc_id AS BIGINT) AS doc_id, sz.n_shingles, ht.n_hits
+FROM sz JOIN ht ON sz.doc_id = ht.doc_id WHERE ht.n_hits > 0 ORDER BY doc_id
+"""
+    o["ta_stratified"] = """
+WITH h AS (SELECT lang, ((doc_id % 100000007) * 2654435761) % 100000007 AS hv FROM documents),
+kept AS (SELECT lang FROM h WHERE
+  (lang = 'en' AND hv % 2 = 0) OR (lang = 'de' AND hv % 5 = 0)
+  OR (lang NOT IN ('en', 'de') AND hv % 10 = 0))
+SELECT lang, CAST(count(*) AS BIGINT) AS kept FROM kept GROUP BY lang ORDER BY lang
+"""
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLES.strip()},
 sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),

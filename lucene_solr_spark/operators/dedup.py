@@ -334,3 +334,30 @@ def duplicate_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def ngram_contamination(
+    docs: DataFrame, eval_docs: DataFrame, k: int = SHINGLE_K
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its distinct
+    k-gram shingles appear anywhere in the evaluation set — the standard
+    n-gram-overlap contamination check run before training-data release (no
+    reference analog; task-brief training-pipeline surface).
+
+    Returns ``(doc_id, n_shingles, n_hits)`` for every training doc (n_hits =
+    0 when clean); callers drop or down-weight docs by ``n_hits / n_shingles``.
+
+    Scale shape: the eval shingle set is tiny next to the corpus (benchmarks
+    are small by definition) — it broadcast-joins against the training
+    shingle stream, so the corpus-sized side never shuffles; the only
+    aggregation is the per-doc count pair.
+    """
+    train_sh = shingles(docs, k).persist()
+    eval_sh = shingles(eval_docs, k).select("shingle_hash").distinct()
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return sizes.join(hits, "doc_id", "left").fillna({"n_hits": 0})

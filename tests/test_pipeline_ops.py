@@ -142,3 +142,61 @@ def test_duplicate_components_long_chain_converges(spark):
     got = duplicate_components(pairs, max_rounds=10).collect()
     assert {r["component"] for r in got} == {100}
     assert len(got) == 33
+
+
+def test_ngram_contamination_brute(spark):
+    from lucene_solr_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines"),
+            (3, "quick brown fox appears here too with more words"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw a quick brown fox jumps far away")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hits"]) for r in ngram_contamination(train, ev).collect()}
+
+    def shingle_set(text, k=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    ev_sh = shingle_set("we saw a quick brown fox jumps far away")
+    for doc_id, text in [(1, "the quick brown fox jumps over the lazy dog"),
+                         (2, "completely unrelated text about spark engines"),
+                         (3, "quick brown fox appears here too with more words")]:
+        s = shingle_set(text)
+        assert got[doc_id] == (len(s), len(s & ev_sh)), doc_id
+
+
+def test_stratified_sample_deterministic(spark):
+    from lucene_solr_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr")) for i in range(2000)]
+    rates = {"en": 2, "de": 5}
+    picks = []
+    for n_part in (2, 16):
+        df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(n_part)
+        picks.append(sorted(r["doc_id"] for r in stratified_sample(df, "lang", rates, default_rate=10).collect()))
+    assert picks[0] == picks[1]  # partitioning-stable
+    # brute-force the hash
+    p, k = 100000007, 2654435761
+    want = sorted(
+        i
+        for i, lang in rows
+        if ((i % p) * k) % p % {"en": 2, "de": 5}.get(lang, 10) == 0
+    )
+    assert picks[0] == want
+    # rate 1 keeps a stratum whole; missing strata drop without default
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    only_en = stratified_sample(df, "lang", {"en": 1})
+    assert only_en.groupBy("lang").count().collect()[0]["lang"] == "en"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 0})
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {})
