@@ -206,6 +206,24 @@ def ft_queries() -> dict:
     q["ft_term_topk"] = _search_q(TermQuery(HOT))
     q["ft_term_rare_topk"] = _search_q(TermQuery(RARE))
 
+    def ft_distributed_topk(spark, sf_dir):
+        """Sharded search with global statistics (ExactStatsCache +
+        two-phase merge): the doc index split into 3 doc-range shards via
+        split_index, searched through MultiIndexSearcher — bit-identical to
+        the undivided index, so the oracle is the plain term top-k."""
+        from .operators.distributed import MultiIndexSearcher
+        from .operators.merge import split_index
+
+        s = doc_searcher(spark, sf_dir)
+        key = ("sharded", sf_dir)
+        if key not in _INDEX_CACHE:
+            n = s.index.doc_count
+            parts = split_index(s.index, [n // 3, 2 * n // 3])
+            _INDEX_CACHE[key] = MultiIndexSearcher(parts, corpus=s.corpus)
+        return _ranked(_INDEX_CACHE[key].search(TermQuery(HOT), 10).df)
+
+    q["ft_distributed_topk"] = ft_distributed_topk
+
     def ft_bloom_topk(spark, sf_dir):
         """BloomFilteringPostingsFormat analog (``reference lucene/codecs/...
         /bloom/BloomFilteringPostingsFormat.java``): the same rare-term BM25
@@ -1419,6 +1437,8 @@ def ft_oracle_sql() -> dict:
     o["ft_term_rare_topk"] = _with([_term_cte("sc", RARE)], _topk_sql("SELECT doc_id, score FROM sc"))
     # bloom-pruned scan is result-identical to the plain term scan
     o["ft_bloom_topk"] = _with([_term_cte("sc", MID2)], _topk_sql("SELECT doc_id, score FROM sc"))
+    # sharded-with-global-stats search is bit-identical to the undivided index
+    o["ft_distributed_topk"] = _with([_term_cte("sc", HOT)], _topk_sql("SELECT doc_id, score FROM sc"))
 
     # MUST+MUST: double-sum of the two float32 clause scores, cast back to f32
     and_sum = _R(_D("a.score") + " + " + _D("b.score"))
