@@ -815,6 +815,17 @@ def ft_queries() -> dict:
 
     q["ft_shingle_topk"] = ft_shingle_topk
 
+    def ft_common_grams_topk(spark, sf_dir):
+        """CommonGramsFilter index (common words a/the): BM25 top-10 for the
+        gram 'a_scan' — grams are posIncr-0 overlaps at the first token's
+        position, discounted from the field length."""
+        from lucene_solr_spark.functions.analysis import common_grams_analyzer
+
+        s = alt_searcher(spark, sf_dir, "commongrams", common_grams_analyzer(("a", "the")))
+        return _ranked(s.search(TermQuery(f"a_{HOT}"), 10).df)
+
+    q["ft_common_grams_topk"] = ft_common_grams_topk
+
     def ft_edge_ngram_topk(spark, sf_dir):
         """EdgeNGramTokenFilter(2,4) index (search-as-you-type): BM25 top-10
         for the prefix gram 'sca'; all grams of a token share its position,
@@ -2529,6 +2540,26 @@ def ft_oracle_sql() -> dict:
                 + _R(f"btf.tf / (btf.tf + {_D(_CACHE)})")
             )
             + " AS score FROM btf JOIN dlq ON btf.doc_id = dlq.doc_id)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # common-grams index: gram 'a_scan' tf = adjacent (a, scan) pairs; dl is
+    # the unigram count (grams are posIncr-0 overlaps) — the shared dlq/cache
+    o["ft_common_grams_topk"] = _with(
+        [
+            tokp,
+            f"cgtf AS (SELECT a.doc_id AS doc_id, count(*) AS tf FROM tokp a "
+            f"JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            f"WHERE a.term = 'a' AND b.term = '{HOT}' GROUP BY a.doc_id)",
+            "cgdf AS (SELECT count(*) AS df FROM cgtf)",
+            f"sc AS (SELECT cgtf.doc_id AS doc_id, "
+            + _R(
+                _idf("(SELECT df FROM cgdf)")
+                + " * "
+                + _R(f"cgtf.tf / (cgtf.tf + {_D(_CACHE)})")
+            )
+            + " AS score FROM cgtf JOIN dlq ON cgtf.doc_id = dlq.doc_id)",
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
     )

@@ -142,6 +142,17 @@ class Analyzer:
     # min <= length <= max; a FilteringTokenFilter, so dropped tokens leave
     # position holes exactly like stopwords. Tuple (min_len, max_len).
     length_filter: tuple = ()
+    # CommonGramsFilter (``reference lucene/analysis/common/src/java/org/
+    # apache/lucene/analysis/commongrams/CommonGramsFilter.java``): for each
+    # adjacent pair where either side is a common word, additionally emit the
+    # '_'-joined bigram at the FIRST token's position with posIncrement 0
+    # (:42,72-98) — an overlap token, discounted from the field length like
+    # shingles. Tuple of common words. ``common_grams_query`` applies the
+    # CommonGramsQueryFilter view (query-time only): unigrams that are a
+    # member of >= 1 emitted gram are dropped, grams and lone unigrams kept
+    # (CommonGramsQueryFilter.java:28-40 example).
+    common_grams: tuple = ()
+    common_grams_query: bool = False
     # KeywordMarkerFilter (``.../miscellaneous/SetKeywordMarkerFilter.java``):
     # terms in this set bypass the stemmer (KeywordAttribute contract the
     # stem filters honor). Tuple of protected terms (hashable).
@@ -157,6 +168,15 @@ class Analyzer:
             raise ValueError("ngrams and edge_ngrams are mutually exclusive")
         if (self.ngrams or self.edge_ngrams) and (self.shingles or self.cjk_bigrams):
             raise ValueError("n-gram filters do not compose with shingles/cjk_bigrams")
+        if self.common_grams and (self.shingles or self.ngrams or self.edge_ngrams):
+            raise ValueError("common_grams do not compose with shingle/n-gram filters")
+        if self.common_grams and (self.stopwords or self.max_token_length or self.length_filter):
+            raise ValueError(
+                "common_grams require a hole-free chain (common words must survive "
+                "to pair; filler tokens are not modeled)"
+            )
+        if self.common_grams_query and not self.common_grams:
+            raise ValueError("common_grams_query requires common_grams")
         for g in (self.ngrams, self.edge_ngrams):
             if g and not (1 <= int(g[0]) <= int(g[1])):
                 # NGramTokenFilter.java ctor: minGram >= 1, minGram <= maxGram
@@ -269,6 +289,26 @@ class Analyzer:
             out = out + [f"{a} {b}" for a, b in zip(out, out[1:])]
         if self.ngrams or self.edge_ngrams:
             out = [g for t in out for g in self._gram_expand(t)]
+        if self.common_grams:
+            cset = set(self.common_grams)
+            qual = [a in cset or b in cset for a, b in zip(out, out[1:])]
+            if self.common_grams_query:
+                # CommonGramsQueryFilter: keep grams; drop unigrams that are
+                # a member of any gram
+                new = []
+                for i, t in enumerate(out):
+                    if i < len(qual) and qual[i]:
+                        new.append(f"{t}_{out[i + 1]}")
+                    if not ((i > 0 and qual[i - 1]) or (i < len(qual) and qual[i])):
+                        new.append(t)
+                out = new
+            else:
+                merged = []
+                for i, t in enumerate(out):
+                    merged.append(t)
+                    if i < len(qual) and qual[i]:
+                        merged.append(f"{t}_{out[i + 1]}")
+                out = merged
         return out
 
     def tokens_with_positions(self, text: str) -> list[tuple[str, int]]:
@@ -308,6 +348,14 @@ class Analyzer:
             out = merged
         if self.ngrams or self.edge_ngrams:
             out = [(g, p) for t, p in out for g in self._gram_expand(t)]
+        if self.common_grams and not self.common_grams_query:
+            cset = set(self.common_grams)
+            merged = []
+            for i, (t, p) in enumerate(out):
+                merged.append((t, p))
+                if i + 1 < len(out) and (t in cset or out[i + 1][0] in cset):
+                    merged.append((f"{t}_{out[i + 1][0]}", p))
+            out = merged
         return out
 
     def analyze_batch(self, texts: pd.Series):
@@ -403,6 +451,21 @@ class Analyzer:
                 # ahead of the shingle sharing its (row, position)
                 order = np.lexsort((positions, row_index))
                 flat, row_index, positions = flat[order], row_index[order], positions[order]
+        if self.common_grams and flat.size > 1:
+            if self.common_grams_query:
+                raise NotImplementedError("common_grams_query is a query-time view (use tokens())")
+            cset = list(self.common_grams)
+            adj = (row_index[1:] == row_index[:-1]) & (positions[1:] == positions[:-1] + 1)
+            qual = adj & (np.isin(flat[:-1], cset) | np.isin(flat[1:], cset))
+            if qual.any():
+                left = pd.Series(flat[:-1][qual], dtype=object)
+                right = pd.Series(flat[1:][qual], dtype=object)
+                gram = left.str.cat(right, sep="_").to_numpy(dtype=object)
+                flat = np.concatenate([flat, gram])
+                row_index = np.concatenate([row_index, row_index[:-1][qual]])
+                positions = np.concatenate([positions, positions[:-1][qual]])
+                order = np.lexsort((positions, row_index))
+                flat, row_index, positions = flat[order], row_index[order], positions[order]
         if (self.ngrams or self.edge_ngrams) and flat.size:
             # expand through the batch dictionary (tokens repeat heavily);
             # every gram inherits its source token's (row, position)
@@ -468,6 +531,7 @@ class Analyzer:
             or self.shingles
             or self.ngrams
             or self.edge_ngrams
+            or self.common_grams
         ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
@@ -602,6 +666,18 @@ def shingle_analyzer() -> Analyzer:
     .../shingle/ShingleAnalyzerWrapper.java``): the oracle-parity simple
     chain plus 2-gram word shingles with unigrams."""
     return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0, shingles=True)
+
+
+def common_grams_analyzer(common_words: tuple) -> Analyzer:
+    """CommonGramsFilter over the simple chain (``reference lucene/analysis/
+    common/.../commongrams/CommonGramsFilter.java``)."""
+    return Analyzer(
+        pattern=_SIMPLE_PATTERN,
+        lowercase=True,
+        stopwords=frozenset(),
+        max_token_length=0,
+        common_grams=tuple(common_words),
+    )
 
 
 def ngram_analyzer(min_gram: int = 2, max_gram: int = 3) -> Analyzer:

@@ -135,3 +135,48 @@ def test_length_filter_and_keyword_marker():
     assert k.tokens("running jumping") == ["running", "jump"]
     flat, _, _, _ = k.analyze_batch_with_positions(pd.Series(["running jumping"]))
     assert list(flat) == ["running", "jump"]
+
+
+def test_common_grams_reference_example():
+    """CommonGramsFilter javadoc example: 'the rain in spain falls mainly'."""
+    cg = Analyzer(common_grams=("the", "in"), max_token_length=0)
+    assert cg.tokens("the rain in spain falls mainly") == [
+        "the", "the_rain", "rain", "rain_in", "in", "in_spain", "spain", "falls", "mainly",
+    ]
+    # grams share the first token's position (posIncrement 0)
+    assert cg.tokens_with_positions("the rain in spain") == [
+        ("the", 0), ("the_rain", 0), ("rain", 1), ("rain_in", 1),
+        ("in", 2), ("in_spain", 2), ("spain", 3),
+    ]
+    # CommonGramsQueryFilter: drop unigrams that joined a gram
+    q = Analyzer(common_grams=("the", "in"), common_grams_query=True, max_token_length=0)
+    assert q.tokens("the rain in spain falls mainly") == [
+        "the_rain", "rain_in", "in_spain", "falls", "mainly",
+    ]
+    assert q.tokens("the") == ["the"]  # lone common word survives
+    assert q.tokens("falls mainly") == ["falls", "mainly"]
+
+
+def test_common_grams_batch_parity_and_dl():
+    cg = Analyzer(common_grams=("the", "in"), max_token_length=0)
+    texts = ["the rain in spain falls mainly", "x y", "", "the the the"]
+    flat, rows, dl, pos = cg.analyze_batch_with_positions(pd.Series(texts))
+    got = [[] for _ in texts]
+    for t, r, p in zip(flat, rows, pos):
+        got[r].append((t, int(p)))
+    assert got == [cg.tokens_with_positions(t) for t in texts]
+    # grams are overlap tokens: dl counts unigrams only
+    assert list(dl) == [6, 2, 0, 3]
+
+
+def test_common_grams_validation():
+    with pytest.raises(ValueError):
+        Analyzer(common_grams=("the",), shingles=True, max_token_length=0, stopwords=frozenset())
+    with pytest.raises(ValueError):
+        Analyzer(common_grams=("the",))  # default max_token_length breaks hole-freeness
+    with pytest.raises(ValueError):
+        Analyzer(common_grams_query=True, max_token_length=0)
+    with pytest.raises(NotImplementedError):
+        Analyzer(
+            common_grams=("the",), common_grams_query=True, max_token_length=0
+        ).analyze_batch_with_positions(pd.Series(["the rain"]))
