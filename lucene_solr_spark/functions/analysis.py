@@ -153,6 +153,15 @@ class Analyzer:
     # (CommonGramsQueryFilter.java:28-40 example).
     common_grams: tuple = ()
     common_grams_query: bool = False
+    # PatternReplaceFilter (``reference lucene/analysis/common/src/java/org/
+    # apache/lucene/analysis/pattern/PatternReplaceFilter.java``): regex
+    # replace within each token (replaceAll when all=True, replaceFirst
+    # otherwise); strictly 1:1, so positions and field length are unchanged.
+    # Tuple (regex, replacement) or (regex, replacement, all). Applied after
+    # the stop filter, before stem/synonym (PatternReplaceFilterFactory's
+    # usual chain spot). Tokens replaced to '' are kept as empty terms by the
+    # reference; we mirror that (they still count toward dl).
+    pattern_replace: tuple = ()
     # KeywordMarkerFilter (``.../miscellaneous/SetKeywordMarkerFilter.java``):
     # terms in this set bypass the stemmer (KeywordAttribute contract the
     # stem filters honor). Tuple of protected terms (hashable).
@@ -216,6 +225,13 @@ class Analyzer:
 
     def _regex(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+    def _pat_replace(self, tok: str) -> str:
+        rx = re.compile(self.pattern_replace[0])
+        repl = self.pattern_replace[1]
+        if len(self.pattern_replace) > 2 and not self.pattern_replace[2]:
+            return rx.sub(repl, tok, count=1)  # replaceFirst
+        return rx.sub(repl, tok)  # replaceAll (the reference default)
 
     def _strip_poss(self, tok: str) -> str:
         if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in "'’＇":
@@ -281,6 +297,8 @@ class Analyzer:
                 tok = self._fold(tok)
             if tok in self.stopwords:
                 continue
+            if self.pattern_replace:
+                tok = self._pat_replace(tok)
             out.append(self._stem(tok))
         if self.token_map:
             m = self._syn_map()
@@ -334,6 +352,8 @@ class Analyzer:
                 tok = self._fold(tok)
             if tok in self.stopwords:
                 continue
+            if self.pattern_replace:
+                tok = self._pat_replace(tok)
             out.append((self._stem(tok), pos))
         if self.token_map:
             m = self._syn_map()
@@ -428,6 +448,9 @@ class Analyzer:
         flat = flat[keep]
         row_index = row_index[keep]
         positions = positions[keep]
+        if self.pattern_replace and flat.size:
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._pat_replace(u) for u in uniques], dtype=object)[codes]
         if self.stemmer is not None and flat.size:
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             flat = np.array([self._stem(u) for u in uniques], dtype=object)[codes]
@@ -532,6 +555,7 @@ class Analyzer:
             or self.ngrams
             or self.edge_ngrams
             or self.common_grams
+            or self.pattern_replace
         ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:

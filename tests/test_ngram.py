@@ -180,3 +180,20 @@ def test_common_grams_validation():
         Analyzer(
             common_grams=("the",), common_grams_query=True, max_token_length=0
         ).analyze_batch_with_positions(pd.Series(["the rain"]))
+
+
+def test_pattern_replace_filter():
+    """PatternReplaceFilter: per-token regex replace, 1:1 (positions and dl
+    unchanged); replaceAll default, replaceFirst with all=False."""
+    a = Analyzer(pattern_replace=(r"\d+", "#"))
+    assert a.tokens("abc123def x42 plain") == ["abc#def", "x#", "plain"]
+    first = Analyzer(pattern_replace=(r"o", "0", False))
+    assert first.tokens("foooo book") == ["f0ooo", "b0ok"]
+    flat, rows, dl, pos = a.analyze_batch_with_positions(pd.Series(["abc123def x42 plain", ""]))
+    assert list(flat) == ["abc#def", "x#", "plain"] and list(dl) == [3, 0] and list(pos) == [0, 1, 2]
+    # encoded path falls back and stays bit-identical
+    codes, uniques, _, dl2, _ = a.analyze_batch_encoded(pd.Series(["abc123def x42 plain", ""]))
+    assert list(uniques[codes]) == ["abc#def", "x#", "plain"] and list(dl2) == [3, 0]
+    # chain spot: replace BEFORE stemming
+    k = Analyzer(stemmer="porter", pattern_replace=(r"ization$", "ize"))
+    assert k.tokens("organization") == [__import__("lucene_solr_spark.functions.porterstem", fromlist=["porter_stem"]).porter_stem("organize")]
