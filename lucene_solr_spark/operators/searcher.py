@@ -1442,7 +1442,9 @@ class IndexSearcher:
         )
 
     # -------------------------------------------------------- pruned paths
-    def _pruned_or_terms(self, term_boosts: dict, k: int, stats: dict) -> Optional[DataFrame]:
+    def _pruned_or_terms(
+        self, term_boosts: dict, k: int, stats: dict, metrics_out: Optional[dict] = None
+    ) -> Optional[DataFrame]:
         """Two-pass block-max evaluation of a pure term disjunction
         (single TermQuery == 1-term disjunction). Returns None when pruning
         is not applicable/beneficial."""
@@ -1518,6 +1520,23 @@ class IndexSearcher:
         def slack_udf(term: pd.Series) -> pd.Series:
             return term.map(slack_map).astype("float32")
 
+        if metrics_out is not None:
+            # pruning observability (the ImpactsDISI skip-rate analog): one
+            # extra aggregation over block summaries, never over payloads
+            surv = (F.col("ub") + slack_udf("term")) >= F.lit(theta)
+            mrow = with_ub.select(
+                F.count("*").alias("blocks"),
+                F.sum(surv.cast("int")).alias("surv_blocks"),
+                F.sum("count").alias("postings"),
+                F.sum(F.when(surv, F.col("count")).otherwise(0)).alias("surv_postings"),
+            ).first()
+            metrics_out.update(
+                theta=float(theta),
+                blocks=int(mrow["blocks"]),
+                surviving_blocks=int(mrow["surv_blocks"]),
+                postings=int(mrow["postings"]),
+                surviving_postings=int(mrow["surv_postings"]),
+            )
         survivors = with_ub.filter((F.col("ub") + slack_udf("term")) >= F.lit(theta))
         unpack_fn = (
             _make_unpack_score_sim(weights, sim, self.index.config.codec)
@@ -1528,6 +1547,28 @@ class IndexSearcher:
             unpack_fn, schema=_SCORED_SCHEMA
         )
         return scored.groupBy("doc_id").agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+
+    def prune_metrics(self, query: Query, k: int = 10) -> dict:
+        """Block-max pruning observability for a term / pure-OR query: run
+        the two-pass evaluation and report how many block rows (and their
+        postings) survived the θ cut — the measurable counterpart of the
+        reference's ImpactsDISI block skipping (``ImpactsDISI.java:94-126``).
+        Returns ``pruning_applied=False`` when the cost gate chose the
+        exhaustive scan (below ``prune_min_postings``)."""
+        term_boosts = self._as_pure_or(query)
+        if term_boosts is None:
+            raise ValueError("prune metrics apply to TermQuery / pure SHOULD-of-terms queries")
+        stats = self._term_stats(set(term_boosts))
+        out: dict = {}
+        res = self._pruned_or_terms(term_boosts, k, stats, metrics_out=out)
+        if res is None or "blocks" not in out:
+            return {"pruning_applied": False}
+        out["pruning_applied"] = True
+        out["block_skip_rate"] = round(1.0 - out["surviving_blocks"] / max(out["blocks"], 1), 4)
+        out["posting_skip_rate"] = round(
+            1.0 - out["surviving_postings"] / max(out["postings"], 1), 4
+        )
+        return out
 
     @staticmethod
     def _as_pure_or(q: Query) -> Optional[dict]:

@@ -108,3 +108,28 @@ def test_prune_actually_skips_runs(index8, blooms, oracle):
     # and pruning with a nonsense term passes (almost surely) no runs
     ghost = prune_run_ids(blooms, ["zzqqxxyy_not_a_term_0427"])
     assert len(ghost) <= total_runs // 2
+
+
+def test_prune_metrics_observability(index8, spark_corpus, oracle):
+    """prune_metrics reports the θ block-skip rate and stays consistent with
+    the identical-results guarantee."""
+    s = IndexSearcher(index8, spark_corpus, prune_min_postings=0)
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    m = s.prune_metrics(TermQuery(hot), k=5)
+    assert m["pruning_applied"]
+    assert 0 < m["surviving_blocks"] <= m["blocks"]
+    assert 0 < m["surviving_postings"] <= m["postings"]
+    assert m["block_skip_rate"] == round(1 - m["surviving_blocks"] / m["blocks"], 4)
+    # the pruned evaluation still returns the exact same top-k
+    assert s.search(TermQuery(hot), 5, prune=True).collect() == s.search(
+        TermQuery(hot), 5, prune=False
+    ).collect()
+    # cost gate: huge threshold -> exhaustive scan, no metrics
+    gated = IndexSearcher(index8, spark_corpus, prune_min_postings=10**9)
+    assert gated.prune_metrics(TermQuery(hot), k=5) == {"pruning_applied": False}
+    import pytest as _pytest
+
+    from lucene_solr_spark.plans.query import PhraseQuery
+
+    with _pytest.raises(ValueError):
+        s.prune_metrics(PhraseQuery(("a", "b")))
