@@ -128,6 +128,29 @@ def pipeline_queries() -> dict:
 
     q["ta_stratified"] = ta_stratified
 
+    def ta_chunking(spark, sf_dir):
+        """Context-window chunking: 40-token windows with 8-token overlap,
+        doc-slice subset for bounded output."""
+        from .operators.chunking import chunk_documents
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+        out = chunk_documents(docs, max_tokens=40, overlap=8)
+        return out.orderBy("doc_id", "chunk_id")
+
+    q["ta_chunking"] = ta_chunking
+
+    def dd_survivors(spark, sf_dir):
+        """Dedup survivor selection: min-label components of the MinHash-LSH
+        candidate graph, survivor = highest n_chars (ties -> lowest id)."""
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        comp = dedup.duplicate_components(pairs)
+        quality = docs.select("doc_id", F.length("text").cast("long").alias("nch"))
+        out = dedup.select_survivors(comp, quality, "nch")
+        return out.select("doc_id", "component", "survivor").orderBy("doc_id")
+
+    q["dd_survivors"] = dd_survivors
+
     def dd_minhash_sigs(spark, sf_dir):
         sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
         return sigs.select("doc_id", *[F.col(f"sig_{i}").cast("long") for i in range(N_MINHASH)]).orderBy(
@@ -346,6 +369,44 @@ reach(a, b) AS (SELECT a, b FROM edges
                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT CAST(a AS BIGINT) AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
 FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+    # survivor selection over the same transitive closure: best (nch, -id)
+    o["dd_survivors"] = f"""
+WITH RECURSIVE {_SHINGLES.strip()},
+mh AS (SELECT doc_id, {sig_exprs} FROM shd GROUP BY doc_id),
+bands AS ({band_selects}),
+prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+cq AS (SELECT c.doc_id, c.component, length(d.text) AS nch
+       FROM comp c JOIN documents d USING (doc_id)),
+best AS (SELECT component, doc_id AS survivor,
+                row_number() OVER (PARTITION BY component ORDER BY nch DESC, doc_id ASC) AS rn
+         FROM cq)
+SELECT CAST(cq.doc_id AS BIGINT) AS doc_id, CAST(cq.component AS BIGINT) AS component,
+       CAST(b.survivor AS BIGINT) AS survivor
+FROM cq JOIN (SELECT component, survivor FROM best WHERE rn = 1) b USING (component)
+ORDER BY doc_id
+"""
+
+    # chunking: same token definition, starts = multiples of the stride,
+    # chunk text = space-joined 1-based inclusive list slice
+    o["ta_chunking"] = f"""
+WITH {_TOK},
+nz AS (SELECT doc_id, toks FROM tok2 WHERE len(toks) > 0 AND doc_id < 60),
+st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start_token FROM nz)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start_token // 32 AS INT) AS chunk_id,
+       CAST(start_token AS INT) AS start_token,
+       CAST(least(40, len(toks) - start_token) AS INT) AS n_tokens,
+       array_to_string(toks[start_token + 1 : start_token + 40], ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_id
 """
 
     _SIMHASH = f"""

@@ -361,3 +361,27 @@ def ngram_contamination(
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
     return sizes.join(hits, "doc_id", "left").fillna({"n_hits": 0})
+
+
+def select_survivors(
+    components: DataFrame, docs: DataFrame, quality_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pick one survivor per duplicate cluster by quality — the step after
+    :func:`duplicate_components` in every dedup pipeline (no reference
+    analog; task-brief training-pipeline surface).
+
+    Returns ``(doc_id, component, survivor)`` for every clustered doc, where
+    ``survivor`` is the member with the highest ``quality_col`` (ties broken
+    by lowest doc_id — deterministic).  Docs outside any cluster are their
+    own survivors by definition and are not returned.
+
+    One join to attach quality (clusters are tiny next to the corpus — the
+    corpus side is semi-filtered first) and one ``max_by`` aggregation per
+    component; the shuffle carries only clustered ids.
+    """
+    q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q"))
+    withq = components.join(q, "doc_id")
+    best = withq.groupBy("component").agg(
+        F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("survivor")
+    )
+    return components.join(best, "component").select("doc_id", "component", "survivor")

@@ -200,3 +200,50 @@ def test_stratified_sample_deterministic(spark):
         stratified_sample(df, "lang", {"en": 0})
     with _pytest.raises(ValueError):
         stratified_sample(df, "lang", {})
+
+
+def test_chunk_documents_brute(spark):
+    from lucene_solr_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, ""), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    }
+    def brute(text, mx=4, ov=1):
+        toks = text.lower().split()
+        out, step = {}, mx - ov
+        for ci, s in enumerate(range(0, len(toks), step)):
+            piece = toks[s : s + mx]
+            out[ci] = (s, len(piece), " ".join(piece))
+        return out
+    want = {}
+    for doc_id, text in [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (4, "a b c d e")]:
+        for ci, v in brute(text).items():
+            want[(doc_id, ci)] = v
+    assert got == want  # doc 3 (empty) emits nothing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    # shuffle-free plan: no Exchange in the explain
+    plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_select_survivors_brute(spark):
+    from lucene_solr_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(10, 5), (11, 9), (12, 9), (20, 3), (21, 1)], "doc_id long, q long"
+    )
+    got = {r["doc_id"]: r["survivor"] for r in select_survivors(comp, docs, "q").collect()}
+    # cluster 10: max q=9 tie between 11 and 12 -> lowest id 11
+    assert got == {10: 11, 11: 11, 12: 11, 20: 20, 21: 20}
