@@ -151,6 +151,29 @@ def pipeline_queries() -> dict:
 
     q["dd_survivors"] = dd_survivors
 
+    def ta_redact(spark, sf_dir):
+        """PII redaction over deterministically-synthesized contact lines
+        (the corpus itself is clean, so both engines inject the same PII
+        from the doc id before scrubbing)."""
+        from .functions.textstats import redact_pii
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+        salted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com see https://ex.org/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" call 555-000"),
+                F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+            ).alias("text"),
+        )
+        return redact_pii(salted).orderBy("doc_id")
+
+    q["ta_redact"] = ta_redact
+
     def dd_minhash_sigs(spark, sf_dir):
         sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
         return sigs.select("doc_id", *[F.col(f"sig_{i}").cast("long") for i in range(N_MINHASH)]).orderBy(
@@ -393,6 +416,26 @@ SELECT CAST(cq.doc_id AS BIGINT) AS doc_id, CAST(cq.component AS BIGINT) AS comp
        CAST(b.survivor AS BIGINT) AS survivor
 FROM cq JOIN (SELECT component, survivor FROM best WHERE rn = 1) b USING (component)
 ORDER BY doc_id
+"""
+
+    # PII redaction: the same pattern literals, replayed with DuckDB's
+    # regexp_extract_all / regexp_replace(..., 'g')
+    from .functions.textstats import PII_PATTERNS
+
+    _salted = (
+        "text || ' u' || CAST(doc_id AS VARCHAR) || '@example.com see https://ex.org/p/' "
+        "|| CAST(doc_id AS VARCHAR) || ' call 555-000' || lpad(CAST(doc_id AS VARCHAR), 5, '0')"
+    )
+    _counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}" for name, pat in PII_PATTERNS
+    )
+    _red = "t"
+    for _name, _pat in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_pat}', '<{_name.upper()}>', 'g')"
+    o["ta_redact"] = f"""
+WITH salted AS (SELECT doc_id, {_salted} AS t FROM documents WHERE doc_id < 50)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_counts}, {_red} AS redacted
+FROM salted ORDER BY doc_id
 """
 
     # chunking: same token definition, starts = multiples of the stride,

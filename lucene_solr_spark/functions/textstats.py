@@ -179,3 +179,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return spread_partitions(docs.select("doc_id", text_col)).mapInPandas(
         fn, schema="doc_id bigint, fp bigint"
     )
+
+
+# PII shapes with portable regex syntax (no lookarounds), so the EXACT same
+# patterns run in Spark and in the DuckDB oracle
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("longnum", r"[0-9][0-9 \-]{7,}[0-9]"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training-data release (no reference analog;
+    task-brief text-analysis surface): replace emails, URLs, and long digit
+    runs (phone/card shapes) with typed placeholders and report per-doc
+    match counts.
+
+    Returns ``(doc_id, n_email, n_url, n_longnum, redacted)``. Pure codegen
+    (regexp_count / regexp_replace) — shuffle-free map pass; the patterns
+    are shared literals so the correctness oracle replays them verbatim.
+    """
+    cols = [F.col("doc_id")]
+    for name, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}"))
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    cols.append(red.alias("redacted"))
+    return docs.select(*cols)

@@ -247,3 +247,25 @@ def test_select_survivors_brute(spark):
     got = {r["doc_id"]: r["survivor"] for r in select_survivors(comp, docs, "q").collect()}
     # cluster 10: max q=9 tie between 11 and 12 -> lowest id 11
     assert got == {10: 11, 11: 11, 12: 11, 20: 20, 21: 20}
+
+
+def test_redact_pii_brute(spark):
+    import re
+
+    from lucene_solr_spark.functions.textstats import PII_PATTERNS, redact_pii
+
+    rows = [
+        (1, "mail me at john.doe+x@corp.example.org or visit https://a.b/c?d=1 now"),
+        (2, "call 555 123-4567 89 or 4111 1111 1111 1111 thanks"),
+        (3, "clean text with no pii at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    for doc_id, text in rows:
+        red = text
+        for name, pat in PII_PATTERNS:
+            assert got[doc_id][f"n_{name}"] == len(re.findall(pat, text)), (doc_id, name)
+        for name, pat in PII_PATTERNS:
+            red = re.sub(pat, f"<{name.upper()}>", red)
+        assert got[doc_id]["redacted"] == red, doc_id
+    assert got[3]["redacted"] == rows[2][1]  # clean text untouched
