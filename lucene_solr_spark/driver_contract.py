@@ -44,6 +44,7 @@ from .functions.similarities import (
     IBSimilarity,
     IndependenceSaturated,
     LambdaTTF,
+    LegacyBM25Similarity,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,
     NormalizationH1,
@@ -766,6 +767,7 @@ def ft_queries() -> dict:
     )
     q["ft_dfi_sat_topk"] = _sim_search_q(TermQuery(HOT), lambda: DFISimilarity(IndependenceSaturated()))
     q["ft_ax_f1exp_topk"] = _sim_search_q(TermQuery(MID), AxiomaticF1EXPSimilarity)
+    q["ft_legacy_bm25_topk"] = _sim_search_q(TermQuery(MID), LegacyBM25Similarity)
     q["ft_ax_f3log_topk"] = _sim_search_q(TermQuery(HOT2), lambda: AxiomaticF3LOGSimilarity(0.25, 1))
 
     # CommonTermsQuery (queries/CommonTermsQuery.java): df-classified groups —
@@ -2453,6 +2455,19 @@ def ft_oracle_sql() -> dict:
             "CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term)"
         ],
         "SELECT term, df, ttf FROM hft ORDER BY ttf DESC, term DESC LIMIT 20",
+    )
+
+    # LegacyBM25 (misc/search/similarity/LegacyBM25Similarity.java:66-68):
+    # the BM25 scorer with boost·(1+k1) — f32(2.2)·idf replaces idf
+    lb_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    lb_w = _R(f"{_R(_R('1.0') + ' * ' + _R('1.0 + ' + _R('1.2')))} * {_idf('dfreq.df')}")
+    o["ft_legacy_bm25_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, {_R(f'{lb_w} * {lb_t32}')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{MID}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
     )
 
     # Axiomatic F3LOG (s=0.25, queryLen=1): gamma = ((dl−1)·s·1)/avgdl;

@@ -54,6 +54,7 @@ __all__ = [
     "AxiomaticF3EXPSimilarity",
     "AxiomaticF3LOGSimilarity",
     "SweetSpotSimilarity",
+    "LegacyBM25Similarity",
     "DFRSimilarity",
     "BasicModelIn",
     "BasicModelIF",
@@ -759,6 +760,43 @@ class AxiomaticF3LOGSimilarity(_AxiomaticF3):
 
     def _idf(self, df, doc_count):
         return np.log((doc_count + 1.0) / float(df))
+
+
+class LegacyBM25Similarity(Similarity):
+    """LegacyBM25Similarity (``reference lucene/misc/src/java/org/apache/
+    lucene/search/similarity/LegacyBM25Similarity.java:66-68``): classic BM25
+    WITH the (k1+1) numerator — implemented exactly as the reference does, by
+    delegating to the BM25 scorer with ``boost * (1 + k1)`` (float
+    arithmetic), so scores are the engine's BM25 scores scaled by f32(1+k1)
+    and ranks are identical."""
+
+    name = "legacy_bm25"
+    n_params = 2
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if not (k1 >= 0 and np.isfinite(k1)):
+            raise ValueError("illegal k1 value")
+        if not (0.0 <= b <= 1.0):
+            raise ValueError("b must be within [0, 1]")
+        self.k1 = float(np.float32(k1))
+        self.b = float(np.float32(b))
+        self._cache = None
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        from . import bm25
+
+        self._cache = bm25.norm_cache(
+            bm25.avg_field_length(sum_ttf, doc_count), self.k1, self.b
+        )
+        legacy = np.float32(boost) * (np.float32(1.0) + np.float32(self.k1))
+        w = np.float32(np.float32(legacy) * bm25.idf(df, doc_count))
+        return (float(w), 0.0)
+
+    def score(self, w1, w2, tfs, norms):
+        norm = self._cache[np.asarray(norms, dtype=np.int64) & 0xFF].astype(np.float64)
+        freq = np.asarray(tfs, dtype=np.float64)
+        t = (freq / (freq + norm)).astype(np.float32)
+        return (w1.astype(np.float32) * t).astype(np.float32)
 
 
 class SweetSpotSimilarity(ClassicSimilarity):

@@ -315,3 +315,29 @@ def test_boolean_and_synonym_under_5slot_sim(index8, spark_corpus, corpus_stats)
     }
     got = s.search(SynonymQuery([hot[0], hot[1]]), 10).collect()
     assert _brute_topk(expect) == [(d, sc) for d, sc in got]
+
+
+def test_legacy_bm25_is_scaled_bm25(index8, spark_corpus, corpus_stats):
+    """LegacyBM25 = BM25 scorer with boost·(1+k1): same ranks, scores equal
+    to f32(f32(2.2)·idf)·t32 — verified against the default-BM25 engine."""
+    from lucene_solr_spark.functions import bm25
+    from lucene_solr_spark.functions.similarities import LegacyBM25Similarity
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)[0]
+    legacy = IndexSearcher(
+        index8, spark_corpus, prune_min_postings=0, similarity=LegacyBM25Similarity()
+    )
+    default = IndexSearcher(index8, spark_corpus, prune_min_postings=0)
+    got = legacy.search(TermQuery(hot), 10).collect()
+    base = default.search(TermQuery(hot), 10).collect()
+    assert [d for d, _ in got] == [d for d, _ in base]  # rank identity
+    cache = bm25.norm_cache(bm25.avg_field_length(sttf, n_docs))
+    w = np.float32(np.float32(np.float32(1.0) * (np.float32(1.0) + np.float32(1.2))) * bm25.idf(df[hot], n_docs))
+    for d, sc in got:
+        t = np.float32(tf[(d, hot)] / (tf[(d, hot)] + float(np.float64(cache[norm[d]]))))
+        assert sc == float(np.float32(w * t)), d
+    with pytest.raises(ValueError):
+        LegacyBM25Similarity(k1=-1)
+    with pytest.raises(ValueError):
+        LegacyBM25Similarity(b=2.0)
