@@ -782,6 +782,22 @@ def ft_queries() -> dict:
         CoveringQuery((TermQuery(HOT), TermQuery(HOT2), TermQuery(MID)), "n_chars % 2 + 1")
     )
 
+    def agg_facet_query(spark, sf_dir):
+        """facet.query buckets over a base query: counts of (base AND
+        bucket), incl. a zero-count bucket, one plan for all buckets."""
+        s = doc_searcher(spark, sf_dir)
+        out = s.facet_query(
+            TermQuery(HOT),
+            {
+                "has_mid": TermQuery(MID),
+                "hot2_and_rare": BooleanQuery.build(must=[TermQuery(HOT2), TermQuery(RARE)]),
+                "ghost": TermQuery("zz_no_such_term"),
+            },
+        )
+        return out.orderBy("bucket")
+
+    q["agg_facet_query"] = agg_facet_query
+
     def ft_high_freq_terms(spark, sf_dir):
         """HighFreqTerms (``reference lucene/misc/.../HighFreqTerms.java``):
         top-20 dictionary terms by totalTermFreq (the -t comparator),
@@ -2446,6 +2462,23 @@ def ft_oracle_sql() -> dict:
             f"WHERE tf.term = '{MID}')"
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # facet.query: count of (base AND bucket) per named bucket, zero rows kept
+    o["agg_facet_query"] = _with(
+        [
+            f"basem AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT}')",
+            f"b1 AS (SELECT count(*) AS c FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{MID}') m JOIN basem USING (doc_id))",
+            f"b2 AS (SELECT count(*) AS c FROM ("
+            f"  SELECT a.doc_id FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{HOT2}') a "
+            f"  JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = '{RARE}') b USING (doc_id)"
+            f") m JOIN basem USING (doc_id))",
+        ],
+        "SELECT * FROM (VALUES"
+        " ('has_mid', CAST((SELECT c FROM b1) AS BIGINT)),"
+        " ('hot2_and_rare', CAST((SELECT c FROM b2) AS BIGINT)),"
+        " ('ghost', CAST(0 AS BIGINT))"
+        ") AS t(bucket, cnt) ORDER BY bucket",
     )
 
     # HighFreqTerms -t: top-20 by totalTermFreq, (ttf desc, term desc)

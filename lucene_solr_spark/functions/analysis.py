@@ -162,6 +162,12 @@ class Analyzer:
     # usual chain spot). Tokens replaced to '' are kept as empty terms by the
     # reference; we mirror that (they still count toward dl).
     pattern_replace: tuple = ()
+    # TruncateTokenFilter (``reference lucene/analysis/common/src/java/org/
+    # apache/lucene/analysis/miscellaneous/TruncateTokenFilter.java``): cap
+    # every non-keyword token at this many leading characters (1:1, positions
+    # and field length unchanged); keyword_terms are exempt (the filter
+    # honors KeywordAttribute). 0 = off.
+    truncate: int = 0
     # KeywordMarkerFilter (``.../miscellaneous/SetKeywordMarkerFilter.java``):
     # terms in this set bypass the stemmer (KeywordAttribute contract the
     # stem filters honor). Tuple of protected terms (hashable).
@@ -225,6 +231,11 @@ class Analyzer:
 
     def _regex(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+    def _truncate(self, tok: str) -> str:
+        if self.keyword_terms and tok in self.keyword_terms:
+            return tok  # KeywordAttribute exemption
+        return tok[: self.truncate]
 
     def _pat_replace(self, tok: str) -> str:
         rx = re.compile(self.pattern_replace[0])
@@ -299,6 +310,8 @@ class Analyzer:
                 continue
             if self.pattern_replace:
                 tok = self._pat_replace(tok)
+            if self.truncate:
+                tok = self._truncate(tok)
             out.append(self._stem(tok))
         if self.token_map:
             m = self._syn_map()
@@ -354,6 +367,8 @@ class Analyzer:
                 continue
             if self.pattern_replace:
                 tok = self._pat_replace(tok)
+            if self.truncate:
+                tok = self._truncate(tok)
             out.append((self._stem(tok), pos))
         if self.token_map:
             m = self._syn_map()
@@ -451,6 +466,9 @@ class Analyzer:
         if self.pattern_replace and flat.size:
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             flat = np.array([self._pat_replace(u) for u in uniques], dtype=object)[codes]
+        if self.truncate and flat.size:
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._truncate(u) for u in uniques], dtype=object)[codes]
         if self.stemmer is not None and flat.size:
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             flat = np.array([self._stem(u) for u in uniques], dtype=object)[codes]
@@ -556,6 +574,7 @@ class Analyzer:
             or self.edge_ngrams
             or self.common_grams
             or self.pattern_replace
+            or self.truncate
         ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:

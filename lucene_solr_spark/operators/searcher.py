@@ -1892,6 +1892,36 @@ class IndexSearcher:
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
 
+    def facet_query(self, base: Optional[Query], queries: dict) -> DataFrame:
+        """``facet.query`` (``reference solr/core/src/java/org/apache/solr/
+        handler/component/FacetComponent.java`` getFacetQueryCounts):
+        arbitrary-query facet buckets — the hit count of (base AND bucket
+        query) per named bucket.  ``base=None`` counts each bucket over the
+        whole collection.
+
+        One plan for ALL buckets: each bucket's matched doc set is tagged
+        with its name, unioned, and counted in a single groupBy — N facet
+        queries cost one job, not N (the reference likewise answers them
+        from one cached base DocSet)."""
+        base_ids = None
+        if base is not None:
+            stats = self._term_stats(base.terms())
+            base_ids = self._evaluate(base, 1.0, stats).select("doc_id").distinct()
+        tagged = None
+        for name, q in queries.items():
+            stats = self._term_stats(q.terms())
+            ids = self._evaluate(q, 1.0, stats).select("doc_id").distinct()
+            if base_ids is not None:
+                ids = ids.join(base_ids, "doc_id", "left_semi")
+            t = ids.select(F.lit(name).alias("bucket"), "doc_id")
+            tagged = t if tagged is None else tagged.unionByName(t)
+        if tagged is None:
+            return self.spark.createDataFrame([], "bucket string, cnt bigint")
+        counts = tagged.groupBy("bucket").agg(F.count("*").cast("bigint").alias("cnt"))
+        # zero-count buckets still appear (the reference reports every facet.query)
+        names = self.spark.createDataFrame([(n,) for n in queries], "bucket string")
+        return names.join(counts, "bucket", "left").fillna({"cnt": 0})
+
     def complex_phrase_query(self, phrase: str, slop: int = 0, in_order: bool = True):
         """ComplexPhraseQueryParser analog (``reference lucene/queryparser/
         src/java/org/apache/lucene/queryparser/complexPhrase/

@@ -133,3 +133,24 @@ def test_prune_metrics_observability(index8, spark_corpus, oracle):
 
     with _pytest.raises(ValueError):
         s.prune_metrics(PhraseQuery(("a", "b")))
+
+
+def test_facet_query_buckets(index8, spark_corpus, oracle):
+    """facet.query: (base AND bucket) counts incl. zero buckets, one plan."""
+    s = IndexSearcher(index8, spark_corpus)
+    terms = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    base, b1, b2 = terms[0], terms[1], terms[2]
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in s.facet_query(
+            TermQuery(base),
+            {"one": TermQuery(b1), "and2": BooleanQuery.build(must=[TermQuery(b1), TermQuery(b2)]), "ghost": TermQuery("zz_nothing")},
+        ).collect()
+    }
+    base_set = set(oracle.postings[base])
+    s1 = set(oracle.postings[b1]) & base_set
+    s2 = set(oracle.postings[b1]) & set(oracle.postings[b2]) & base_set
+    assert got == {"one": len(s1), "and2": len(s2), "ghost": 0}
+    # base=None counts over the whole collection
+    got2 = {r["bucket"]: r["cnt"] for r in s.facet_query(None, {"one": TermQuery(b1)}).collect()}
+    assert got2 == {"one": len(oracle.postings[b1])}

@@ -197,3 +197,14 @@ def test_pattern_replace_filter():
     # chain spot: replace BEFORE stemming
     k = Analyzer(stemmer="porter", pattern_replace=(r"ization$", "ize"))
     assert k.tokens("organization") == [__import__("lucene_solr_spark.functions.porterstem", fromlist=["porter_stem"]).porter_stem("organize")]
+
+
+def test_truncate_token_filter():
+    """TruncateTokenFilter: cap tokens at n chars; keyword terms exempt."""
+    a = Analyzer(truncate=4, keyword_terms=("protected",))
+    assert a.tokens("abcdefgh ab protected") == ["abcd", "ab", "protected"]
+    flat, _, dl, pos = a.analyze_batch_with_positions(pd.Series(["abcdefgh ab protected"]))
+    assert list(flat) == ["abcd", "ab", "protected"] and list(dl) == [3]
+    # encoded fast path falls back bit-identically
+    codes, uniques, _, _, _ = a.analyze_batch_encoded(pd.Series(["abcdefgh ab protected"]))
+    assert list(uniques[codes]) == ["abcd", "ab", "protected"]
