@@ -46,6 +46,7 @@ from .functions.similarities import (
     LambdaTTF,
     LegacyBM25Similarity,
     LMDirichletSimilarity,
+    MultiSimilarity,
     LMJelinekMercerSimilarity,
     NormalizationH1,
     NormalizationH2,
@@ -768,6 +769,9 @@ def ft_queries() -> dict:
     q["ft_dfi_sat_topk"] = _sim_search_q(TermQuery(HOT), lambda: DFISimilarity(IndependenceSaturated()))
     q["ft_ax_f1exp_topk"] = _sim_search_q(TermQuery(MID), AxiomaticF1EXPSimilarity)
     q["ft_legacy_bm25_topk"] = _sim_search_q(TermQuery(MID), LegacyBM25Similarity)
+    q["ft_multisim_topk"] = _sim_search_q(
+        TermQuery(HOT2), lambda: MultiSimilarity([ClassicSimilarity(), BooleanSimilarity()])
+    )
     q["ft_ax_f3log_topk"] = _sim_search_q(TermQuery(HOT2), lambda: AxiomaticF3LOGSimilarity(0.25, 1))
 
     # CommonTermsQuery (queries/CommonTermsQuery.java): df-classified groups —
@@ -2510,6 +2514,20 @@ def ft_oracle_sql() -> dict:
         [
             f"sc AS (SELECT tf.doc_id AS doc_id, "
             f"{_R(f'greatest({ax1_t} * {ax_f2log_idf} - {ax3_gamma}, 0.0)')} AS score "
+            f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.term = '{HOT2}')"
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # MultiSimilarity(Classic, Boolean): float32 running sum of sub-scores
+    # (MultiSimilarity.java:66-71) — f32(classic + 1.0f)
+    ms_idf = _R("ln(((SELECT n FROM st) + 1) / (dfreq.df + 1)) + 1.0")
+    ms_raw = _R(f"{_R('sqrt(tf.tf)')} * {ms_idf}")
+    ms_classic = _R(f"{ms_raw} * {_R('1.0 / sqrt(dlq.dlq)')}")
+    o["ft_multisim_topk"] = _with(
+        [
+            f"sc AS (SELECT tf.doc_id AS doc_id, {_R(ms_classic + ' + ' + _R('1.0'))} AS score "
             f"FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
             f"WHERE tf.term = '{HOT2}')"
         ],

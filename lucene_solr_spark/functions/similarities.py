@@ -55,6 +55,7 @@ __all__ = [
     "AxiomaticF3LOGSimilarity",
     "SweetSpotSimilarity",
     "LegacyBM25Similarity",
+    "MultiSimilarity",
     "DFRSimilarity",
     "BasicModelIn",
     "BasicModelIF",
@@ -797,6 +798,37 @@ class LegacyBM25Similarity(Similarity):
         freq = np.asarray(tfs, dtype=np.float64)
         t = (freq / (freq + norm)).astype(np.float32)
         return (w1.astype(np.float32) * t).astype(np.float32)
+
+
+class MultiSimilarity(Similarity):
+    """MultiSimilarity (``reference search/similarities/MultiSimilarity.java:
+    50-71``): the float32 RUNNING SUM of the sub-similarities' scores for the
+    same (freq, norm) — each sub-scorer built with the same boost/stats. The
+    n-slot plumbing concatenates the subs' term-param tuples."""
+
+    def __init__(self, sims: list):
+        if not sims:
+            raise ValueError("need at least one sub-similarity")
+        self.sims = list(sims)
+        self.n_params = sum(getattr(s, "n_params", 2) for s in self.sims)
+        self.name = "multi(" + ",".join(s.name for s in self.sims) + ")"
+
+    def term_params(self, boost, df, ttf, doc_count, sum_ttf):
+        out = []
+        for s in self.sims:
+            out.extend(s.term_params(boost, df, ttf, doc_count, sum_ttf))
+        return tuple(out)
+
+    def score(self, *args):
+        ws, tfs, norms = args[:-2], args[-2], args[-1]
+        acc = None
+        i = 0
+        for s in self.sims:
+            k = getattr(s, "n_params", 2)
+            sub = s.score(*ws[i : i + k], tfs, norms).astype(np.float32)
+            acc = sub if acc is None else (acc + sub).astype(np.float32)
+            i += k
+        return acc
 
 
 class SweetSpotSimilarity(ClassicSimilarity):

@@ -341,3 +341,49 @@ def test_legacy_bm25_is_scaled_bm25(index8, spark_corpus, corpus_stats):
         LegacyBM25Similarity(k1=-1)
     with pytest.raises(ValueError):
         LegacyBM25Similarity(b=2.0)
+
+
+def test_multi_similarity_sum(index8, spark_corpus, corpus_stats):
+    """MultiSimilarity: float32 RUNNING SUM of sub-scores (not an average) —
+    verified against Classic+Boolean recomputed here, incl. a 5-slot DFR sub
+    through the concatenated-slot plumbing."""
+    from lucene_solr_spark.functions.similarities import (
+        BooleanSimilarity,
+        ClassicSimilarity,
+        MultiSimilarity,
+    )
+    from test_similarities import _classic_score
+
+    tf, df, ttf, norm, n_docs, sttf = corpus_stats
+    hot = _hot_terms(df)[1]
+    s = IndexSearcher(
+        index8,
+        spark_corpus,
+        prune_min_postings=0,
+        similarity=MultiSimilarity([ClassicSimilarity(), BooleanSimilarity()]),
+    )
+    expect = {
+        d: float(np.float32(_classic_score(f, df[hot], norm[d], n_docs) + np.float32(1.0)))
+        for (d, t), f in tf.items()
+        if t == hot
+    }
+    _check_term(s, hot, expect)
+
+    # heterogeneous slot widths: Classic (2 slots) + DFR G/B/H1 (5 slots)
+    m = MultiSimilarity(
+        [ClassicSimilarity(), DFRSimilarity(BasicModelG(), AfterEffectB(), NormalizationH1())]
+    )
+    s2 = IndexSearcher(index8, spark_corpus, prune_min_postings=0, similarity=m)
+    expect2 = {
+        d: float(
+            np.float32(
+                np.float32(_classic_score(f, df[hot], norm[d], n_docs))
+                + np.float32(_dfr_score("g", "b", "h1", f, df[hot], ttf[hot], norm[d], n_docs, sttf))
+            )
+        )
+        for (d, t), f in tf.items()
+        if t == hot
+    }
+    _check_term(s2, hot, expect2)
+    with pytest.raises(ValueError):
+        MultiSimilarity([])
