@@ -636,3 +636,71 @@ def split_index(index: InvertedIndex, boundaries: list[int]) -> list[InvertedInd
             )
         )
     return out
+
+
+@dataclass
+class LogDocMergePolicy:
+    """The classic pre-Tiered merge geometry — ``reference lucene/core/src/
+    java/org/apache/lucene/index/LogMergePolicy.java:176-263`` findMerges
+    with the LogDocMergePolicy size measure (postings count): quantize each
+    run's log_mergeFactor(size) into levels (a level spans LEVEL_LOG_SPAN =
+    0.75 below the running maximum, floored at log(min_merge_size)), then
+    record every full window of ``merge_factor`` consecutive runs inside a
+    level, skipping windows containing a run at/over ``max_merge_size``.
+
+    Driver-side planner over the run manifest, interchangeable with
+    TieredMergePolicy in :func:`maybe_merge` (``find_merges`` returns the
+    first viable window per call; the merge loop re-plans each round).
+    """
+
+    merge_factor: int = 10  # DEFAULT_MERGE_FACTOR (LogMergePolicy.java:58)
+    min_merge_size: float = 0.0
+    max_merge_size: float = float("inf")
+
+    LEVEL_LOG_SPAN = 0.75
+
+    def __post_init__(self):
+        if self.merge_factor < 2:
+            raise ValueError("mergeFactor cannot be less than 2")
+
+    def _size(self, run: RunInfo) -> float:
+        return float(max(run.n_postings, 1))
+
+    def find_all_merges(self, runs: list[RunInfo]) -> list[list[RunInfo]]:
+        """The full MergeSpecification for one findMerges call."""
+        import math as _m
+
+        n = len(runs)
+        if n == 0:
+            return []
+        norm = _m.log(self.merge_factor)
+        levels = [_m.log(self._size(r)) / norm for r in runs]
+        level_floor = 0.0 if self.min_merge_size <= 0 else _m.log(self.min_merge_size) / norm
+
+        spec: list[list[RunInfo]] = []
+        start = 0
+        while start < n:
+            max_level = max(levels[start:])
+            if max_level <= level_floor:
+                level_bottom = -1.0
+            else:
+                level_bottom = max_level - self.LEVEL_LOG_SPAN
+                if level_bottom < level_floor and max_level >= level_floor:
+                    level_bottom = level_floor
+            upto = n - 1
+            while upto >= start and levels[upto] < level_bottom:
+                upto -= 1
+            end = start + self.merge_factor
+            while end <= upto + 1:
+                if not any(self._size(runs[i]) >= self.max_merge_size for i in range(start, end)):
+                    spec.append(runs[start:end])
+                start = end
+                end = start + self.merge_factor
+            start = upto + 1
+        return spec
+
+    def find_merges(self, runs: list[RunInfo]) -> Optional[list[RunInfo]]:
+        """maybe_merge-compatible: the first viable window (re-planned each
+        merge round, so the full spec still executes)."""
+        spec = self.find_all_merges(runs)
+        return spec[0] if spec else None

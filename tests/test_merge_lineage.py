@@ -160,3 +160,53 @@ def test_resumable_build_and_restart(spark, spark_corpus, searcher, tmp_path_fac
     n_runs_before = idx.postings.select("run_id").distinct().count()
     idx2 = resumable_build(spark_corpus, path, 4, cfg)
     assert idx2.postings.select("run_id").distinct().count() == n_runs_before
+
+
+def test_log_doc_merge_policy_geometry():
+    """LogMergePolicy.findMerges level quantization (LogMergePolicy.java:
+    176-263): full windows per level, oversized-window skip, level floor."""
+    from lucene_solr_spark.operators.merge import LogDocMergePolicy, RunInfo
+
+    p = LogDocMergePolicy(merge_factor=10)
+    same = lambda n, sz=100: [RunInfo(i, 10 * sz, sz) for i in range(n)]  # noqa: E731
+    # 10 equal runs -> one full window; 9 -> none; 25 -> two windows + tail
+    assert [[r.run_id for r in m] for m in p.find_all_merges(same(10))] == [list(range(10))]
+    assert p.find_all_merges(same(9)) == []
+    assert [[r.run_id for r in m] for m in p.find_all_merges(same(25))] == [
+        list(range(10)),
+        list(range(10, 20)),
+    ]
+    # a huge head run sits in its own level; the small tail still merges
+    mixed = [RunInfo(0, 1, 10**8)] + [RunInfo(i, 1, 100) for i in range(1, 12)]
+    assert [[r.run_id for r in m] for m in p.find_all_merges(mixed)] == [list(range(1, 11))]
+    # windows containing a run at/over max_merge_size are skipped
+    cap = LogDocMergePolicy(merge_factor=3, max_merge_size=1000)
+    runs = [RunInfo(0, 1, 2000)] + [RunInfo(i, 1, 100) for i in range(1, 5)]
+    assert [[r.run_id for r in m] for m in cap.find_all_merges(runs)] == [[1, 2, 3]]
+    # min_merge_size floors all tiny runs into one level
+    floor = LogDocMergePolicy(merge_factor=4, min_merge_size=1000)
+    tiny = [RunInfo(i, 1, 2 ** (i % 5)) for i in range(8)]
+    assert [[r.run_id for r in m] for m in floor.find_all_merges(tiny)] == [
+        [0, 1, 2, 3],
+        [4, 5, 6, 7],
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        LogDocMergePolicy(merge_factor=1)
+
+
+def test_log_doc_merge_policy_end_to_end(index8, spark_corpus, oracle):
+    """maybe_merge with the Log policy: fewer runs, rank-identical search."""
+    from lucene_solr_spark.operators.merge import LogDocMergePolicy, maybe_merge, run_manifest
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import TermQuery
+
+    merged = maybe_merge(index8, LogDocMergePolicy(merge_factor=4))
+    n_before = len(run_manifest(index8))
+    n_after = len(run_manifest(merged))
+    assert n_after < n_before
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    a = IndexSearcher(index8, spark_corpus).search(TermQuery(hot), 10).collect()
+    b = IndexSearcher(merged, spark_corpus).search(TermQuery(hot), 10).collect()
+    assert a == b
