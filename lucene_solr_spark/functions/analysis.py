@@ -168,6 +168,12 @@ class Analyzer:
     # and field length unchanged); keyword_terms are exempt (the filter
     # honors KeywordAttribute). 0 = off.
     truncate: int = 0
+    # ElisionFilter (``reference lucene/analysis/common/src/java/org/apache/
+    # lucene/analysis/util/ElisionFilter.java:51-70``): when a token contains
+    # an apostrophe (' or U+2019) and the prefix before the FIRST apostrophe
+    # is a listed article, strip prefix + apostrophe (l'avion -> avion).
+    # FrenchAnalyzer.DEFAULT_ARTICLES via ``french_elision_articles()``. 1:1.
+    elision: tuple = ()
     # KeywordMarkerFilter (``.../miscellaneous/SetKeywordMarkerFilter.java``):
     # terms in this set bypass the stemmer (KeywordAttribute contract the
     # stem filters honor). Tuple of protected terms (hashable).
@@ -231,6 +237,14 @@ class Analyzer:
 
     def _regex(self) -> re.Pattern:
         return re.compile(self.pattern, re.UNICODE)
+
+    def _elide(self, tok: str) -> str:
+        for i, ch in enumerate(tok):
+            if ch == "'" or ch == "\u2019":
+                if tok[:i] in self.elision:
+                    return tok[i + 1 :]
+                return tok
+        return tok
 
     def _truncate(self, tok: str) -> str:
         if self.keyword_terms and tok in self.keyword_terms:
@@ -302,6 +316,8 @@ class Analyzer:
                 continue
             if self.length_filter and not (self.length_filter[0] <= len(tok) <= self.length_filter[1]):
                 continue  # LengthFilter hole (position-preserving)  # skipped but positions advance (not modeled here)
+            if self.elision:
+                tok = self._elide(tok)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
             if self.ascii_folding:
@@ -359,6 +375,8 @@ class Analyzer:
                 continue
             if self.length_filter and not (self.length_filter[0] <= len(tok) <= self.length_filter[1]):
                 continue  # LengthFilter hole (position-preserving)
+            if self.elision:
+                tok = self._elide(tok)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
             if self.ascii_folding:
@@ -450,6 +468,9 @@ class Analyzer:
                 keep &= lens <= self.max_token_length
             if self.length_filter:
                 keep &= (lens >= self.length_filter[0]) & (lens <= self.length_filter[1])
+        if self.elision and flat.size:
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            flat = np.array([self._elide(u) for u in uniques], dtype=object)[codes]
         if self.strip_possessive:
             # transform on the batch dictionary, gather back (tokens are
             # heavily repeated; the dictionary is small)
@@ -575,6 +596,7 @@ class Analyzer:
             or self.common_grams
             or self.pattern_replace
             or self.truncate
+            or self.elision
         ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
@@ -709,6 +731,11 @@ def shingle_analyzer() -> Analyzer:
     .../shingle/ShingleAnalyzerWrapper.java``): the oracle-parity simple
     chain plus 2-gram word shingles with unigrams."""
     return Analyzer(pattern=_SIMPLE_PATTERN, lowercase=True, stopwords=frozenset(), max_token_length=0, shingles=True)
+
+
+def french_elision_articles() -> tuple:
+    """FrenchAnalyzer.DEFAULT_ARTICLES (FrenchAnalyzer.java:60-63)."""
+    return ("l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu", "lorsqu", "puisqu")
 
 
 def common_grams_analyzer(common_words: tuple) -> Analyzer:

@@ -208,3 +208,17 @@ def test_truncate_token_filter():
     # encoded fast path falls back bit-identically
     codes, uniques, _, _, _ = a.analyze_batch_encoded(pd.Series(["abcdefgh ab protected"]))
     assert list(uniques[codes]) == ["abcd", "ab", "protected"]
+
+
+def test_elision_filter():
+    """ElisionFilter: strip listed article + apostrophe (both ' and U+2019);
+    non-article prefixes untouched (ElisionFilter.java:51-70)."""
+    from lucene_solr_spark.functions.analysis import french_elision_articles
+
+    a = Analyzer(elision=french_elision_articles())
+    assert a.tokens("l'avion d'abord xyz'rest qu'il jusqu'au") == [
+        "avion", "abord", "xyz'rest", "il", "au",
+    ]
+    assert a.tokens("c’est") == ["est"]  # U+2019 apostrophe
+    flat, _, dl, _ = a.analyze_batch_with_positions(pd.Series(["l'avion d'abord xyz'rest"]))
+    assert list(flat) == ["avion", "abord", "xyz'rest"] and list(dl) == [3]
