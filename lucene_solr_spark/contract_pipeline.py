@@ -438,12 +438,15 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {_counts}, {_red} AS redacted
 FROM salted ORDER BY doc_id
 """
 
-    # chunking: same token definition, starts = multiples of the stride,
-    # chunk text = space-joined 1-based inclusive list slice
+    # chunking: same token definition, starts = multiples of the stride up to
+    # the first window covering the tail (start + overlap < len — no trailing
+    # window that is a pure suffix of its predecessor), chunk text =
+    # space-joined 1-based inclusive list slice
     o["ta_chunking"] = f"""
 WITH {_TOK},
 nz AS (SELECT doc_id, toks FROM tok2 WHERE len(toks) > 0 AND doc_id < 60),
-st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start_token FROM nz)
+st AS (SELECT doc_id, toks,
+              unnest(range(0, greatest(len(toks) - 9, 0) + 1, 32)) AS start_token FROM nz)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(start_token // 32 AS INT) AS chunk_id,
        CAST(start_token AS INT) AS start_token,

@@ -42,6 +42,7 @@ __all__ = [
     "build_term_blooms",
     "may_contain",
     "prune_run_ids",
+    "rejected_run_ids",
 ]
 
 _SEED = 0x9747B28C  # MurmurHash2.hash32 (MurmurHash2.java:92-94)
@@ -161,9 +162,41 @@ def prune_run_ids(blooms: DataFrame, terms: list) -> Optional[list]:
     """Runs that MAY contain at least one of ``terms``: hash the query terms
     once on the driver, probe every run's bitmap in one distributed Arrow
     pass over the (tiny) bloom table, and collect the surviving run_ids.
-    Returns None when ``terms`` is empty (no pruning)."""
+    Returns None when ``terms`` is empty (no pruning).
+
+    NOTE: only runs PRESENT in ``blooms`` can pass — a run missing from the
+    table is silently dropped by a ``run_id IN (passing)`` predicate.  Query
+    paths must use :func:`rejected_run_ids` (fail-open for uncovered runs)
+    unless they have asserted full coverage."""
     if not terms:
         return None
+    rows = (
+        blooms.where(_probe_any(terms)(F.col("bloom_size"), F.col("bits")))
+        .select("run_id")
+        .collect()
+    )
+    return [r["run_id"] for r in rows]
+
+
+def rejected_run_ids(blooms: DataFrame, terms: list) -> list:
+    """Runs whose bloom DEFINITIVELY rejects every query term (bloom NO is
+    the only definitive answer — FuzzySet.java:215-241).  The caller excludes
+    these with ``NOT run_id IN (rejected)``, which FAILS OPEN for runs absent
+    from the bloom table (e.g. a bloom built before newer runs were flushed or
+    merged): an uncovered run is never pruned, preserving set_term_blooms'
+    "results are identical with or without" contract."""
+    if not terms:
+        return []
+    rows = (
+        blooms.where(~_probe_any(terms)(F.col("bloom_size"), F.col("bits")))
+        .select("run_id")
+        .collect()
+    )
+    return [r["run_id"] for r in rows]
+
+
+def _probe_any(terms: list):
+    """Pandas UDF: does ANY query-term hash hit this run's bitmap?"""
     hashes = [positive_hash(murmurhash2(t.encode("utf-8"))) for t in terms]
 
     @F.pandas_udf("boolean")
@@ -180,5 +213,4 @@ def prune_run_ids(blooms: DataFrame, terms: list) -> Optional[list]:
             out.append(hit)
         return pd.Series(out)
 
-    rows = blooms.where(probe(F.col("bloom_size"), F.col("bits"))).select("run_id").collect()
-    return [r["run_id"] for r in rows]
+    return probe

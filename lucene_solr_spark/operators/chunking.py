@@ -31,7 +31,14 @@ def chunk_documents(
     """Split each doc into windows of ``max_tokens`` tokens advancing by
     ``max_tokens - overlap``: ``(doc_id, chunk_id, start_token, n_tokens,
     chunk_text)``.  The final window may be shorter; empty docs emit
-    nothing. ``0 <= overlap < max_tokens`` (the stride must advance)."""
+    nothing. ``0 <= overlap < max_tokens`` (the stride must advance).
+
+    The start sequence stops at the FIRST window that covers the token tail:
+    a start is emitted only while ``start + overlap < size`` (bound
+    ``size - overlap - 1``), so with overlap > 0 no trailing window is a pure
+    suffix of its predecessor (e.g. 10 tokens / max 8 / overlap 4 emits
+    [0,8) and [4,10) — never a redundant [8,10) that would duplicate text in
+    training-data output)."""
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     if not (0 <= overlap < max_tokens):
@@ -41,7 +48,7 @@ def chunk_documents(
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).where(
         F.size("_toks") > 0
     )
-    starts = F.expr(f"sequence(0, size(_toks) - 1, {step})")
+    starts = F.expr(f"sequence(0, greatest(size(_toks) - {overlap} - 1, 0), {step})")
     exploded = base.select("doc_id", "_toks", F.posexplode(starts).alias("chunk_id", "start_token"))
     piece = F.expr(f"slice(_toks, start_token + 1, {max_tokens})")
     return exploded.select(

@@ -229,8 +229,13 @@ def graph_query(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    depth = 1
-    while (max_depth == -1 or depth < max_depth) and frontier.limit(1).count() > 0:
+    # Depth convention matches the reference (GraphQuery.java:188-232):
+    # currentDepth=0 collects the roots, then the loop breaks only AFTER
+    # collecting the level where currentDepth >= maxDepth — so maxDepth=N
+    # returns the roots plus N hop levels.  Here ``hops`` counts completed
+    # hop levels, so we keep hopping while hops < max_depth.
+    hops = 0
+    while (max_depth == -1 or hops < max_depth) and frontier.limit(1).count() > 0:
         hop = docs.join(
             F.broadcast(frontier.select(F.col("val").alias("_f"))),
             F.col(from_col).cast("string") == F.col("_f"),
@@ -248,7 +253,7 @@ def graph_query(
             .select("val")
             .localCheckpoint(eager=True)
         )
-        depth += 1
+        hops += 1
 
     out = matched[0]
     for m in matched[1:]:

@@ -41,7 +41,10 @@ def stratified_sample(
     back for any partitioning, executor count, or run."""
     if not rates and default_rate is None:
         raise ValueError("need at least one stratum rate")
-    for r in list(rates.values()) + ([default_rate] if default_rate else []):
+    # `is not None`, not truthiness: default_rate=0 must hit the >= 1 check
+    # below (Spark's `h % 0` yields NULL and would silently drop every
+    # non-listed stratum instead of raising)
+    for r in list(rates.values()) + ([default_rate] if default_rate is not None else []):
         if int(r) < 1:
             raise ValueError("rates must be >= 1")
     h = sample_hash(F.col(id_col))

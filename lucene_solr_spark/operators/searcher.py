@@ -250,16 +250,21 @@ class IndexSearcher:
     def _postings_for(self, terms: list) -> DataFrame:
         """Postings blocks for the given terms, bloom-pruned by run when a
         bloom table is attached: one tiny job over the (runs-sized) bloom
-        table resolves the surviving run_ids, then the scan predicate becomes
-        ``term IN (...) AND run_id IN (...)`` — row groups of runs that
-        provably lack every term are never read."""
+        table resolves the definitively-rejecting run_ids, then the scan
+        predicate becomes ``term IN (...) AND NOT run_id IN (rejected)`` —
+        row groups of runs that provably lack every term are never read,
+        while runs the bloom table doesn't cover are left alone."""
         blocks = self.index.postings.filter(F.col("term").isin(list(terms)))
         if self._term_blooms is not None:
-            from .bloom import prune_run_ids
+            from .bloom import rejected_run_ids
 
-            passing = prune_run_ids(self._term_blooms, list(terms))
-            if passing is not None:
-                blocks = blocks.filter(F.col("run_id").isin(passing))
+            # Exclude only runs whose bloom DEFINITIVELY rejects every term.
+            # A run absent from the bloom table (built before newer runs were
+            # flushed/merged) is never pruned — fail-open keeps results
+            # identical with or without the bloom attached.
+            rejected = rejected_run_ids(self._term_blooms, list(terms))
+            if rejected:
+                blocks = blocks.filter(~F.col("run_id").isin(rejected))
         return blocks
 
     def cached_filter(self, query: Query) -> DataFrame:

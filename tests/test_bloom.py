@@ -13,6 +13,7 @@ from lucene_solr_spark.operators.bloom import (
     nearest_set_size,
     positive_hash,
     prune_run_ids,
+    rejected_run_ids,
 )
 from lucene_solr_spark.operators.searcher import IndexSearcher
 from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
@@ -108,6 +109,38 @@ def test_prune_actually_skips_runs(index8, blooms, oracle):
     # and pruning with a nonsense term passes (almost surely) no runs
     ghost = prune_run_ids(blooms, ["zzqqxxyy_not_a_term_0427"])
     assert len(ghost) <= total_runs // 2
+
+
+def test_stale_bloom_fails_open(index8, spark_corpus, blooms, oracle):
+    """A bloom table missing some runs (built before newer runs flushed or
+    attached to a different index) must never drop those runs' postings:
+    pruning uses NOT IN (definitively-rejecting runs), so uncovered runs
+    always pass and results stay identical."""
+    rare = min(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    run_with_rare = (
+        index8.postings.filter(index8.postings.term == rare)
+        .select("run_id")
+        .first()["run_id"]
+    )
+    # Drop the bloom row of a run that actually holds the rare term — the
+    # old IN(passing) predicate would silently lose that run's hits.
+    stale = blooms.filter(blooms.run_id != run_with_rare)
+    assert stale.count() == blooms.count() - 1
+    s = IndexSearcher(index8, spark_corpus)
+    for q in (TermQuery(rare), BooleanQuery.build(should=[TermQuery(hot), TermQuery(rare)])):
+        plain = s.set_term_blooms(None).search(q, 10).collect()
+        pruned = s.set_term_blooms(stale).search(q, 10).collect()
+        assert plain == pruned, q
+    s.set_term_blooms(None)
+    # rejected_run_ids never names a run absent from the table
+    rej = rejected_run_ids(stale, ["zzqqxxyy_not_a_term_0427"])
+    assert run_with_rare not in rej
+    # and complements prune_run_ids over the covered runs
+    covered = {r["run_id"] for r in stale.select("run_id").collect()}
+    passing = set(prune_run_ids(stale, [rare]))
+    assert set(rej).isdisjoint(passing)
+    assert set(rejected_run_ids(stale, [rare])) == covered - passing
 
 
 def test_prune_metrics_observability(index8, spark_corpus, oracle):

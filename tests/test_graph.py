@@ -143,8 +143,10 @@ def brute_graph_query(docs, root_pred, max_depth=-1, only_leaf=False,
     result = {i for i, d in enumerate(docs) if root_pred(d)}
     roots = set(result)
     frontier = set(result)
-    depth = 1
-    while frontier and (max_depth == -1 or depth < max_depth):
+    # GraphQuery.java:188-232 convention: maxDepth=N = roots + N hop levels
+    # (the loop breaks only AFTER collecting the currentDepth >= maxDepth level)
+    hops = 0
+    while frontier and (max_depth == -1 or hops < max_depth):
         edge_vals = {docs[i][1] for i in frontier if docs[i][1] is not None}
         new = {
             i
@@ -153,7 +155,7 @@ def brute_graph_query(docs, root_pred, max_depth=-1, only_leaf=False,
         }
         result |= new
         frontier = new
-        depth += 1
+        hops += 1
     if not return_root:
         result -= roots
     if only_leaf:
@@ -173,6 +175,7 @@ GQ_DOCS = [
     "kw",
     [
         dict(),
+        dict(max_depth=1),
         dict(max_depth=2),
         dict(only_leaf_nodes=True),
         dict(return_root=False),
@@ -193,6 +196,24 @@ def test_graph_query_flags(spark, kw):
         return_root=kw.get("return_root", True),
     )
     assert sorted((r["frm"], r["t"]) for r in got.collect()) == want
+
+
+def test_graph_query_depth_one_is_roots_plus_one_hop(spark):
+    """Pins the reference depth convention explicitly (GraphQuery.java:188-232):
+    maxDepth=1 must return the roots AND one hop level, not roots alone."""
+    from lucene_solr_spark.operators.graph import graph_query
+
+    docs = spark.createDataFrame(GQ_DOCS, "frm string, t string")
+    got = sorted(
+        (r["frm"], r["t"])
+        for r in graph_query(
+            docs, F.col("frm").startswith("r"), "frm", "t", max_depth=1
+        ).collect()
+    )
+    # roots r1,r2 have edge values {x,y}; one hop matches frm in {x,y}
+    assert got == sorted(
+        [("r1", "x"), ("r2", "y"), ("x", "y"), ("x", "z"), ("y", "r1"), ("y", "w2")]
+    )
 
 
 def test_graph_query_traversal_filter(spark):

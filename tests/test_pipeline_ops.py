@@ -200,6 +200,10 @@ def test_stratified_sample_deterministic(spark):
         stratified_sample(df, "lang", {"en": 0})
     with _pytest.raises(ValueError):
         stratified_sample(df, "lang", {})
+    with _pytest.raises(ValueError):
+        # zero default_rate must raise like any other invalid rate, not
+        # silently drop all non-listed strata via NULL h % 0
+        stratified_sample(df, "lang", {"en": 1}, default_rate=0)
 
 
 def test_chunk_documents_brute(spark):
@@ -216,7 +220,8 @@ def test_chunk_documents_brute(spark):
     def brute(text, mx=4, ov=1):
         toks = text.lower().split()
         out, step = {}, mx - ov
-        for ci, s in enumerate(range(0, len(toks), step)):
+        # starts stop at the first window covering the tail: s + ov < len
+        for ci, s in enumerate(range(0, max(len(toks) - ov - 1, 0) + 1, step)):
             piece = toks[s : s + mx]
             out[ci] = (s, len(piece), " ".join(piece))
         return out
@@ -225,6 +230,13 @@ def test_chunk_documents_brute(spark):
         for ci, v in brute(text).items():
             want[(doc_id, ci)] = v
     assert got == want  # doc 3 (empty) emits nothing
+    # overlap > 0 never emits a window that is a pure suffix of its
+    # predecessor: 10 tokens / max 8 / overlap 4 -> [0,8) and [4,10) only
+    got84 = sorted(
+        (r["start_token"], r["n_tokens"])
+        for r in chunk_documents(docs.where("doc_id = 1"), max_tokens=8, overlap=4).collect()
+    )
+    assert got84 == [(0, 8), (4, 6)]
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
