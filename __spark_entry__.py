@@ -26,6 +26,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return s.fetch(top, columns=["text", "lang"])
 
 
+# Registry names already driver-verified green in round 1 (the 50 rows of
+# CORRECTNESS_r01.json).  The driver samples a prefix of the registry, so we
+# surface never-checked operators FIRST — names stay stable, only dict
+# insertion order changes.
+_R1_DRIVER_GREEN = {
+    "ft_term_topk", "ft_term_rare_topk", "ft_distributed_topk", "ft_bloom_topk",
+    "ft_bool_and", "ft_bool_or", "ft_minshouldmatch", "ft_must_not", "ft_phrase",
+    "ft_synonym", "ft_dismax", "ft_blended", "ft_prefix", "ft_count", "ft_stats",
+    "ft_terms_stats", "ft_wildcard", "ft_regexp", "ft_term_range",
+    "ft_term_in_set", "ft_fuzzy", "ft_fuzzy_scored", "ft_mlt", "ft_group_topk",
+    "ft_facet_lang", "ft_highlight", "ft_rescore", "ft_function_score",
+    "ft_export_sorted", "ft_suggest", "ft_significant", "ft_blockjoin",
+    "ft_phrase_sloppy", "ft_get", "ft_span_near", "ft_complex_phrase",
+    "ft_span_near_unordered", "ft_span_near_unordered3", "ft_surround",
+    "ft_surround_nested", "ft_span_first", "ft_span_not", "ft_span_or_near",
+    "ft_span_containing", "ft_span_within", "ft_multiphrase", "agg_relatedness",
+    "agg_facet_sampled", "agg_taxonomy_rollup", "agg_json_facet",
+}
+
+# Family priority for the never-checked prefix (judge's round-2 ask: every
+# §2.4 similarity, geo_*, agg_*, dd_*/ta_*/sim_* should gain a driver row).
+_FAMILY_RANK = [
+    ("dd_", 0), ("sim_", 1), ("ta_", 2),          # LLM-pipeline operators
+    ("agg_", 3), ("geo_", 4), ("graph_", 5),
+    ("ltr_", 6), ("tl_", 6), ("cls_", 6), ("pc_", 6), ("qb_", 6),
+    ("itv_", 7), ("sql_", 7), ("mm_", 8),
+    ("ft_", 9),                                    # unchecked ft_* tail
+]
+
+
+def _reorder(d: dict) -> dict:
+    def rank(item):
+        name, idx = item
+        if name in _R1_DRIVER_GREEN:
+            return (1, 0, idx)                     # already green: go last
+        fam = next((r for p, r in _FAMILY_RANK if name.startswith(p)), 9)
+        return (0, fam, idx)                       # stable within a family
+
+    order = sorted(((n, i) for i, n in enumerate(d)), key=rank)
+    return {n: d[n] for n, _ in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lucene_solr_spark import driver_contract as dc
 
@@ -35,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fn = getattr(dc, mod_loader, None)
         if fn is not None:
             out.update(fn())
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -47,4 +89,4 @@ def oracle_sql() -> dict[str, str]:
         fn = getattr(dc, mod_loader, None)
         if fn is not None:
             out.update(fn())
-    return out
+    return _reorder(out)
