@@ -25,11 +25,12 @@ from .functions.hashing import MINHASH_A, MINHASH_B, N_MINHASH, P_MOD
 # --------------------------------------------------------------------------
 # shared oracle SQL fragments
 # --------------------------------------------------------------------------
-# char-level polynomial hash (functions/hashing.py poly31)
-def _H(expr: str, mod: int = P_MOD) -> str:
+# char-level polynomial hash (functions/hashing.py poly31; base 37 is the
+# independent second stream used for SimHash's high 32 fingerprint bits)
+def _H(expr: str, mod: int = P_MOD, base: int = 31) -> str:
     return (
         f"list_reduce(list_transform(range(1, len({expr})+1), "
-        f"i -> CAST(unicode(substr({expr}, i, 1)) AS BIGINT)), (a, b) -> (a*31+b) % {mod})"
+        f"i -> CAST(unicode(substr({expr}, i, 1)) AS BIGINT)), (a, b) -> (a*{base}+b) % {mod})"
     )
 
 
@@ -209,7 +210,7 @@ def pipeline_queries() -> dict:
     q["dd_simhash"] = dd_simhash
 
     def dd_simhash_pairs(spark, sf_dir):
-        pairs = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=2)
+        pairs = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
         return pairs.select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "hamming").orderBy(
             "doc_a", "doc_b"
         )
@@ -455,25 +456,62 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM st ORDER BY doc_id, chunk_id
 """
 
+    # 64-bit SimHash: two independent 32-bit char-poly streams (base 31 ->
+    # fp_lo = bits 0-31, base 37 -> fp_hi = bits 32-63); tf is grouped per
+    # distinct (th_lo, th_hi) token hash exactly like the numpy kernel
     _SIMHASH = f"""
 {_TOK},
-tokh AS (SELECT doc_id, {_H('t', 1 << 32)} AS th
+tokh AS (SELECT doc_id, {_H('t', 1 << 32)} AS th_lo, {_H('t', 1 << 32, base=37)} AS th_hi
          FROM (SELECT doc_id, unnest(toks) AS t FROM tok2)),
-tfh AS (SELECT doc_id, th, count(*) AS tf FROM tokh GROUP BY doc_id, th),
-bits AS (SELECT doc_id, j, CASE WHEN sum(tf * (2*((th >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+tfh AS (SELECT doc_id, th_lo, th_hi, count(*) AS tf FROM tokh GROUP BY doc_id, th_lo, th_hi),
+bits AS (SELECT doc_id, j,
+         CASE WHEN sum(tf * (2*((th_lo >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bl,
+         CASE WHEN sum(tf * (2*((th_hi >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bh
          FROM tfh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j),
-sh AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+sh AS (SELECT doc_id, CAST(sum(bl << j) AS BIGINT) AS fp_lo, CAST(sum(bh << j) AS BIGINT) AS fp_hi
+       FROM bits GROUP BY doc_id)
 """
-    o["dd_simhash"] = f"WITH {_SIMHASH.strip()}\nSELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM sh ORDER BY doc_id"
+    # the int64 two's-complement reinterpretation the Spark side returns
+    _SIMHASH_SIGNED = (
+        "fp_lo + CASE WHEN fp_hi >= 2147483648 THEN (fp_hi - 4294967296) * 4294967296 "
+        "ELSE fp_hi * 4294967296 END"
+    )
+    o["dd_simhash"] = (
+        f"WITH {_SIMHASH.strip()}\nSELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({_SIMHASH_SIGNED} AS BIGINT) AS simhash FROM sh ORDER BY doc_id"
+    )
+
+    # Manku C(6,3)=20 block-combination tables; block layout mirrors
+    # operators/dedup.simhash_blocks (each 32-bit half -> 3 blocks, sizes
+    # 10/11/11, so extraction is sign-free integer division on fp_lo/fp_hi)
+    from itertools import combinations as _combos
+
+    from .operators.dedup import simhash_blocks as _sh_blocks
+
+    def _block_sql(off: int, size: int) -> str:
+        col, rel = ("fp_lo", off) if off < 32 else ("fp_hi", off - 32)
+        return f"(({col} // {1 << rel}) % {1 << size})"
+
+    _blocks64 = _sh_blocks(64, 6)
+    _band_selects = []
+    for _t, _combo in enumerate(_combos(range(6), 3)):
+        key = "0"
+        for _bi in _combo:
+            _off, _size = _blocks64[_bi]
+            key = f"(({key}) * {1 << _size} + {_block_sql(_off, _size)})"
+        _band_selects.append(
+            f"SELECT doc_id, fp_lo, fp_hi, {_t} AS band, {key} AS band_key FROM sh"
+        )
+    _BANDS64 = "\nUNION ALL ".join(_band_selects)
 
     o["dd_simhash_pairs"] = f"""
 WITH {_SIMHASH.strip()},
-bands AS (SELECT doc_id, simhash, 0 AS band, simhash % 65536 AS band_key FROM sh
-          UNION ALL SELECT doc_id, simhash, 1, simhash // 65536 FROM sh)
+bands AS ({_BANDS64})
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
 ORDER BY doc_a, doc_b
 """
 

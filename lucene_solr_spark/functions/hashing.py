@@ -48,14 +48,16 @@ def _pad_matrix(strings: pd.Series) -> np.ndarray:
     return np.frombuffer(joined.encode("latin-1"), dtype=np.uint8).reshape(len(s), maxlen)
 
 
-def poly31(strings: pd.Series, mod: int = P_MOD) -> np.ndarray:
-    """Vectorized polynomial-31 hash per string: h = fold(h*31 + c) % mod.
+def poly31(strings: pd.Series, mod: int = P_MOD, base: int = 31) -> np.ndarray:
+    """Vectorized polynomial hash per string: h = fold(h*base + c) % mod
+    (base 31 by default; SimHash's 64-bit fingerprint uses a second
+    independent stream with base 37 for its high half).
 
-    Computed as the closed form ``h = Σ c_i · 31^(L-1-i) mod M`` over one
+    Computed as the closed form ``h = Σ c_i · base^(L-1-i) mod M`` over one
     flat char buffer with a segment-sum (``np.add.reduceat``) — identical
     output to the sequential fold, but with no per-column numpy pass (the
     earlier (n × maxlen) column loop cost ~14 ns/char; this is ~1 ns/char).
-    Per-term products stay < 2^39 and per-token sums < 2^48, so int64 never
+    Per-term products stay < 2^40 and per-token sums < 2^48, so int64 never
     overflows for either modulus (P_MOD or 2^32) at token lengths ≤ 2^15."""
     s = strings.fillna("").astype(str)
     lens = s.str.len().to_numpy(dtype=np.int64)
@@ -68,7 +70,7 @@ def poly31(strings: pd.Series, mod: int = P_MOD) -> np.ndarray:
     maxlen = int(lens.max())
     pw = np.ones(maxlen, dtype=np.int64)
     for k in range(1, maxlen):
-        pw[k] = (pw[k - 1] * 31) % mod
+        pw[k] = (pw[k - 1] * base) % mod
     ends = np.cumsum(lens)
     starts = ends - lens
     owner = np.repeat(np.arange(n, dtype=np.int64), lens)

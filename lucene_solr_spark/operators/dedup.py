@@ -12,8 +12,9 @@ Spark-first and shuffle-conscious, over ``documents(doc_id, text, ...)``:
 - **MinHash + LSH**: 16 permutations folded into 4 bands; only docs sharing
   a band bucket ever meet in the join — the scalable path (candidate count
   ~ O(n·dup_rate), not O(n²)).
-- **SimHash**: 32-bit weighted fingerprint; near-dups = equal 16-bit halves
-  (Hamming-style banding) verified by full-fingerprint distance.
+- **SimHash**: 64-bit weighted fingerprint; candidates = equal 3-of-6 block
+  combination keys (Manku et al. WWW'07 — complete recall through hamming 3,
+  ~2^32 buckets per table) verified by full-fingerprint distance.
 
 All hashing goes through :mod:`..functions.hashing` so every operator is
 reproducible by the DuckDB oracle with literal arithmetic.  Token/shingle
@@ -212,13 +213,20 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BA
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash bigint): tf-weighted SimHash over token hashes.
 
-    Token hash = poly31 mod 2^32 (bit source); bit j of the fingerprint is 1
-    iff sum over tokens of tf * (2*bit_j(h)-1) > 0.  All numpy: the per-batch
-    work is one (tokens x bits) matmul-shaped reduction.
+    The 64-bit bit source is TWO independent 32-bit char-polynomial hashes of
+    each token (base 31 → fingerprint bits 0-31, base 37 → bits 32-63), both
+    oracle-reproducible with plain SQL arithmetic.  Bit j of the fingerprint
+    is 1 iff sum over distinct token hashes of tf * (2*bit_j(h)-1) > 0.  The
+    value is returned as the int64 two's-complement reinterpretation of the
+    unsigned 64-bit fingerprint (XOR/bit_count operate on the raw bit pattern
+    either way).  All numpy: the per-batch work is one (tokens x bits)
+    matmul-shaped reduction.  ``bits=32`` keeps the old single-hash form.
     """
+    if bits not in (32, 64):
+        raise ValueError("bits must be 32 or 64")
 
     def fn(iterator):
         for pdf in iterator:
@@ -229,19 +237,29 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             if not flat:
                 yield pd.DataFrame({"doc_id": doc_ids, "simhash": np.zeros(len(doc_ids), np.int64)})
                 continue
-            h = poly31(pd.Series(flat), mod=1 << 32)
+            fs = pd.Series(flat)
+            lo = poly31(fs, mod=1 << 32)
+            hi = poly31(fs, mod=1 << 32, base=37) if bits == 64 else np.zeros_like(lo)
             owner = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-            # per-(doc, token) tf via unique counting
-            key = owner * (1 << 32) + (h % (1 << 32))
-            uk, inv, tf = np.unique(key, return_inverse=True, return_counts=True)
-            u_owner = (uk >> 32).astype(np.int64)
-            u_hash = (uk & ((1 << 32) - 1)).astype(np.int64)
-            bitmat = ((u_hash[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1  # ±1
-            contrib = bitmat * tf[:, None]
+            # per-(doc, token-hash) tf via sorted run counting on (owner, lo, hi)
+            order = np.lexsort((hi, lo, owner))
+            o_s, lo_s, hi_s = owner[order], lo[order], hi[order]
+            new = np.empty(len(o_s), dtype=bool)
+            new[0] = True
+            new[1:] = (o_s[1:] != o_s[:-1]) | (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, len(o_s)))
+            u_owner, u_lo, u_hi = o_s[starts], lo_s[starts], hi_s[starts]
+            j32 = np.arange(32)[None, :]
             acc = np.zeros((len(pdf), bits), dtype=np.int64)
-            np.add.at(acc, u_owner, contrib)
-            fp = ((acc > 0).astype(np.int64) << np.arange(bits)[None, :]).sum(axis=1)
-            yield pd.DataFrame({"doc_id": doc_ids, "simhash": fp})
+            np.add.at(acc[:, :32], u_owner, (((u_lo[:, None] >> j32) & 1) * 2 - 1) * tf[:, None])
+            if bits == 64:
+                np.add.at(acc[:, 32:], u_owner, (((u_hi[:, None] >> j32) & 1) * 2 - 1) * tf[:, None])
+            set_bits = (acc > 0).astype(np.uint64)
+            fp = (set_bits << np.arange(bits, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": fp.view(np.int64)})
 
     from ..session import spread_partitions
 
@@ -250,18 +268,69 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
-    """Near-dup pairs by SimHash banding: candidates share a 16-bit half
-    (pigeonhole: hamming<=3 over 32 bits can miss only if both halves differ
-    by >=1... with 2 bands this guarantees recall for hamming<=1 and is the
-    standard probe structure; verification filters by true distance)."""
+def simhash_blocks(bits: int = 64, n_blocks: int = 6) -> list[tuple[int, int]]:
+    """(absolute_bit_offset, size) of the fingerprint blocks: each 32-bit
+    half splits into n_blocks/2 blocks, so no block straddles the half
+    boundary (keeps the SQL-oracle extraction sign-free integer division)."""
+    if bits != 64 or n_blocks % 2:
+        raise ValueError("block layout is defined for bits=64, even n_blocks")
+    per_half = n_blocks // 2
+    out = []
+    for half_base in (0, 32):
+        off = 0
+        for i in range(per_half):
+            size = (32 - off) // (per_half - i)
+            out.append((half_base + off, size))
+            off += size
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_blocks: int = 6,
+    key_blocks: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Manku-style block-combination SimHash probing
+    (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW'07 §3): split the 64-bit fingerprint into ``n_blocks`` blocks and
+    build one candidate table per ``C(n_blocks, key_blocks)`` combination,
+    keyed by the concatenation of those blocks.
+
+    Pigeonhole guarantee: a pair at hamming distance d touches at most d
+    blocks, so whenever ``d <= n_blocks - key_blocks`` some combination of
+    ``key_blocks`` untouched blocks exists and the pair shares that table's
+    key — recall is COMPLETE for ``max_hamming <= n_blocks - key_blocks``
+    (default 6-choose-3: guaranteed through hamming 3).  Verification then
+    filters by true XOR distance, so precision is exact.
+
+    Scale shape: key width is ~``key_blocks/n_blocks`` of 64 bits (~32 bits
+    by default, ~4·10^9 buckets), so expected bucket occupancy is n/2^32 and
+    the within-bucket self-join stays linear until corpora far beyond 10^9
+    docs — unlike half-fingerprint banding whose 2^16 buckets go quadratic at
+    ~10^8.  The shuffle carries C(6,3)=20 rows per doc, each ~24 bytes.
+    """
+    from itertools import combinations
+
+    blocks = simhash_blocks(bits, n_blocks)
+    if max_hamming > n_blocks - key_blocks:
+        raise ValueError(
+            f"recall guarantee requires max_hamming <= n_blocks - key_blocks "
+            f"= {n_blocks - key_blocks}; raise n_blocks or lower max_hamming"
+        )
     sh = simhash(docs, bits).persist()
-    half = bits // 2
-    lo = sh.select("doc_id", "simhash", (F.col("simhash") % (1 << half)).alias("band_key"), F.lit(0).alias("band"))
-    hi = sh.select(
-        "doc_id", "simhash", (F.col("simhash") / (1 << half)).cast("bigint").alias("band_key"), F.lit(1).alias("band")
-    )
-    all_bands = lo.unionByName(hi)
+    tables = []
+    for t, combo in enumerate(combinations(range(n_blocks), key_blocks)):
+        key = F.lit(0).cast("long")
+        for bi in combo:
+            off, size = blocks[bi]
+            val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
+            key = F.shiftleft(key, size).bitwiseOR(val)
+        tables.append(sh.select("doc_id", "simhash", F.lit(t).alias("band"), key.alias("band_key")))
+    all_bands = tables[0]
+    for extra in tables[1:]:
+        all_bands = all_bands.unionByName(extra)
     a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     b = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     cand = a.join(b, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))

@@ -49,16 +49,90 @@ def test_minhash_lsh_candidates(docs):
     assert (0, 3) not in pairs
 
 
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
 def test_simhash_properties(docs):
     from lucene_solr_spark.operators.dedup import simhash, simhash_near_pairs
 
     fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert fps[0] == fps[1]
-    ham02 = bin(fps[0] ^ fps[2]).count("1")
-    ham03 = bin(fps[0] ^ fps[3]).count("1")
-    assert ham02 < ham03  # near-dup closer than unrelated doc
+    assert _ham64(fps[0], fps[2]) < _ham64(fps[0], fps[3])  # near-dup closer
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=0).collect()}
     assert pairs.get((0, 1)) == 0
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4)  # beyond the 6-choose-3 guarantee
+
+
+def test_simhash_block_layout_and_pigeonhole():
+    """The 6-block layout tiles all 64 bits without straddling the 32-bit
+    halves, and for ANY fingerprint pair at hamming <= 3 some 3-of-6 block
+    combination key matches (Manku pigeonhole — complete recall)."""
+    from itertools import combinations
+
+    from lucene_solr_spark.operators.dedup import simhash_blocks
+
+    blocks = simhash_blocks(64, 6)
+    covered = []
+    for off, size in blocks:
+        assert (off < 32) == (off + size <= 32)  # no half straddle
+        covered.extend(range(off, off + size))
+    assert sorted(covered) == list(range(64))
+
+    def keys(fp: int) -> list:
+        out = []
+        for combo in combinations(range(6), 3):
+            k = 0
+            for bi in combo:
+                off, size = blocks[bi]
+                k = (k << size) | ((fp >> off) & ((1 << size) - 1))
+            out.append(k)
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        fp = int(rng.integers(0, 1 << 63)) | (int(rng.integers(0, 2)) << 63)
+        n_flip = int(rng.integers(0, 4))  # hamming 0..3
+        flipped = fp
+        for pos in rng.choice(64, size=n_flip, replace=False):
+            flipped ^= 1 << int(pos)
+        ka, kb = keys(fp), keys(flipped)
+        assert any(x == y for x, y in zip(ka, kb)), (hex(fp), hex(flipped))
+
+
+def test_simhash_near_pairs_no_missed_pair(spark):
+    """End-to-end recall identity: on a corpus with many mutated copies,
+    simhash_near_pairs(max_hamming=3) returns EXACTLY the brute-force set of
+    fingerprint pairs at hamming <= 3."""
+    from lucene_solr_spark.operators.dedup import simhash, simhash_near_pairs
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(50)]
+    rows = []
+    did = 0
+    for base in range(12):
+        toks = list(rng.choice(words, size=30))
+        for copy in range(3):  # mutate a few tokens per copy
+            t = list(toks)
+            for _ in range(copy):
+                t[int(rng.integers(0, len(t)))] = str(rng.choice(words))
+            rows.append((did, " ".join(t)))
+            did += 1
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b, _ham64(fps[a], fps[b]))
+        for a in fps
+        for b in fps
+        if a < b and _ham64(fps[a], fps[b]) <= 3
+    }
+    assert want  # the corpus must actually contain near pairs
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
 
 
 @pytest.fixture(scope="module")
