@@ -51,6 +51,7 @@ _QV = (
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
+LSH_DEMO_P, LSH_DEMO_L = 6, 4  # contract-scale LSH: 2^6 buckets x 4 tables
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -225,7 +226,12 @@ def pipeline_queries() -> dict:
     q["sim_ann_brute"] = sim_ann_brute
 
     def sim_ann_lsh(spark, sf_dir):
-        return similarity.lsh_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, ANN_K).orderBy("query_id", "rank")
+        # demo-scale LSH params (64 buckets x 4 tables) so a ~500-vector
+        # corpus yields candidates; production defaults are 16 planes x 8
+        # tables (see operators/similarity.py)
+        return similarity.lsh_topk(
+            _embs(spark, sf_dir), ANN_QUERY_IDS, ANN_K, n_planes=LSH_DEMO_P, n_tables=LSH_DEMO_L
+        ).orderBy("query_id", "rank")
 
     q["sim_ann_lsh"] = sim_ann_lsh
 
@@ -236,7 +242,9 @@ def pipeline_queries() -> dict:
 
     def dd_embedding_neardup(spark, sf_dir):
         # min_dot ~ cos 0.3 at the floor(1000x) quantized scale (unit vectors)
-        pairs = similarity.embedding_neardup_pairs(_embs(spark, sf_dir), min_dot=300_000)
+        pairs = similarity.embedding_neardup_pairs(
+            _embs(spark, sf_dir), min_dot=300_000, n_planes=LSH_DEMO_P, n_tables=LSH_DEMO_L
+        )
         return pairs.select(
             F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), F.col("dot").cast("long")
         ).orderBy("vec_a", "vec_b")
@@ -529,19 +537,27 @@ SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) A
 FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
-    o["sim_ann_lsh"] = f"""
-WITH {_QV},
+    # multi-table LSH buckets (operators/similarity.lsh_buckets): global
+    # plane index j, table = j // P, bit = j % P — same LCG literals
+    _BK = """
 planes AS (SELECT j, list_transform(range(0, 64),
            i -> CASE WHEN (1103515245*(i + 64*j) + 12345) % 2147483648 < 1073741824
                 THEN 1 ELSE -1 END) AS p
-           FROM (SELECT unnest(range(0, 8)) AS j)),
-proj AS (SELECT v.vec_id, pl.j, {_dot_sql('v.q', 'pl.p')} AS pr FROM qv v CROSS JOIN planes pl),
-bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-       FROM proj GROUP BY vec_id),
-qb AS (SELECT qv.vec_id, qv.q, bk.bucket FROM qv JOIN bk USING (vec_id)),
-qs AS (SELECT vec_id AS query_id, q AS qq, bucket FROM qb WHERE vec_id IN ({ids})),
-scored AS (SELECT qs.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qs.qq')} AS dot
-           FROM qb v JOIN qs ON v.bucket = qs.bucket WHERE v.vec_id <> qs.query_id),
+           FROM (SELECT unnest(range(0, {LP})) AS j)),
+proj AS (SELECT v.vec_id, pl.j // {P} AS tbl, pl.j % {P} AS bit, {dot} AS pr
+         FROM qv v CROSS JOIN planes pl),
+bk AS (SELECT vec_id, tbl, CAST(sum(CASE WHEN pr >= 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS bucket
+       FROM proj GROUP BY vec_id, tbl),
+qb AS (SELECT qv.vec_id, qv.q, bk.tbl, bk.bucket FROM qv JOIN bk USING (vec_id))
+""".format(dot=_dot_sql("v.q", "pl.p"), P=LSH_DEMO_P, LP=LSH_DEMO_P * LSH_DEMO_L)
+
+    o["sim_ann_lsh"] = f"""
+WITH {_QV},
+{_BK.strip()},
+qs AS (SELECT vec_id AS query_id, q AS qq, tbl, bucket FROM qb WHERE vec_id IN ({ids})),
+scored AS (SELECT DISTINCT qs.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qs.qq')} AS dot
+           FROM qb v JOIN qs ON v.tbl = qs.tbl AND v.bucket = qs.bucket
+           WHERE v.vec_id <> qs.query_id),
 r AS (SELECT query_id, neighbor_id, dot,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
       FROM scored)
@@ -550,35 +566,51 @@ SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) A
 FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
-    _BK = """
-planes AS (SELECT j, list_transform(range(0, 64),
-           i -> CASE WHEN (1103515245*(i + 64*j) + 12345) % 2147483648 < 1073741824
-                THEN 1 ELSE -1 END) AS p
-           FROM (SELECT unnest(range(0, 8)) AS j)),
-proj AS (SELECT v.vec_id, pl.j, {dot} AS pr FROM qv v CROSS JOIN planes pl),
-bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
-       FROM proj GROUP BY vec_id),
-qb AS (SELECT qv.vec_id, qv.q, bk.bucket FROM qv JOIN bk USING (vec_id))
-""".format(dot=_dot_sql("v.q", "pl.p"))
-
     o["dd_embedding_neardup"] = f"""
 WITH {_QV},
 {_BK.strip()}
 SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
        CAST({_dot_sql('a.q', 'b.q')} AS BIGINT) AS dot
-FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM qb a JOIN qb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_dot_sql('a.q', 'b.q')} >= 300000
 ORDER BY vec_a, vec_b
 """
 
+    # trained IVF (operators/similarity.kmeans_centroids): hash-spread init
+    # of ceil(sqrt(n)) centroids + two unrolled integer Lloyd rounds (exact
+    # L2 assignment, elementwise floor-division means)
+    def _l2_sql(a: str, b: str, dim: int = 64) -> str:
+        return f"list_sum(list_transform(range(1, {dim + 1}), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+
+    _lloyd = []
+    for _r in (1, 2):
+        _prev = "c0" if _r == 1 else "c1"
+        _lloyd.append(
+            f"""
+s{_r} AS (SELECT v.vec_id, v.q, c.cent_id, {_l2_sql('v.q', 'c.cvec')} AS l2 FROM qv v CROSS JOIN {_prev} c),
+a{_r} AS (SELECT vec_id, q, cent_id FROM
+          (SELECT vec_id, q, cent_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM s{_r})
+          WHERE rn = 1),
+m{_r} AS (SELECT cent_id, i, sum(q[i]) AS s, count(*) AS c
+          FROM a{_r} CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY cent_id, i),
+c{_r} AS (SELECT cent_id, list((s - ((s % c + c) % c)) // c ORDER BY i) AS cvec FROM m{_r} GROUP BY cent_id)"""
+        )
+    _LLOYD = ",".join(_lloyd)
+
     o["sim_ann_ivf"] = f"""
 WITH {_QV},
-cents AS (SELECT vec_id AS cent_id, q AS cvec FROM qv WHERE vec_id < 8),
-sc AS (SELECT v.vec_id, v.q, c.cent_id, {_dot_sql('v.q', 'c.cvec')} AS cdot,
-       row_number() OVER (PARTITION BY v.vec_id ORDER BY {_dot_sql('v.q', 'c.cvec')} DESC, c.cent_id ASC) AS rn
-       FROM qv v CROSS JOIN cents c),
-assigned AS (SELECT vec_id, q, cent_id FROM sc WHERE rn = 1),
-probes AS (SELECT vec_id AS query_id, q AS qq, cent_id FROM sc
+ranked0 AS (SELECT q AS cvec,
+            row_number() OVER (ORDER BY ((vec_id % 100000007) * 2654435761) % 100000007 ASC, vec_id ASC) - 1 AS cent_id
+            FROM qv),
+c0 AS (SELECT CAST(cent_id AS INT) AS cent_id, cvec FROM ranked0
+       WHERE cent_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM qv)),
+{_LLOYD.strip()},
+sf AS (SELECT v.vec_id, v.q, c.cent_id, {_l2_sql('v.q', 'c.cvec')} AS l2 FROM qv v CROSS JOIN c2 c),
+rf AS (SELECT vec_id, q, cent_id,
+       row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM sf),
+assigned AS (SELECT vec_id, q, cent_id FROM rf WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, q AS qq, cent_id FROM rf
            WHERE rn <= 2 AND vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
 cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, {_dot_sql('a.q', 'p.qq')} AS dot
          FROM assigned a JOIN probes p ON a.cent_id = p.cent_id WHERE a.vec_id <> p.query_id),

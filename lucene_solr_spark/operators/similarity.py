@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, both exact-integer so the DuckDB oracle reproduces ranks
+Three paths, all exact-integer so the DuckDB oracle reproduces ranks
 bit-for-bit (no float-sum ordering hazards):
 
 - **Brute-force top-k** (the baseline): embeddings are quantized per-element
@@ -8,17 +8,35 @@ bit-for-bit (no float-sum ordering hazards):
   similarity = integer dot product; rank = (dot desc, vec_id asc).  The plan
   is a broadcast of the (tiny) query set against the full corpus — one scan,
   no shuffle except the global top-k (TakeOrderedAndProject).
-- **Hyperplane LSH** (the scale path): 8 deterministic pseudo-random ±1
-  hyperplanes (LCG-derived, literal arithmetic) map each vector to an 8-bit
-  bucket; candidates = same-bucket vectors, reranked exactly.  At 100 TB the
-  bucket is the partition key: each query touches ~n/256 of the corpus.
+- **Multi-table hyperplane LSH** (the scale path): ``n_tables`` independent
+  tables of ``n_planes`` deterministic pseudo-random ±1 hyperplanes
+  (LCG-derived, literal arithmetic) map each vector to one bucket per table;
+  candidates = vectors sharing the query's bucket in ANY table, reranked
+  exactly.  Precision comes from planes-per-table (bucket occupancy ~
+  n/2^n_planes), recall from OR-ing tables (miss probability decays
+  geometrically in n_tables) — the standard Indyk–Motwani amplification; a
+  single wide table has no recall story and a single narrow table goes
+  quadratic, which is why both knobs exist.  Defaults (16 planes x 8 tables)
+  are production-scale: candidates per query ~ 8·n/65536 ≈ n/8192 by
+  construction, and each of the 8 bucket joins is an equi-shuffle keyed by
+  (table, bucket).
+- **IVF-flat with trained centroids**: ceil(sqrt(n)) centroids, initialized
+  by a deterministic multiplicative-hash spread over the corpus and refined
+  with two unrolled Lloyd rounds of integer-exact k-means (L2 assignment,
+  elementwise floor-division centroid means) — fully replayable in ANSI SQL,
+  no RNG state.  Queries probe their ``n_probe`` nearest lists and rerank
+  exactly.  At 100 TB: the codebook (sqrt(n)·dim ints) broadcasts, each Lloyd
+  round is one map pass + one (cent_id, pos)-keyed aggregation, and query
+  cost is n_probe·n/k candidates per query.
 
-The fake-random plane construction: sign(i,j) = +1 iff
-``(1103515245*(i + dim*j) + 12345) mod 2^31 < 2^30`` — the textbook LCG,
-reproducible in SQL.
+The fake-random plane construction: sign(i, j) = +1 iff
+``(1103515245*(i + 64*j) + 12345) mod 2^31 < 2^30`` with the GLOBAL plane
+index ``j = table*n_planes + plane`` — the textbook LCG, reproducible in SQL.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -26,7 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 QUANT = 1000
-N_PLANES = 8
+N_PLANES = 16  # planes per LSH table (bucket occupancy ~ n / 2^N_PLANES)
+N_TABLES = 8  # OR-ed tables (recall amplification)
 LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
 
 
@@ -39,6 +58,12 @@ def quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -66,88 +91,113 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) ->
     )
 
 
-def _plane_sign(i: int, j: int) -> int:
-    return 1 if (LCG_A * (i + 64 * j) + LCG_C) % LCG_M < (LCG_M >> 1) else -1
-
-
-def plane_matrix(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
-    """(n_planes, dim) ±1 matrix from the LCG rule (same literals as SQL)."""
+def plane_matrix(dim: int, n_planes: int = N_PLANES, n_tables: int = 1) -> np.ndarray:
+    """(n_tables*n_planes, dim) ±1 matrix from the LCG rule; row j is GLOBAL
+    plane index j (= table*n_planes + plane), matching the SQL literal."""
     i = np.arange(dim)[None, :]
-    j = np.arange(n_planes)[:, None]
+    j = np.arange(n_tables * n_planes)[:, None]
     return np.where((LCG_A * (i + 64 * j) + LCG_C) % LCG_M < (LCG_M >> 1), 1, -1).astype(np.int64)
 
 
-def lsh_bucket(df: DataFrame, dim: int, n_planes: int = N_PLANES) -> DataFrame:
-    """Add ``bucket int``: bit j = 1 iff qvec · plane_j >= 0 (integer exact)."""
-    planes = plane_matrix(dim, n_planes)
+def lsh_buckets(
+    df: DataFrame, dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+) -> DataFrame:
+    """(vec_id, tbl, bucket): one bucket per table; bit p of table t's bucket
+    is 1 iff qvec · plane_(t*n_planes+p) >= 0 (integer exact).  One Arrow
+    pass computes all tables' projections as a single (n, L*P) matmul."""
+    planes = plane_matrix(dim, n_planes, n_tables)
 
     def bucketize(iterator):
+        bit_of = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
         for pdf in iterator:
+            if not len(pdf):
+                continue
             qm = np.stack(pdf["qvec"].to_numpy())  # (n, dim) int64
-            proj = qm @ planes.T  # (n, n_planes)
-            bucket = ((proj >= 0).astype(np.int64) << np.arange(n_planes)[None, :]).sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64), "bucket": bucket.astype(np.int32)})
+            proj = qm @ planes.T  # (n, L*P)
+            bits = (proj >= 0).astype(np.int64) << bit_of[None, :]
+            # sum each table's P bit-positions -> (n, L) bucket ids
+            buckets = bits.reshape(len(pdf), n_tables, n_planes).sum(axis=2)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(vec_ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
-    buckets = df.select("vec_id", "qvec").mapInPandas(bucketize, schema="vec_id bigint, bucket int")
-    return df.join(buckets, "vec_id")
+    return df.select("vec_id", "qvec").mapInPandas(
+        bucketize, schema="vec_id bigint, tbl int, bucket bigint"
+    )
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, min_dot: int, n_planes: int = N_PLANES) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: same LSH bucket AND quantized
-    dot >= min_dot (vec_a < vec_b).
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    min_dot: int,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same LSH bucket in ANY table
+    AND quantized dot >= min_dot (vec_a < vec_b).
 
-    The dedup variant of the ANN path: the bucket join bounds candidates to
-    ~n²/2^planes; the integer dot verify is exact.  At 100 TB this is the
-    embedding-dedup plan: bucket is the shuffle key, verify is map-side.
+    The dedup variant of the ANN path: per-table candidates are bounded
+    ~n²/2^n_planes and the OR over tables restores recall for genuinely-close
+    pairs (a pair at cosine c collides in one table w.p. (1-acos(c)/π)^P and
+    is missed by all L tables w.p. (1-that)^L — e.g. c=0.99, P=16, L=8 →
+    ~99.9 % recall).  The integer dot verify is exact.  At 100 TB this is the
+    embedding-dedup plan: (tbl, bucket) is the shuffle key, verify map-side.
     """
     dim = len(embeddings.select("embedding").first()["embedding"])
-    q = lsh_bucket(quantize(embeddings).select("vec_id", "qvec"), dim, n_planes)
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"), "bucket")
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    q = quantize(embeddings).select("vec_id", "qvec")
+    bk = lsh_buckets(q, dim, n_planes, n_tables)
+    withb = q.join(bk, "vec_id")
+    a = withb.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"), "tbl", "bucket")
+    b = withb.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "qa", "qb")
+        .distinct()
+    )
     return (
         cand.select("vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot"))
         .filter(F.col("dot") >= int(min_dot))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Multi-table bucketed ANN: candidates share the query's bucket in any
+    of the ``n_tables`` tables, exact rerank.
+
+    Returns (query_id, rank, neighbor_id, dot).  The (tbl, bucket) equi-join
+    replaces the brute-force cross product — this is the 100 TB plan shape
+    (shuffle keyed by (tbl, bucket), ~n_tables/2^n_planes of the corpus per
+    query, with table-OR recall amplification a single table cannot give).
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    q = quantize(embeddings).select("vec_id", "qvec")
+    bk = lsh_buckets(q, dim, n_planes, n_tables)
+    withb = q.join(bk, "vec_id").persist()
+    queries = withb.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "tbl", "bucket"
+    )
+    cand = (
+        withb.join(F.broadcast(queries), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qvec", "q_qvec")
         .distinct()
     )
-
-
-def ivf_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int = 8, n_probe: int = 2
-) -> DataFrame:
-    """IVF-flat ANN: coarse quantization to fixed centroids, probe the
-    query's `n_probe` nearest lists, exact rerank inside them.
-
-    Centroids are the first `n_centroids` corpus vectors (deterministic
-    training stand-in; real pipelines plug k-means here — the plan shape is
-    identical).  Assignment/probing use the same exact integer dot products,
-    so the DuckDB oracle replays everything.
-    """
-    q = quantize(embeddings).select("vec_id", "qvec")
-    cents = q.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("qvec").alias("cvec")
-    )
-    # assign every vector to its best centroid (broadcast the tiny codebook)
-    scored_c = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qvec", "cent_id", _dot(F.col("qvec"), F.col("cvec")).alias("cdot")
+    scored = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("qvec"), F.col("q_qvec")).alias("dot")
     )
     from pyspark.sql.window import Window
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
-    assigned = (
-        scored_c.withColumn("rn", F.row_number().over(w_assign)).filter(F.col("rn") == 1).select("vec_id", "qvec", "cent_id")
-    )
-    # queries probe their n_probe closest centroids
-    probes = (
-        scored_c.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "cent_id")
-    )
-    cand = assigned.join(F.broadcast(probes), "cent_id").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), _dot(F.col("qvec"), F.col("q_qvec")).alias("dot")
-    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -156,24 +206,113 @@ def ivf_topk(
     )
 
 
-def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = N_PLANES) -> DataFrame:
-    """Bucketed ANN: candidates share the query's LSH bucket, exact rerank.
+# ------------------------------------------------------------------ IVF
+# deterministic multiplicative id hash (same constants as operators/sampling)
+_HP, _HK = 100000007, 2654435761
 
-    Returns (query_id, rank, neighbor_id, dot).  The bucket equi-join replaces
-    the brute-force cross product — this is the 100 TB plan shape (shuffle
-    keyed by bucket, ~1/2^n_planes of the corpus per query).
+
+def _floor_div(s, c):
+    """Exact floor division for Spark Columns via nonnegative remainder:
+    (s - ((s % c + c) % c)) is exactly divisible, so truncating DIV == floor
+    division in both Spark and DuckDB."""
+    r = (s % c + c) % c
+    return ((s - r) / c).cast("long")
+
+
+def kmeans_centroids(q: DataFrame, k: int, n_rounds: int = 2) -> DataFrame:
+    """Integer-exact deterministic k-means over quantized vectors
+    ``(vec_id, qvec)`` → ``(cent_id, cvec)``.
+
+    Init: the k corpus vectors with the smallest multiplicative id hash
+    ``((vec_id % P)·K) % P`` (a deterministic spread across the corpus — no
+    RNG state, reproducible under any partitioning, unlike sampled k-means||
+    seeding).  Refinement: ``n_rounds`` Lloyd iterations with exact-integer
+    L2 assignment (ties to the lowest cent_id) and elementwise floor-division
+    centroid means; clusters that lose all members are dropped.  Every step
+    is replayable in ANSI SQL — the DuckDB oracle runs the same two unrolled
+    rounds.
+
+    Scale shape: the codebook broadcasts (k·dim ints); one Lloyd round = one
+    broadcast-join map pass + one aggregation keyed by (cent_id, pos) — the
+    corpus never self-joins or shuffles by payload.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    q = lsh_bucket(quantize(embeddings).select("vec_id", "qvec"), dim, n_planes).persist()
-    queries = q.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "bucket"
-    )
-    cand = q.join(F.broadcast(queries), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), _dot(F.col("qvec"), F.col("q_qvec")).alias("dot")
-    )
     from pyspark.sql.window import Window
 
+    h = ((F.col("vec_id") % _HP) * _HK) % _HP
+    # distributed top-k by hash (TakeOrderedAndProject), THEN number the k
+    # survivors — never a global row_number over the whole corpus
+    seed = q.select("vec_id", "qvec", h.alias("_h")).orderBy("_h", "vec_id").limit(k)
+    w_init = Window.orderBy(F.asc("_h"), F.asc("vec_id"))
+    cents = seed.select(
+        (F.row_number().over(w_init) - 1).cast("int").alias("cent_id"),
+        F.col("qvec").alias("cvec"),
+    )
+    for _ in range(n_rounds):
+        w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .select("vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qvec", "cent_id")
+        )
+        elems = assigned.select("cent_id", F.posexplode("qvec").alias("pos", "val"))
+        means = elems.groupBy("cent_id", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("c")
+        )
+        cents = (
+            means.select("cent_id", "pos", _floor_div(F.col("s"), F.col("c")).alias("elem"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "elem"))), lambda x: x["elem"]
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: Optional[int] = None,
+    n_probe: int = 2,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantization to TRAINED centroids, probe the
+    query's ``n_probe`` nearest lists (by exact L2), exact dot rerank inside.
+
+    ``n_centroids`` defaults to ceil(sqrt(n)) — the standard IVF list count,
+    so expected list length is sqrt(n) and query cost is n_probe·sqrt(n)
+    candidates instead of n.  Centroids come from
+    :func:`kmeans_centroids` (deterministic hash-spread init + integer Lloyd
+    rounds), so the DuckDB oracle replays everything bit-for-bit.
+    """
+    import math
+
+    q = quantize(embeddings).select("vec_id", "qvec").persist()
+    if n_centroids is None:
+        n_centroids = int(math.ceil(math.sqrt(q.count())))
+    cents = kmeans_centroids(q, n_centroids, n_rounds).persist()
+
+    from pyspark.sql.window import Window
+
+    scored_c = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
+    ranked = scored_c.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "qvec", "cent_id")
+    probes = (
+        ranked.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _dot(F.col("qvec"), F.col("q_qvec")).alias("dot")
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

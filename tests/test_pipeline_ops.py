@@ -165,6 +165,90 @@ def test_lsh_topk_subset_of_brute(embs):
     assert any(r["neighbor_id"] == 1 for r in lsh)
 
 
+def _unit_rows(rng, n, dim):
+    v = rng.normal(size=(n, dim))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_embedding_neardup_recall_multitable(spark):
+    """Verdict criterion: >= 0.9 pair recall vs brute force at the contract
+    threshold under the production LSH defaults (16 planes x 8 OR-ed tables).
+    Also exactness: every returned pair is a true >=min_dot pair."""
+    from lucene_solr_spark.operators.similarity import embedding_neardup_pairs, quantize
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rng = np.random.default_rng(3)
+    dim, n_base, n_dup = 64, 240, 60
+    base = _unit_rows(rng, n_base, dim)
+    dup_src = base[:n_dup]
+    # noise norm ~0.012*sqrt(64) ≈ 0.1 → cos(v, v') ≈ 0.995, above threshold
+    dups = dup_src + 0.012 * rng.normal(size=(n_dup, dim))
+    dups = dups / np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]})
+    embs = spark.createDataFrame(pdf)
+
+    qm = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    dots = qm @ qm.T
+    min_dot = 950_000  # ~cos 0.95 at the quantized scale
+    want = {
+        (a, b) for a in range(len(vecs)) for b in range(a + 1, len(vecs)) if dots[a, b] >= min_dot
+    }
+    assert len(want) >= n_dup  # the planted pairs are all above threshold
+    got = {
+        (r["vec_a"], r["vec_b"]): r["dot"]
+        for r in embedding_neardup_pairs(embs, min_dot=min_dot).collect()
+    }
+    assert set(got) <= want  # exact verify: no false positives
+    for (a, b), d in got.items():
+        assert d == int(dots[a, b])
+    recall = len(got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_recall_clustered(spark):
+    """Trained-IVF recall: on a clustered corpus the sqrt(n)-centroid k-means
+    lists + 2-probe search recover >= 0.9 of the brute-force top-5."""
+    from lucene_solr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    dim, n_clusters, per = 16, 20, 20
+    centers = _unit_rows(rng, n_clusters, dim) * 10.0
+    vecs = np.vstack(
+        [centers[c] + 0.3 * rng.normal(size=(per, dim)) for c in range(n_clusters)]
+    )
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]})
+    embs = spark.createDataFrame(pdf)
+    queries = [0, 25, 50, 111, 222, 333, 399]
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(embs, queries, k=5).collect()}
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_kmeans_centroids_deterministic_and_trained(spark):
+    """kmeans_centroids is partitioning-independent and actually moves the
+    codebook off its seed vectors (trained, not the first-k stand-in)."""
+    from lucene_solr_spark.operators.similarity import kmeans_centroids, quantize
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(100, 8)) * 5
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [list(map(float, v)) for v in vecs]})
+    embs = spark.createDataFrame(pdf)
+    q = quantize(embs).select("vec_id", "qvec")
+    c1 = {r["cent_id"]: list(r["cvec"]) for r in kmeans_centroids(q, k=10).collect()}
+    c2 = {
+        r["cent_id"]: list(r["cvec"])
+        for r in kmeans_centroids(q.repartition(7), k=10).collect()
+    }
+    assert c1 == c2  # deterministic under any partitioning
+    seeds = {tuple(v) for v in np.floor(vecs.astype(np.float64) * 1000).astype(np.int64).tolist()}
+    moved = sum(1 for v in c1.values() if tuple(v) not in seeds)
+    assert moved > 0  # Lloyd rounds changed at least some centroids
+
+
 def test_textstats(docs):
     from lucene_solr_spark.functions.textstats import fingerprint, lang_id, quality_score, token_counts
 
