@@ -1141,10 +1141,11 @@ def ft_queries() -> dict:
 
         s = doc_searcher(spark, sf_dir)
         topics = [HOT, HOT2, MID, MID2, RARE]
-        res = None
-        for t in topics:
-            r = _ranked(s.search(TermQuery(t), 10).df).withColumn("topic", F.lit(t))
-            res = r if res is None else res.unionByName(r)
+        # all five topic runs in ONE postings scan (batch_search is
+        # row-bit-identical to five separate search() calls)
+        res = s.batch_search({t: TermQuery(t) for t in topics}, 10).select(
+            F.col("query_id").alias("topic"), "rank", F.col("doc_id").cast("long").alias("doc_id")
+        )
         toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
         judg = None
         for t in topics:

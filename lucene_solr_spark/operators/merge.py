@@ -249,23 +249,29 @@ def _make_expunge_repack(block_size: int, codec: str = "varint"):
     return repack
 
 
-def expunge_deletes(index: InvertedIndex) -> InvertedIndex:
+def expunge_deletes(index: InvertedIndex, max_driver_deletes: int = 100_000) -> InvertedIndex:
     """Reclaim deleted docs: rewrite every run without them and recompute
     statistics — the merge-time delete reclamation of the reference
     (``SegmentMerger`` skipping non-live docs; ``TieredMergePolicy``
     deletesPctAllowed decides *when*, this is the *how*).
 
-    The delete set rides to executors as a broadcast numpy array (fine for
-    snapshot-scale delete batches; a 100 TB pipeline with massive deletes
-    would anti-join an exploded view instead — same plan shape as repack).
+    The delete set rides to executors as a broadcast numpy array — fine for
+    snapshot-scale delete batches, a driver-OOM hazard for massive ones, so
+    any delete set larger than ``max_driver_deletes`` automatically delegates
+    to :func:`expunge_deletes_distributed` (equivalent results, delete ids
+    never pass through the driver).  The size probe is a count aggregate, not
+    a collect.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     if index.deletes is None:
         return index
-    deleted = np.sort(np.array([r["doc_id"] for r in index.deletes.select("doc_id").collect()], dtype=np.int64))
-    if deleted.size == 0:
+    n_deletes = index.deletes.select("doc_id").distinct().count()
+    if n_deletes == 0:
         return replace(index, deletes=None)
+    if n_deletes > max_driver_deletes:
+        return expunge_deletes_distributed(index)
+    deleted = np.sort(np.array([r["doc_id"] for r in index.deletes.select("doc_id").collect()], dtype=np.int64))
 
     ids = [r.run_id for r in run_manifest(index)]
     kept = merge_runs(index, ids, new_run_id=max(ids) + 3_000_000_000, drop_doc_ids=deleted)

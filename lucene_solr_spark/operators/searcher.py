@@ -2752,8 +2752,12 @@ class IndexSearcher:
         and the postings are read once).
 
         ``queries`` maps query_id -> Query, each a TermQuery or a flat
-        boolean of (possibly boosted) TermQueries (MUST/SHOULD/MUST_NOT +
-        minimumNumberShouldMatch).  Returns (query_id, rank, doc_id, score).
+        boolean of (possibly boosted) TermQueries (MUST/SHOULD/FILTER/
+        MUST_NOT + minimumNumberShouldMatch).  FILTER clauses are required
+        matches that contribute no score, exactly like the single-query path
+        (BooleanWeight: FILTER counts as a required clause, so SHOULD stays
+        optional when only FILTERs are present).  Returns (query_id, rank,
+        doc_id, score).
 
         Float chain identical to the single-query path: postings are
         unpacked once with unit weight (f32(1·t) == t), each clause applies
@@ -2780,37 +2784,38 @@ class IndexSearcher:
                 boost *= q.boost
                 q = q.query
             if isinstance(q, TermQuery):
-                must, should, must_not, mm = [q], [], [], 0
+                must, should, filt, must_not, mm = [q], [], [], [], 0
             elif isinstance(q, BooleanQuery):
-                if q.by_occur("FILTER"):
-                    raise NotImplementedError("FILTER clauses in batch_search")
-                must, should, must_not = (
-                    q.by_occur("MUST"), q.by_occur("SHOULD"), q.by_occur("MUST_NOT")
+                must, should, filt, must_not = (
+                    q.by_occur("MUST"), q.by_occur("SHOULD"), q.by_occur("FILTER"), q.by_occur("MUST_NOT")
                 )
                 mm = q.minimum_should_match
-                if not must:
+                if not must and not filt:  # same rule as _eval_boolean
                     mm = max(1, mm)
             else:
                 raise NotImplementedError(f"batch_search: {type(q).__name__}")
             leaves = []
-            for occur, qs in (("MUST", must), ("SHOULD", should), ("MUST_NOT", must_not)):
+            for occur, qs in (
+                ("MUST", must), ("SHOULD", should), ("FILTER", filt), ("MUST_NOT", must_not)
+            ):
                 for sub in qs:
-                    ft = self._flat_term(sub, boost if occur != "MUST_NOT" else 1.0)
+                    ft = self._flat_term(sub, boost if occur in ("MUST", "SHOULD") else 1.0)
                     if ft is None:
                         raise NotImplementedError("batch_search: non-term clause")
                     leaves.append((occur, ft[0], ft[1]))
-            n_must = sum(1 for o, t, _ in leaves if o == "MUST")
-            present_must = sum(1 for o, t, _ in leaves if o == "MUST" and t in stats)
-            if present_must < n_must or not any(
-                o in ("MUST", "SHOULD") and t in stats for o, t, _ in leaves
+            required = ("MUST", "FILTER")
+            n_req = sum(1 for o, t, _ in leaves if o in required)
+            present_req = sum(1 for o, t, _ in leaves if o in required and t in stats)
+            if present_req < n_req or not any(
+                o in ("MUST", "SHOULD", "FILTER") and t in stats for o, t, _ in leaves
             ):
-                continue  # a required term is absent / nothing can score: no hits
+                continue  # a required term is absent / nothing can match: no hits
             for occur, t, b in leaves:
                 if t not in stats:
                     continue
-                w = self._leaf_w(b, t, stats) if occur != "MUST_NOT" else 0.0
+                w = self._leaf_w(b, t, stats) if occur in ("MUST", "SHOULD") else 0.0
                 clause_rows.append((str(qid), t, occur, float(w)))
-            meta_rows.append((str(qid), n_must, int(mm)))
+            meta_rows.append((str(qid), n_req, int(mm)))
         out_schema = "query_id string, rank int, doc_id long, score float"
         if not clause_rows:
             return self.spark.createDataFrame([], out_schema)
@@ -2818,7 +2823,7 @@ class IndexSearcher:
         clauses = self.spark.createDataFrame(
             clause_rows, "query_id string, term string, occur string, w float"
         )
-        meta = self.spark.createDataFrame(meta_rows, "query_id string, n_must int, mm int")
+        meta = self.spark.createDataFrame(meta_rows, "query_id string, n_req int, mm int")
         terms_needed = sorted({t for _, t, _, _ in clause_rows})
         # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting
         unit = {t: 1.0 for t in terms_needed}
@@ -2831,20 +2836,25 @@ class IndexSearcher:
             (F.col("w") * F.col("score")).cast("float").alias("cscore"),
         )
         agg = per_clause.groupBy("query_id", "doc_id").agg(
-            F.sum(F.when(F.col("occur") != "MUST_NOT", F.col("cscore").cast("double"))).alias("dscore"),
-            F.sum(F.when(F.col("occur") == "MUST", 1).otherwise(0)).alias("nm"),
+            F.sum(F.when(F.col("occur").isin("MUST", "SHOULD"), F.col("cscore").cast("double"))).alias("dscore"),
+            F.sum(F.when(F.col("occur").isin("MUST", "FILTER"), 1).otherwise(0)).alias("nr"),
             F.sum(F.when(F.col("occur") == "SHOULD", 1).otherwise(0)).alias("ns"),
             F.max(F.when(F.col("occur") == "MUST_NOT", 1).otherwise(0)).alias("nn"),
         )
         cond = (
-            (F.col("nm") == F.col("n_must"))
+            (F.col("nr") == F.col("n_req"))
             & (F.col("nn") == 0)
             & ((F.col("mm") <= 0) | (F.col("ns") >= F.col("mm")))
         )
         matched = agg.join(F.broadcast(meta), "query_id").filter(cond)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
-            matched.select("query_id", "doc_id", F.col("dscore").cast("float").alias("score"))
+            # dscore is NULL for FILTER-only matches — score 0.0, like the
+            # single-query path's filter-only branch
+            matched.select(
+                "query_id", "doc_id",
+                F.coalesce(F.col("dscore"), F.lit(0.0)).cast("float").alias("score"),
+            )
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score")

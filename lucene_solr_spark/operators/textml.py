@@ -146,16 +146,35 @@ def text_logit(
             err = 0.0
             seen = False
             for pdf in iterator:
-                for fts, y in zip(pdf["fts"], pdf["y"]):
-                    seen = True
-                    v = np.zeros(len(w))
-                    v[0] = 1.0
-                    for r in fts:
-                        v[r["idx"] + 1] = idf[r["idx"]] * (1.0 + np.log(r["tf"]))
+                if not len(pdf):
+                    continue
+                seen = True
+                # build the batch's dense feature matrix in one vectorized
+                # pass (the reference's per-doc vector fill, hoisted out of
+                # the sample loop); the weight updates below stay sequential
+                # — that IS the reference's per-shard SGD semantics
+                fts_col = pdf["fts"].tolist()
+                n = len(pdf)
+                V = np.zeros((n, len(w)))
+                V[:, 0] = 1.0
+                counts = np.fromiter((len(f) for f in fts_col), dtype=np.int64, count=n)
+                if counts.sum():
+                    flat_idx = np.fromiter(
+                        (r["idx"] for f in fts_col for r in f), dtype=np.int64
+                    )
+                    flat_tf = np.fromiter(
+                        (r["tf"] for f in fts_col for r in f), dtype=np.float64
+                    )
+                    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+                    V[rows, flat_idx + 1] = idf[flat_idx] * (1.0 + np.log(flat_tf))
+                ys = pdf["y"].to_numpy(dtype=np.float64)
+                # iteration-start error is w-independent: one matmul
+                sig0 = 1.0 / (1.0 + np.exp(-(V @ wstart)))
+                err += float(np.abs(sig0 - ys).sum())
+                for i in range(n):  # sequential SGD, reference order
+                    v = V[i]
                     sig = 1.0 / (1.0 + np.exp(-float(v @ w)))
-                    sig0 = 1.0 / (1.0 + np.exp(-float(v @ wstart)))
-                    err += abs(sig0 - y)
-                    w -= (b_lr * (sig - y)) * v
+                    w -= (b_lr * (sig - ys[i])) * v
             if seen:
                 yield pd.DataFrame({"weights": [w.tolist()], "error": [err]})
 

@@ -23,6 +23,15 @@ def test_batch_matches_individual(searcher, oracle):
         "q_not": BooleanQuery.build(must=[TermQuery(h[2])], must_not=[TermQuery(h[0])]),
         "q_missing": TermQuery("zzz_not_in_index"),
         "q_dup": BooleanQuery.build(should=[TermQuery(h[3]), TermQuery(h[3])]),
+        # FILTER clauses: required match, no score contribution
+        "q_filter": BooleanQuery.build(must=[TermQuery(h[0])], filter=[TermQuery(h[1])]),
+        "q_filter_only": BooleanQuery.build(filter=[TermQuery(h[2])]),
+        "q_filter_should": BooleanQuery.build(
+            should=[TermQuery(h[0])], filter=[TermQuery(h[3])]
+        ),
+        "q_filter_missing": BooleanQuery.build(
+            must=[TermQuery(h[0])], filter=[TermQuery("zzz_not_in_index")]
+        ),
     }
     out = searcher.batch_search(queries, k=10).collect()
     by_q = {}

@@ -47,6 +47,31 @@ def test_delete_then_expunge(spark_corpus, searcher):
         assert d not in deleted
 
 
+def test_expunge_delegates_large_delete_sets(spark_corpus, searcher, monkeypatch):
+    """A delete set above max_driver_deletes must route through the
+    distributed path — the delete ids never get collect()ed to the driver."""
+    from lucene_solr_spark.operators import merge as merge_mod
+
+    idx = build_index(spark_corpus, IndexConfig(n_partitions=8)).persist()
+    s = IndexSearcher(idx, spark_corpus)
+    s.delete_by_query(TermQuery("wolo"))
+    assert idx.deletes.count() > 0
+
+    called = {}
+    real = merge_mod.expunge_deletes_distributed
+
+    def spy(ix):
+        called["distributed"] = True
+        return real(ix)
+
+    monkeypatch.setattr(merge_mod, "expunge_deletes_distributed", spy)
+    clean = merge_mod.expunge_deletes(idx, max_driver_deletes=0)
+    assert called.get("distributed")
+    assert clean.deletes is None
+    # and the delegated result carries the recomputed stats
+    assert clean.doc_count == idx.doc_count - idx.deletes.select("doc_id").distinct().count()
+
+
 def test_distributed_expunge_matches_broadcast(spark_corpus, searcher):
     """The 100 TB expunge path (range-targeted rewrite, deletes never touch
     the driver) must produce exactly the same index as the broadcast path:
