@@ -118,6 +118,40 @@ def alt_searcher(spark: SparkSession, sf_dir: str, tag: str, analyzer) -> IndexS
     return _INDEX_CACHE[key]
 
 
+def wdgf_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """`documents` with adjacent token pairs '-'-joined ("scan merge key" ->
+    "scan-merge key"), indexed under WhitespaceTokenizer →
+    WordDelimiterGraphFilter(GENERATE_* | SPLIT_* | STEM | CATENATE_WORDS) →
+    LowerCaseFilter (functions/worddelimiter.py — ``reference lucene/
+    analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java``).
+
+    The generated parts restore the ORIGINAL unigram stream exactly (same
+    tf/df/positions, and dl counts occupied graph positions so catenations
+    are discounted overlaps) — which is what the float32-exact oracle leans
+    on: unigram stats come from the untransformed text, catenated-term stats
+    from the odd-boundary pair join."""
+    key = ("documents", sf_dir, "wdgf")
+    if key not in _INDEX_CACHE:
+        from .functions.analysis import wdgf_analyzer
+        from .functions.worddelimiter import CATENATE_WORDS, WDGF_DEFAULT_FLAGS
+
+        corpus = (
+            doc_searcher(spark, sf_dir)
+            .corpus.withColumn(
+                "text", F.regexp_replace("text", r"([a-z0-9]+) ([a-z0-9]+)", r"$1-$2")
+            )
+            .persist()
+        )
+        idx = build_index(
+            corpus,
+            IndexConfig(
+                analyzer=wdgf_analyzer(WDGF_DEFAULT_FLAGS | CATENATE_WORDS), n_partitions=8
+            ),
+        ).persist()
+        _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+    return _INDEX_CACHE[key]
+
+
 def _ranked(top_df: DataFrame) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top_df.select(F.row_number().over(w).cast("int").alias("rank"), F.col("doc_id").cast("long"))
@@ -859,6 +893,25 @@ def ft_queries() -> dict:
         return _ranked(s.search(TermQuery(HOT[:3]), 10).df)
 
     q["ft_edge_ngram_topk"] = ft_edge_ngram_topk
+
+    def ft_wdgf_topk(spark, sf_dir):
+        """WordDelimiterGraphFilter(CATENATE_WORDS) index over the
+        hyphenated corpus: BM25 top-10 for the CATENATED term 'scanmerge' —
+        tf = odd-boundary ('scan','merge') pairs, dl discounts the
+        catenation overlap (it sits at its span's start position)."""
+        s = wdgf_searcher(spark, sf_dir)
+        return _ranked(s.search(TermQuery(f"{HOT}{HOT2}"), 10).df)
+
+    q["ft_wdgf_topk"] = ft_wdgf_topk
+
+    def ft_wdgf_parts_topk(spark, sf_dir):
+        """WDGF generated parts restore the original unigram stream: BM25
+        for 'scan' on the WDGF index must equal the plain index's ranking
+        (same tf/df/dl after split + graph-position discounting)."""
+        s = wdgf_searcher(spark, sf_dir)
+        return _ranked(s.search(TermQuery(HOT), 10).df)
+
+    q["ft_wdgf_parts_topk"] = ft_wdgf_parts_topk
 
     def ft_synmap_topk(spark, sf_dir):
         """SynonymGraphFilter replace-mode index ('sort => key' rule applied
@@ -2676,6 +2729,33 @@ def ft_oracle_sql() -> dict:
             + " AS score FROM stf JOIN dlq ON stf.doc_id = dlq.doc_id)",
         ],
         _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # WDGF index over the '-'-paired corpus: the generated parts restore the
+    # original unigram stream (tf/df/dl/positions unchanged — catenations are
+    # posIncr-0 overlaps at their span start, discounted from dl), so the
+    # catenated term's stats come from the odd-boundary pair join on the
+    # UNtransformed tokens and everything else is the shared _BASE
+    wdgf_t32 = _R(f"ctf.tf / (ctf.tf + {_D(_CACHE)})")
+    o["ft_wdgf_topk"] = _with(
+        [
+            tokp,
+            f"ctf AS (SELECT a.doc_id AS doc_id, count(*) AS tf FROM tokp a "
+            f"JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            f"WHERE a.pos % 2 = 1 AND a.term = '{HOT}' AND b.term = '{HOT2}' "
+            f"GROUP BY a.doc_id)",
+            "cdf AS (SELECT count(*) AS df FROM ctf)",
+            f"sc AS (SELECT ctf.doc_id AS doc_id, "
+            + _R(_idf("(SELECT df FROM cdf)") + " * " + wdgf_t32)
+            + " AS score FROM ctf JOIN dlq ON ctf.doc_id = dlq.doc_id)",
+        ],
+        _topk_sql("SELECT doc_id, score FROM sc"),
+    )
+
+    # parts restore the unigram stream exactly: the WDGF index's 'scan'
+    # ranking IS the plain index's ranking
+    o["ft_wdgf_parts_topk"] = _with(
+        [_term_cte("sc", HOT)], _topk_sql("SELECT doc_id, score FROM sc")
     )
 
     # phonetic: the SAME Soundex rewrite system replayed in SQL (both engines

@@ -43,6 +43,7 @@ __all__ = [
     "cjk_analyzer",
     "shingle_analyzer",
     "synonym_analyzer",
+    "wdgf_analyzer",
     "ENGLISH_STOP_WORDS",
 ]
 
@@ -178,6 +179,18 @@ class Analyzer:
     # terms in this set bypass the stemmer (KeywordAttribute contract the
     # stem filters honor). Tuple of protected terms (hashable).
     keyword_terms: tuple = ()
+    # WordDelimiterGraphFilter (``reference lucene/analysis/common/src/java/
+    # org/apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java``,
+    # see functions/worddelimiter.py): int flag mask; when nonzero the chain
+    # becomes whitespace-tokenize (ORIGINAL case — the filter splits on case
+    # transitions, so it must run before LowerCaseFilter) → WDGF → lowercase.
+    # Catenations/preserved originals are posIncrement-0 overlap tokens at
+    # their span's start position and do not count toward the field length
+    # (discountOverlaps); a token of pure delimiters is swallowed, leaving a
+    # position hole. Use :func:`wdgf_analyzer`.
+    word_delimiter: int = 0
+    # WDGF protWords (protected from delimiting; CharArraySet in the ref)
+    protected_words: tuple = ()
 
     def __post_init__(self):
         if self.shingles and (self.stopwords or self.max_token_length):
@@ -202,6 +215,25 @@ class Analyzer:
             if g and not (1 <= int(g[0]) <= int(g[1])):
                 # NGramTokenFilter.java ctor: minGram >= 1, minGram <= maxGram
                 raise ValueError("require 1 <= min_gram <= max_gram")
+        if self.word_delimiter:
+            from .worddelimiter import _VALID_FLAGS
+
+            if self.word_delimiter & ~_VALID_FLAGS:
+                # WordDelimiterGraphFilter.java ctor flag validation (:228-243)
+                raise ValueError("word_delimiter contains unrecognized flag")
+            incompatible = (
+                self.stopwords or self.strip_possessive or self.stemmer
+                or self.cjk_bigrams or self.ascii_folding or self.token_map
+                or self.shingles or self.ngrams or self.edge_ngrams
+                or self.length_filter or self.common_grams or self.pattern_replace
+                or self.truncate or self.elision
+            )
+            if incompatible:
+                raise ValueError(
+                    "word_delimiter composes only with lowercase/"
+                    "max_token_length (graph positions vs downstream filter "
+                    "holes are not modeled)"
+                )
 
     def _gram_expand(self, tok: str) -> list[str]:
         """Gram emission for one token, in the reference's state-machine
@@ -300,10 +332,35 @@ class Analyzer:
             text = self._fold(text)
         return text
 
+    def _wdgf_stream(self, text: str) -> list[tuple[str, int]]:
+        """Whitespace-tokenize ORIGINAL-case text, run WordDelimiterGraph-
+        Filter per token, lowercase the parts; positions follow the graph
+        (catenations at their span's start position, swallowed tokens leave
+        a one-position hole)."""
+        from .worddelimiter import word_delimiter_parts
+
+        if text is None:
+            return []
+        prot = frozenset(self.protected_words)
+        maxlen = self.max_token_length or None
+        base = 0
+        out: list[tuple[str, int]] = []
+        for raw in self._regex().findall(text):
+            if maxlen and len(raw) > maxlen:
+                base += 1  # overlong token skipped; position hole
+                continue
+            parts, npos = word_delimiter_parts(raw, self.word_delimiter, prot)
+            for term, sp in parts:
+                out.append((term.lower() if self.lowercase else term, base + sp))
+            base += npos
+        return out
+
     def tokens(self, text: str) -> list[str]:
         """Analyze one string (driver-side / query normalization path)."""
         if text is None:
             return []
+        if self.word_delimiter:
+            return [t for t, _ in self._wdgf_stream(text)]
         if self.lowercase:
             text = text.lower()
         maxlen = self.max_token_length or None
@@ -363,6 +420,8 @@ class Analyzer:
         (FilteringTokenFilter.java:48-56, StandardTokenizer.java:142-166)."""
         if text is None:
             return []
+        if self.word_delimiter:
+            return self._wdgf_stream(text)
         if self.lowercase:
             text = text.lower()
         maxlen = self.max_token_length or None
@@ -434,6 +493,8 @@ class Analyzer:
           within the document INCLUDING holes left by stopped/overlong
           tokens (FilteringTokenFilter.java:48-56 position increments).
         """
+        if self.word_delimiter:
+            return self._analyze_batch_wdgf(texts)
         s = texts.fillna("")
         if self.lowercase:
             s = s.str.lower()
@@ -552,6 +613,83 @@ class Analyzer:
             positions = np.repeat(positions, reps)
         return flat, row_index, dl, positions
 
+    def _analyze_batch_wdgf(self, texts: pd.Series):
+        """Batch WordDelimiterGraphFilter analysis: whitespace tokens of the
+        ORIGINAL-case text expand through the (small) batch dictionary — the
+        Python WDGF kernel runs once per distinct raw token; occurrences
+        expand with numpy gathers.  dl counts one token per occupied graph
+        position (catenations/preserved originals are posIncrement-0
+        overlaps, discounted; swallowed tokens advance positions but add no
+        length)."""
+        from .worddelimiter import word_delimiter_parts
+
+        s = texts.fillna("")
+        token_lists = s.str.findall(self._regex())
+        counts = token_lists.str.len().to_numpy(dtype=np.int64)
+        n_rows = len(s)
+        if counts.sum() == 0:
+            return (
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64),
+                np.zeros(n_rows, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        flat_raw = np.empty(int(counts.sum()), dtype=object)
+        w = 0
+        for lst in token_lists:
+            if lst:
+                flat_raw[w : w + len(lst)] = lst
+                w += len(lst)
+        row_index = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+
+        codes, uniques = pd.factorize(pd.Series(flat_raw), sort=False)
+        prot = frozenset(self.protected_words)
+        maxlen = self.max_token_length or None
+        part_lists: list[list] = []
+        npos_u = np.empty(len(uniques), dtype=np.int64)
+        dl_u = np.empty(len(uniques), dtype=np.int64)
+        for i, u in enumerate(uniques):
+            if maxlen and len(u) > maxlen:
+                parts, npos = [], 1  # overlong: skipped, position hole
+            else:
+                parts, npos = word_delimiter_parts(u, self.word_delimiter, prot)
+            if self.lowercase:
+                parts = [(t.lower(), sp) for t, sp in parts]
+            part_lists.append(parts)
+            npos_u[i] = npos
+            dl_u[i] = len({sp for _, sp in parts})
+
+        # per-occurrence position base: exclusive prefix sum of the occupied
+        # position counts, rebased to each row's first occurrence
+        npos_occ = npos_u[codes]
+        total_before = np.cumsum(npos_occ) - npos_occ
+        starts = np.cumsum(counts) - counts
+        base_within = total_before - total_before[np.repeat(starts, counts)]
+
+        # expand emissions through the dictionary (numpy gather)
+        emit_u = np.array([len(p) for p in part_lists], dtype=np.int64)
+        all_terms = np.empty(int(emit_u.sum()), dtype=object)
+        all_sp = np.empty(int(emit_u.sum()), dtype=np.int64)
+        w = 0
+        for parts in part_lists:
+            for t, sp in parts:
+                all_terms[w] = t
+                all_sp[w] = sp
+                w += 1
+        offs_u = np.cumsum(emit_u) - emit_u
+        reps = emit_u[codes]
+        idx = np.repeat(offs_u[codes], reps) + (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        flat = all_terms[idx]
+        positions = np.repeat(base_within, reps) + all_sp[idx]
+        out_rows = np.repeat(row_index, reps)
+        dl = np.bincount(
+            row_index, weights=dl_u[codes].astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        return flat, out_rows, dl, positions
+
     # ------------------------------------------------- encoded (hot) path
     def analyze_batch_encoded(self, texts: pd.Series):
         """Batch analysis returning dictionary-encoded terms:
@@ -597,6 +735,7 @@ class Analyzer:
             or self.pattern_replace
             or self.truncate
             or self.elision
+            or self.word_delimiter
         ):
             return None  # token-transform chains take the regex path
         if self.pattern == _STANDARD_PATTERN:
@@ -784,6 +923,28 @@ def synonym_analyzer(rules: dict) -> Analyzer:
         stopwords=frozenset(),
         max_token_length=0,
         token_map=tuple(sorted(rules.items())),
+    )
+
+
+def wdgf_analyzer(
+    flags: int | None = None, protected_words: tuple = (), max_token_length: int = 255
+) -> Analyzer:
+    """WhitespaceTokenizer → WordDelimiterGraphFilter → LowerCaseFilter —
+    the reference-recommended WDGF chain (``WordDelimiterGraphFilter.java``
+    class javadoc: StandardTokenizer strips intra-word delimiters, so WDGF
+    wants a whitespace tokenizer; case splitting needs the filter to run
+    before lowercasing).  ``flags`` defaults to the split-everything set
+    (GENERATE_WORD/NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+    STEM_ENGLISH_POSSESSIVE)."""
+    from .worddelimiter import WDGF_DEFAULT_FLAGS
+
+    return Analyzer(
+        pattern=r"\S+",
+        lowercase=True,
+        stopwords=frozenset(),
+        max_token_length=max_token_length,
+        word_delimiter=WDGF_DEFAULT_FLAGS if flags is None else int(flags),
+        protected_words=tuple(protected_words),
     )
 
 
