@@ -584,6 +584,21 @@ def ft_queries() -> dict:
         BooleanQuery.build(must=[TermQuery(MID)], filter=[FieldRangeQuery("n_chars", 120, 300)])
     )
 
+    def ft_flexible_parse(spark, sf_dir):
+        """Flexible (StandardQueryParser) grammar end-to-end: AND default
+        operator plus the whitespace-bound ``!`` NOT modifier
+        (TestStandardQP.testOperatorVsWhitespace) — ``scan sort ! dup``
+        parses to +scan +sort -dup and evaluates on the classic engine."""
+        from .plans.flexible_parser import parse_flexible_query
+
+        s = doc_searcher(spark, sf_dir)
+        query = parse_flexible_query(
+            f"{HOT} {MID2} ! {RARE}", simple_analyzer(), default_operator="AND"
+        )
+        return _ranked(s.search(query, 10).df)
+
+    q["ft_flexible_parse"] = ft_flexible_parse
+
     def ft_parsed_field(spark, sf_dir):
         """End-to-end classic syntax with a field clause: parser → AST →
         boolean evaluation (the Solr example shape ``role:assistant +tool:
@@ -1550,6 +1565,18 @@ def ft_oracle_sql() -> dict:
 
     mn_body = "SELECT doc_id, score FROM sa WHERE doc_id NOT IN (SELECT doc_id FROM sb)"
     o["ft_must_not"] = _with([_term_cte("sa", RARE), _term_cte("sb", HOT)], _topk_sql(mn_body))
+
+    # flexible parse "scan sort ! dup" under AND default: +scan +sort -dup
+    flex_body = (
+        f"SELECT doc_id, {dsum} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM sd) "
+        "GROUP BY doc_id HAVING count(*) = 2"
+    )
+    o["ft_flexible_parse"] = _with(
+        [_term_cte("sa", HOT), _term_cte("sb", MID2), _term_cte("sd", RARE)],
+        _topk_sql(flex_body),
+    )
 
     # phrase: reconstruct the token string, double the separators so
     # consecutive occurrences stay countable, count '  '-separated adjacency
