@@ -121,6 +121,84 @@ def main() -> None:
             print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
             queries[name] = -1.0
 
+    # ---- scale-transferable metrics: the numbers that survive a 100x
+    # scale-up are the θ block/posting skip rates (how much of the postings
+    # the pruner never touches) and the exhaustive decode+score rate per
+    # posting — local-mode job floor dominates the raw latencies at small sf
+    scale = {}
+    try:
+        from pyspark.sql import functions as F
+        from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
+
+        s = dc.doc_searcher(spark, sf_dir)
+        # force the pruned two-pass plan regardless of the cost gate: skip
+        # rates are a property of the impact distribution, not corpus size,
+        # and the pruned path is tested result-identical to exhaustive
+        saved_gate = s.prune_min_postings
+        try:
+            s.prune_min_postings = 1
+            m = s.prune_metrics(TermQuery(dc.HOT), k=10)
+            if m.get("pruning_applied"):
+                scale["term_block_skip_rate"] = m["block_skip_rate"]
+                scale["term_posting_skip_rate"] = m["posting_skip_rate"]
+            mo = s.prune_metrics(
+                BooleanQuery.build(
+                    should=[TermQuery(dc.HOT), TermQuery(dc.HOT2), TermQuery(dc.MID)]
+                ),
+                k=10,
+            )
+            if mo.get("pruning_applied"):
+                scale["or_block_skip_rate"] = mo["block_skip_rate"]
+                scale["or_posting_skip_rate"] = mo["posting_skip_rate"]
+        finally:
+            s.prune_min_postings = saved_gate
+
+        # the sf corpus has a deliberately flat tf distribution, so θ cannot
+        # cut much there; real corpora are Zipf-shaped. Measure the skip rate
+        # on a small Zipf-head demo too (same shape as BENCH/PLANS.md §3) so
+        # the scale-transferable number is recorded every round.
+        import pandas as pd
+
+        from lucene_solr_spark.operators.indexer import (
+            IndexConfig,
+            assign_doc_ids,
+            build_index,
+        )
+        from lucene_solr_spark.operators.searcher import IndexSearcher
+
+        rows = [
+            (
+                f"c{i:06d}",
+                0,
+                ("skew " * (20 + (i % 40) if i < 40 else 1)) + "filler tail words",
+            )
+            for i in range(20040)
+        ]
+        demo = assign_doc_ids(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])),
+            ("conv_id", "turn_idx"),
+            n_partitions=16,
+        )
+        ds = IndexSearcher(
+            build_index(demo, IndexConfig(n_partitions=16)), demo, prune_min_postings=0
+        )
+        mz = ds.prune_metrics(TermQuery("skew"), k=10)
+        if mz.get("pruning_applied"):
+            scale["zipf_block_skip_rate"] = mz["block_skip_rate"]
+            scale["zipf_posting_skip_rate"] = mz["posting_skip_rate"]
+        trow = s.index.terms.filter(F.col("term") == dc.HOT).collect()
+        n_post = int(trow[0]["df"]) if trow else 0
+        if n_post:
+            runs_d = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                s.search(TermQuery(dc.HOT), 10, prune=False).df.collect()
+                runs_d.append(time.monotonic() - t0)
+            scale["hot_term_postings"] = n_post
+            scale["postings_scored_per_sec"] = round(n_post / min(runs_d), 1)
+    except Exception as e:
+        print(f"BENCH_ERROR scale_metrics: {e}", file=sys.stderr)
+
     total = round(sum(v for v in queries.values() if v > 0), 3)
     # headline latency stats (BASELINE.json metric: BM25 top-k query p95)
     ft_lat = sorted(v for n, v in queries.items() if n.startswith("ft_") and v > 0)
@@ -140,6 +218,7 @@ def main() -> None:
         "bm25_query_p95_sec": _p95(ft_lat),
         "query_p95_sec": _p95(all_lat),
         "cpus": cpus,
+        **scale,
     }
     print(json.dumps(out))
 
