@@ -333,6 +333,14 @@ def ft_queries() -> dict:
 
         return fn
 
+    def _const_ids_xml(xml, limit=30):
+        def fn(spark, sf_dir):
+            from .plans.xml_parser import parse_xml_query
+
+            return _const_ids(parse_xml_query(xml, simple_analyzer()), limit)(spark, sf_dir)
+
+        return fn
+
     q["ft_wildcard"] = _const_ids(WildcardQuery("s?an"))
     q["ft_regexp"] = _const_ids(RegexpQuery("s[ck]an|sort"))
     q["ft_term_range"] = _const_ids(TermRangeQuery("scan", "sort", True, False))
@@ -608,6 +616,38 @@ def ft_queries() -> dict:
         return _ranked(s.search(query, 10).df)
 
     q["ft_parsed_field"] = ft_parsed_field
+
+    def ft_xml_parse(spark, sf_dir):
+        """CoreParser XML surface end-to-end (``queryparser/xml/CoreParser.
+        java:41``): BooleanQuery element with must/mustNot/filter Clause
+        children, fieldName inheritance from the root, a typed
+        PointRangeQuery filter, evaluated on the classic engine."""
+        from .plans.xml_parser import parse_xml_query
+
+        s = doc_searcher(spark, sf_dir)
+        query = parse_xml_query(
+            f"""
+            <BooleanQuery fieldName="text">
+              <Clause occurs="must"><TermQuery>{HOT2}</TermQuery></Clause>
+              <Clause occurs="mustNot"><TermQuery>{RARE}</TermQuery></Clause>
+              <Clause occurs="filter">
+                <PointRangeQuery fieldName="n_chars" type="int"
+                                 lowerTerm="120" upperTerm="300"/>
+              </Clause>
+            </BooleanQuery>""",
+            simple_analyzer(),
+        )
+        return _ranked(s.search(query, 10).df)
+
+    q["ft_xml_parse"] = ft_xml_parse
+
+    q["ft_xml_span"] = _const_ids_xml(
+        f"""
+        <SpanNear slop="2" inOrder="true" fieldName="text">
+          <SpanTerm>{HOT}</SpanTerm>
+          <SpanOrTerms>{HOT2} {MID}</SpanOrTerms>
+        </SpanNear>"""
+    )
 
     def ft_funcq(spark, sf_dir):
         """Named function-query registry (ValueSourceParser surface): boost
@@ -1860,6 +1900,14 @@ def ft_oracle_sql() -> dict:
         f"  WHERE a.term = '{HOT}' AND b.term = '{HOT2}' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
         ") ORDER BY doc_id LIMIT 30",
     )
+    # XML SpanNear with a SpanOrTerms slot: scan then (merge|key), ordered
+    o["ft_xml_span"] = _with(
+        [tokp],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        f"  SELECT DISTINCT a.doc_id AS doc_id FROM tokp a JOIN tokp b USING (doc_id)"
+        f"  WHERE a.term = '{HOT}' AND b.term IN ('{HOT2}', '{MID}') AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"
+        ") ORDER BY doc_id LIMIT 30",
+    )
     o["ft_complex_phrase"] = _with(
         [tokp],
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
@@ -2331,6 +2379,18 @@ def ft_oracle_sql() -> dict:
         _topk_sql(
             f"SELECT sc.doc_id AS doc_id, {pf_sum} AS score FROM sc "
             "JOIN documents d ON sc.doc_id = d.doc_id WHERE d.lang = 'en'"
+        ),
+    )
+
+    # XML CoreParser boolean: +merge -dup filter(n_chars in [120,300]) —
+    # the filter clause is non-scoring, score = BM25(merge) alone
+    o["ft_xml_parse"] = _with(
+        [_term_cte("sc", HOT2), _term_cte("sd", RARE)],
+        _topk_sql(
+            "SELECT sc.doc_id AS doc_id, sc.score AS score FROM sc "
+            "JOIN documents d ON sc.doc_id = d.doc_id "
+            "WHERE d.n_chars BETWEEN 120 AND 300 "
+            "AND sc.doc_id NOT IN (SELECT doc_id FROM sd)"
         ),
     )
 
