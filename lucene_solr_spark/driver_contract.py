@@ -1443,6 +1443,46 @@ def ft_queries() -> dict:
 
     q["ft_unified_highlight"] = ft_unified_highlight
 
+    def ft_fvh(spark, sf_dir):
+        """FastVectorHighlighter (``lucene/highlighter/.../vectorhighlight/
+        FastVectorHighlighter.java``): whole-text fragment over the HOT
+        top-10 for SHOULD {HOT, MID} — every occurrence tagged in position
+        order, ``frag_score`` = SimpleFieldFragList boost sum (= tf sum)."""
+        from .operators.fvh import fvh_highlight
+
+        s = doc_searcher(spark, sf_dir)
+        top = s.search(TermQuery(HOT), 10)
+        bq = BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID)])
+        hl = fvh_highlight(s, top, bq, frag_char_size=4096)
+        return hl.select(
+            F.col("doc_id").cast("long"),
+            "n_frags",
+            "frag_score",
+            F.element_at("fragments", 1).alias("fragment"),
+        ).orderBy("doc_id")
+
+    q["ft_fvh"] = ft_fvh
+
+    def ft_fvh_phrase(spark, sf_dir):
+        """FVH phrase path (``FieldPhraseList.java:68-122`` longest match +
+        ``WeightedPhraseInfo`` Toffs merging): the adjacent pair HOT HOT2 is
+        tagged as ONE merged span per occurrence; ``frag_score`` = phrase
+        count (boost 1 per match)."""
+        from .operators.fvh import fvh_highlight
+
+        s = doc_searcher(spark, sf_dir)
+        pq = PhraseQuery((HOT, HOT2))
+        top = s.search(pq, 10)
+        hl = fvh_highlight(s, top, pq, frag_char_size=4096)
+        return hl.select(
+            F.col("doc_id").cast("long"),
+            "n_frags",
+            "frag_score",
+            F.element_at("fragments", 1).alias("fragment"),
+        ).orderBy("doc_id")
+
+    q["ft_fvh_phrase"] = ft_fvh_phrase
+
     def ft_simple_parse(spark, sf_dir):
         """SimpleQueryParser (``lucene/queryparser/.../simple/
         SimpleQueryParser.java``): "HOT | MID + RARE" parses to
@@ -1636,6 +1676,23 @@ def ft_oracle_sql() -> dict:
         "FROM ph JOIN dlq ON ph.doc_id = dlq.doc_id WHERE ph.ptf > 0"
     )
     o["ft_phrase"] = _with([phrase_cte], _topk_sql(ph_body))
+
+    # FVH phrase path: top-10 phrase winners, whole-text fragment; each
+    # adjacent "HOT HOT2" pair is one merged tag span (Toffs merge), count =
+    # the same non-overlapping ptf the phrase scorer uses.  Single-space
+    # token geometry (verified: corpus is /[a-z0-9 ]/ single-spaced) makes
+    # the char-offset tagging equal to a word-boundary regex replace.
+    o["ft_fvh_phrase"] = _with(
+        [
+            phrase_cte,
+            f"pt AS (SELECT doc_id, ptf FROM ({ph_body}) b JOIN ph USING (doc_id) "
+            "ORDER BY b.score DESC, doc_id ASC LIMIT 10)",
+        ],
+        "SELECT CAST(pt.doc_id AS BIGINT) AS doc_id, 1 AS n_frags, "
+        "CAST(pt.ptf AS REAL) AS frag_score, "
+        f"regexp_replace(d.text, '\\b({HOT} {HOT2})\\b', '<b>\\1</b>', 'g') AS fragment "
+        "FROM pt JOIN documents d ON pt.doc_id = d.doc_id ORDER BY doc_id",
+    )
 
     # synonym: blended df = max over synonyms, tf summed per doc
     syn_cte = (
@@ -1839,6 +1896,23 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, "
         f"array_to_string(k.toks[greatest(1, list_position(k.toks, '{HOT}') - 2) : list_position(k.toks, '{HOT}') + 2], ' ') AS snippet "
         "FROM top10 t JOIN tks k ON t.doc_id = k.doc_id ORDER BY doc_id",
+    )
+
+    # FVH whole-text fragment over the HOT top-10 for SHOULD {HOT, MID}:
+    # one fragment (window >= text), every occurrence tagged left-to-right,
+    # frag_score = SimpleFieldFragList f32 boost sum = tf_HOT + tf_MID
+    # (integers, exact in f32).
+    o["ft_fvh"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "ftop AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            f"fcnt AS (SELECT doc_id, sum(tf) AS n FROM tf WHERE term IN ('{HOT}', '{MID}') GROUP BY doc_id)",
+        ],
+        "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, 1 AS n_frags, "
+        "CAST(c.n AS REAL) AS frag_score, "
+        f"regexp_replace(d.text, '\\b({HOT}|{MID})\\b', '<b>\\1</b>', 'g') AS fragment "
+        "FROM ftop t JOIN documents d ON t.doc_id = d.doc_id "
+        "JOIN fcnt c ON t.doc_id = c.doc_id ORDER BY doc_id",
     )
 
     # rescorer: top-20 of HOT, combined with 2.0 * HOT2 score
