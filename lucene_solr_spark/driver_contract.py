@@ -819,6 +819,110 @@ def ft_queries() -> dict:
     q["geo_polygon"] = geo_polygon
     q["geo_distance_feature"] = geo_distance_feature
 
+    # --- shape INDEXING (LatLonShape analog, operators/shapes.py) ---
+    # Per-customer diamonds (weighted-L1 balls |dlat| + |dlon|/2 <= r) are
+    # tessellated into triangle meshes at index time; the oracles below use
+    # closed-form L1 geometry, independent of the triangulation, so they
+    # verify the whole tessellate→encode→Rectangle2D pipeline.  The radius
+    # grid (k·0.31 + 0.0043) is incommensurate with the 0.01-degree center
+    # grid, so no shape sits within ~1e-3 deg of a decision boundary — far
+    # above the 4.19e-8 quantization loss and double rounding.
+    def _cust_diamonds(spark, sf_dir):
+        cust = _load(spark, sf_dir, "customer")
+        clat = (F.col("c_custkey") * 7919 % 16000) / F.lit(100.0) - F.lit(80.0)
+        clon = (F.col("c_custkey") * 104729 % 34000) / F.lit(100.0) - F.lit(170.0)
+        r = (F.col("c_custkey") % 5 + 1) * F.lit(0.31) + F.lit(0.0043)
+        return cust.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.array(clat + r, clat, clat - r, clat).alias("lats"),
+            F.array(clon, clon + 2 * r, clon, clon - 2 * r).alias("lons"),
+        )
+
+    def _diamond_tris(spark, sf_dir):
+        from lucene_solr_spark.operators.shapes import shape_triangles
+
+        return shape_triangles(_cust_diamonds(spark, sf_dir), ["c_custkey"])
+
+    _SHAPE_BOX = (-10.005, 25.005, 30.005, 90.005)
+
+    def geo_shape_box(spark, sf_dir):
+        """LatLonShape.newBoxQuery INTERSECTS (``sandbox/.../document/
+        LatLonShape.java:98-101``, ``geo/Rectangle2D.java:111-149``): shapes
+        whose tessellated mesh touches the box."""
+        from lucene_solr_spark.operators.shapes import shape_box_query
+
+        return shape_box_query(
+            _diamond_tris(spark, sf_dir), ["c_custkey"], *_SHAPE_BOX
+        ).orderBy("c_custkey")
+
+    def geo_shape_within(spark, sf_dir):
+        """WITHIN relation (``LatLonShapeBoundingBoxQuery.java:59-61``
+        containsTriangle over every mesh triangle)."""
+        from lucene_solr_spark.operators.shapes import shape_box_query
+
+        return shape_box_query(
+            _diamond_tris(spark, sf_dir), ["c_custkey"], *_SHAPE_BOX, relation="WITHIN"
+        ).orderBy("c_custkey")
+
+    def geo_shape_disjoint(spark, sf_dir):
+        """DISJOINT relation: shapes no triangle of which intersects."""
+        from lucene_solr_spark.operators.shapes import shape_box_query
+
+        return shape_box_query(
+            _diamond_tris(spark, sf_dir), ["c_custkey"], *_SHAPE_BOX, relation="DISJOINT"
+        ).orderBy("c_custkey")
+
+    def geo_shape_polygon(spark, sf_dir):
+        """LatLonShape.newPolygonQuery INTERSECTS (Polygon2D.relateTriangle):
+        query polygon is a diamond with the same L1 weights, so truth is
+        Minkowski: intersects ⇔ |dlat| + |dlon|/2 <= r + R."""
+        from lucene_solr_spark.operators.shapes import shape_polygon_query
+
+        qlat, qlon, R = 5.1234, -40.5678, 20.0
+        return shape_polygon_query(
+            _diamond_tris(spark, sf_dir),
+            ["c_custkey"],
+            [qlat + R, qlat, qlat - R, qlat],
+            [qlon, qlon + 2 * R, qlon, qlon - 2 * R],
+        ).orderBy("c_custkey")
+
+    def geo_shape_line(spark, sf_dir):
+        """Line INDEXING (``LatLonShape.java:83-91`` flat triangles): vertical
+        per-customer segments, box INTERSECTS."""
+        from lucene_solr_spark.operators.shapes import line_triangles, shape_box_query
+
+        cust = _load(spark, sf_dir, "customer")
+        clat = (F.col("c_custkey") * 7919 % 16000) / F.lit(100.0) - F.lit(80.0)
+        clon = (F.col("c_custkey") * 104729 % 34000) / F.lit(100.0) - F.lit(170.0)
+        r = (F.col("c_custkey") % 5 + 1) * F.lit(0.31) + F.lit(0.0043)
+        lines = cust.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.array(clat, clat + r).alias("lats"),
+            F.array(clon, clon).alias("lons"),
+        )
+        tris = line_triangles(lines, ["c_custkey"])
+        return shape_box_query(tris, ["c_custkey"], *_SHAPE_BOX).orderBy("c_custkey")
+
+    def geo_shape_linequery(spark, sf_dir):
+        """Line QUERY (``LatLonShapeLineQuery.java``): diamond meshes vs a
+        two-segment polyline; per-segment truth is the weighted-L1
+        point-to-segment distance."""
+        from lucene_solr_spark.operators.shapes import shape_line_query
+
+        return shape_line_query(
+            _diamond_tris(spark, sf_dir),
+            ["c_custkey"],
+            [2.07, 2.07, 30.03],
+            [-60.0, -20.0, -20.0],
+        ).orderBy("c_custkey")
+
+    q["geo_shape_box"] = geo_shape_box
+    q["geo_shape_within"] = geo_shape_within
+    q["geo_shape_disjoint"] = geo_shape_disjoint
+    q["geo_shape_polygon"] = geo_shape_polygon
+    q["geo_shape_line"] = geo_shape_line
+    q["geo_shape_linequery"] = geo_shape_linequery
+
     def tl_igain(spark, sf_dir):
         """FeaturesSelectionStream / igain QParser: top terms by information
         gain about lang='en'; score emitted as the order-free 2^-20
@@ -2327,6 +2431,50 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
         f"CAST(2.0 * (2000000.0 / (2000000.0 + {_hav_paris})) AS FLOAT) AS score "
         "FROM q ORDER BY score DESC, c_custkey ASC LIMIT 20"
+    )
+
+    # shape indexing: closed-form weighted-L1 geometry over the diamond
+    # parameters — independent of the tessellation the Spark path verifies.
+    # Margins are >= ~1e-3 deg by the radius-grid construction, so the raw
+    # double truth here equals the encoded-int mesh decision.
+    _dia = (
+        "dia AS (SELECT c_custkey, "
+        "(c_custkey * 7919 % 16000)/100.0 - 80.0 AS clat, "
+        "(c_custkey * 104729 % 34000)/100.0 - 170.0 AS clon, "
+        "(c_custkey % 5 + 1) * 0.31 + 0.0043 AS r FROM customer)"
+    )
+    _box_l1 = (
+        "greatest(-10.005 - clat, clat - 25.005, 0.0) + "
+        "greatest(30.005 - clon, clon - 90.005, 0.0)/2.0"
+    )
+    o["geo_shape_box"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        f"WHERE {_box_l1} <= r ORDER BY c_custkey"
+    )
+    o["geo_shape_within"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        "WHERE clat - r >= -10.005 AND clat + r <= 25.005 "
+        "AND clon - 2*r >= 30.005 AND clon + 2*r <= 90.005 ORDER BY c_custkey"
+    )
+    o["geo_shape_disjoint"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        f"WHERE NOT ({_box_l1} <= r) ORDER BY c_custkey"
+    )
+    o["geo_shape_polygon"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        "WHERE abs(clat - 5.1234) + abs(clon - (-40.5678))/2.0 <= r + 20.0 "
+        "ORDER BY c_custkey"
+    )
+    o["geo_shape_line"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        "WHERE clon >= 30.005 AND clon <= 90.005 AND clat <= 25.005 AND clat + r >= -10.005 "
+        "ORDER BY c_custkey"
+    )
+    o["geo_shape_linequery"] = (
+        f"WITH {_dia} SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM dia "
+        "WHERE abs(clat - 2.07) + greatest(-60.0 - clon, clon - (-20.0), 0.0)/2.0 <= r "
+        "OR greatest(2.07 - clat, clat - 30.03, 0.0) + abs(clon - (-20.0))/2.0 <= r "
+        "ORDER BY c_custkey"
     )
 
     # query-time join, ScoreMode.Max (max over float32 is order-free ⇒ exact)
