@@ -900,7 +900,12 @@ def ft_queries() -> dict:
             F.array(clat, clat + r).alias("lats"),
             F.array(clon, clon).alias("lons"),
         )
-        tris = line_triangles(lines, ["c_custkey"])
+        # persist = optimizer barrier: without it the filter pushdown inlines
+        # the encode projection into every vertex reference of the (large)
+        # Rectangle2D predicate and the generated method exceeds janino's
+        # 64 KB limit (production reads triangles from parquet, where the
+        # columns are plain attributes and codegen stays intact).
+        tris = line_triangles(lines, ["c_custkey"]).persist()
         return shape_box_query(tris, ["c_custkey"], *_SHAPE_BOX).orderBy("c_custkey")
 
     def geo_shape_linequery(spark, sf_dir):

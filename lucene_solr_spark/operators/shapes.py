@@ -352,6 +352,13 @@ def line_triangles(
     (``LatLonShape.java:83-91``): each polyline segment becomes the flat
     triangle ``(p_i, p_{i+1}, p_i)``.  Pure Catalyst — zip consecutive
     vertices, posexplode, encode.
+
+    Query the result through ``write_shape_index`` + a parquet read (the
+    production path), or ``.persist()`` it first when querying inline:
+    otherwise filter pushdown inlines this projection into every vertex
+    reference of the Rectangle2D predicate tree and the generated method
+    can exceed janino's 64 KB limit (whole-stage codegen then falls back
+    to interpreted eval).
     """
     key_cols = list(key_cols)
     n = F.size(lats_col)
