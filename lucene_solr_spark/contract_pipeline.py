@@ -153,6 +153,23 @@ def pipeline_queries() -> dict:
 
     q["dd_survivors"] = dd_survivors
 
+    def dd_substring_spans(spark, sf_dir):
+        """Exact substring dedup (Lee et al. 2022 suffix-array analog,
+        `operators/dedup.py::duplicated_spans`): per-doc count + token
+        coverage of maximal duplicated k-gram spans (k=10)."""
+        spans = dedup.duplicated_spans(_docs(spark, sf_dir), k=10)
+        return (
+            spans.groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_spans"),
+                F.sum("span_len").cast("bigint").alias("dup_tokens"),
+            )
+            .select(F.col("doc_id").cast("long"), "n_spans", "dup_tokens")
+            .orderBy("doc_id")
+        )
+
+    q["dd_substring_spans"] = dd_substring_spans
+
     def ta_redact(spark, sf_dir):
         """PII redaction over deterministically-synthesized contact lines
         (the corpus itself is clean, so both engines inject the same PII
@@ -335,6 +352,28 @@ ht AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 SELECT CAST(sz.doc_id AS BIGINT) AS doc_id, sz.n_shingles, ht.n_hits
 FROM sz JOIN ht ON sz.doc_id = ht.doc_id WHERE ht.n_hits > 0 ORDER BY doc_id
 """
+    # exact substring spans: same k-gram → duplicated-position → merged-span
+    # program on the gram STRINGS (engine-independent; Spark keys the
+    # exchange by xxhash64 of the same strings, collision-free at this scale)
+    o["dd_substring_spans"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS g
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 9)) AS u(i)
+        WHERE len(t) >= 10),
+dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT doc_id, pos FROM pos JOIN dup USING (g)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+             THEN 0 ELSE 1 END AS brk FROM dp),
+grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 10 AS e
+       FROM grp GROUP BY doc_id, gid)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_tokens
+FROM sp GROUP BY doc_id ORDER BY doc_id
+"""
+
     o["ta_stratified"] = """
 WITH h AS (SELECT lang, ((doc_id % 100000007) * 2654435761) % 100000007 AS hv FROM documents),
 kept AS (SELECT lang FROM h WHERE

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import LSH_BANDS, N_MINHASH, minhash_sigs, poly31
 
@@ -454,3 +454,54 @@ def select_survivors(
         F.expr("max_by(doc_id, struct(_q, -doc_id))").alias("survivor")
     )
     return components.join(best, "component").select("doc_id", "component", "survivor")
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring-duplication spans — the distributed analog of the
+    suffix-array dedup in Lee et al. 2022, *Deduplicating Training Data
+    Makes Language Models Better* (no reference analog; task-brief
+    training-pipeline surface).
+
+    A token position is *duplicated* when its ``k``-gram occurs at >= 2
+    ``(doc, pos)`` locations corpus-wide (cross-doc boilerplate AND
+    within-doc self-repetition, like the paper's suffix array).  Duplicated
+    positions whose k-gram windows overlap or touch (``pos - prev <= k``)
+    merge into one maximal span.  Returns ``(doc_id, span_start, span_len)``
+    in token units — feed to a slicer to cut the spans, or aggregate for
+    per-doc duplication stats.
+
+    Plan shape at scale: one k-gram exchange keyed by ``xxhash64`` of the
+    gram (the only corpus-sized shuffle; partial aggregation collapses hot
+    boilerplate grams map-side, and AQE skew-join splits the join back for
+    the survivors), then one doc-keyed window to merge positions into spans.
+    No Python in the hot path — slice/concat_ws/xxhash64 are codegen.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), i -> "
+                f"xxhash64(concat_ws(' ', slice(t, i + 1, {k}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = grams.groupBy("h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    dup_pos = grams.join(dup_h.select("h"), "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("_gid", F.sum("_brk").over(w))
+    return (
+        islands.groupBy("doc_id", "_gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - F.min("pos")).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
