@@ -170,6 +170,28 @@ def pipeline_queries() -> dict:
 
     q["dd_substring_spans"] = dd_substring_spans
 
+    def ta_bigram_ppl(spark, sf_dir):
+        """Perplexity filtering (KenLM role in C4/CCNet cleaning;
+        `operators/lm.py`): add-one bigram LM trained on the corpus, per-doc
+        quantized log-likelihood — 20 worst-predicted docs by average."""
+        from .operators.lm import bigram_logprob
+
+        out = bigram_logprob(_docs(spark, sf_dir))
+        return (
+            out.select(
+                F.col("doc_id").cast("long"),
+                "n_bigrams",
+                "logprob_q",
+            )
+            .orderBy(
+                (F.col("logprob_q") / F.col("n_bigrams")).asc(),
+                F.col("doc_id").asc(),
+            )
+            .limit(20)
+        )
+
+    q["ta_bigram_ppl"] = ta_bigram_ppl
+
     def ta_redact(spark, sf_dir):
         """PII redaction over deterministically-synthesized contact lines
         (the corpus itself is clean, so both engines inject the same PII
@@ -372,6 +394,27 @@ sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 10 AS e
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(e - s) AS BIGINT) AS dup_tokens
 FROM sp GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # bigram LM: identical counts → identical double ln input; per-bigram
+    # float32+2^-20 quantization before the sum makes it order-free (the
+    # classify.py contract trick), so sums match bitwise
+    o["ta_bigram_ppl"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+lq AS (SELECT doc_id,
+       CAST(floor(CAST(CAST(ln((c12 + 1.0) / (c1 + v.v)) AS FLOAT) AS DOUBLE)
+                  * 1048576) AS BIGINT) AS lq
+       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(lq) AS BIGINT) AS logprob_q FROM lq GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, logprob_q FROM agg
+ORDER BY CAST(logprob_q AS DOUBLE) / n_bigrams ASC, doc_id ASC LIMIT 20
 """
 
     o["ta_stratified"] = """
