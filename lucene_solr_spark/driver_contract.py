@@ -839,9 +839,17 @@ def ft_queries() -> dict:
         )
 
     def _diamond_tris(spark, sf_dir):
+        """Tessellated mesh, persisted once per sf_dir (the six shape
+        queries share it — index once, query many, like every other index
+        in this contract)."""
         from lucene_solr_spark.operators.shapes import shape_triangles
 
-        return shape_triangles(_cust_diamonds(spark, sf_dir), ["c_custkey"])
+        key = ("diamond_tris", sf_dir)
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = shape_triangles(
+                _cust_diamonds(spark, sf_dir), ["c_custkey"]
+            ).persist()
+        return _INDEX_CACHE[key]
 
     _SHAPE_BOX = (-10.005, 25.005, 30.005, 90.005)
 
