@@ -51,7 +51,9 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# ASCII-alnum runs on the ORIGINAL string (case handled per token) so
+# match offsets always index the string the fragments slice
+_TOKEN_RE = re.compile(r"[a-zA-Z0-9]+")
 
 # SimpleBoundaryScanner.DEFAULT_BOUNDARY_CHARS / DEFAULT_MAX_SCAN
 _BOUNDARY_CHARS = {".", ",", "!", "?", " ", "\t", "\n"}
@@ -394,9 +396,12 @@ def highlight_document(
     FastVectorHighlighter.getBestFragments: FieldTermStack → FieldPhraseList
     → FragListBuilder → FragmentsBuilder.createFragments(maxNumFragments).
     """
+    # tokenize the ORIGINAL text and lowercase per token: str.lower() on the
+    # whole string can change its length (e.g. 'İ' → 'i̇'), which would
+    # shift every later offset off the original string the fragments slice
     tokens = [
-        (m.group(), p, m.start(), m.end())
-        for p, m in enumerate(token_re.finditer(text.lower()))
+        (m.group().lower(), p, m.start(), m.end())
+        for p, m in enumerate(token_re.finditer(text))
     ]
     plist = field_phrase_list(tokens, trie, phrase_limit)
     frags = build_frag_list(plist, frag_char_size, margin, weighted, term_weights)

@@ -32,7 +32,10 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# ASCII-alnum runs on the ORIGINAL string: str.lower() on the whole text
+# can change its length (e.g. 'İ' → 2 chars), shifting every later
+# offset off the string the passages slice
+_TOKEN_RE = re.compile(r"[a-zA-Z0-9]+")
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
@@ -89,11 +92,10 @@ def _sentences(text: str) -> list[tuple[int, int]]:
 
 def _highlight_one(text: str, terms: set, scorer: PassageScorer, max_passages: int):
     """(score_of_best, formatted_snippet) for one document."""
-    lower = text.lower()
     occurrences = [
-        (m.start(), m.end(), m.group())
-        for m in _TOKEN_RE.finditer(lower)
-        if m.group() in terms
+        (m.start(), m.end(), m.group().lower())
+        for m in _TOKEN_RE.finditer(text)
+        if m.group().lower() in terms
     ]
     if not occurrences:
         # getSummaryPassagesNoHighlight: first sentence(s), score 0

@@ -271,7 +271,15 @@ def expunge_deletes(index: InvertedIndex, max_driver_deletes: int = 100_000) -> 
         return replace(index, deletes=None)
     if n_deletes > max_driver_deletes:
         return expunge_deletes_distributed(index)
-    deleted = np.sort(np.array([r["doc_id"] for r in index.deletes.select("doc_id").collect()], dtype=np.int64))
+    # distinct BEFORE collect — the count gate above is on distinct ids, so
+    # a duplicate-heavy delete log (overlapping delete_by_query batches)
+    # must not smuggle its raw row count onto the driver
+    deleted = np.sort(
+        np.array(
+            [r["doc_id"] for r in index.deletes.select("doc_id").distinct().collect()],
+            dtype=np.int64,
+        )
+    )
 
     ids = [r.run_id for r in run_manifest(index)]
     kept = merge_runs(index, ids, new_run_id=max(ids) + 3_000_000_000, drop_doc_ids=deleted)

@@ -184,12 +184,19 @@ def _eliminate_hole(outer: list, hole: list) -> list:
     hole-elimination the reference also performs)."""
     hi = max(range(len(hole)), key=lambda k: (hole[k][0], hole[k][1]))
     hx, hy = hole[hi]
-    # candidate outer vertices right of the hole vertex, nearest first;
-    # visible = the bridge segment crosses no outer edge
+    # candidate outer vertices at or right of the hole's rightmost vertex
+    # first (a leftward bridge from the rightmost hole vertex necessarily
+    # re-enters the hole), nearest first; visible = the bridge crosses no
+    # outer-ring edge AND no edge of the hole itself (a concave hole's own
+    # boundary can block its rightmost vertex's line of sight)
     order = sorted(
         range(len(outer)),
-        key=lambda k: ((outer[k][0] - hx) ** 2 + (outer[k][1] - hy) ** 2),
+        key=lambda k: (
+            outer[k][0] < hx,
+            (outer[k][0] - hx) ** 2 + (outer[k][1] - hy) ** 2,
+        ),
     )
+    nh = len(hole)
     for oi in order:
         ox, oy = outer[oi]
         visible = True
@@ -201,6 +208,13 @@ def _eliminate_hole(outer: list, hole: list) -> list:
             if _segments_cross(hx, hy, ox, oy, *p1, *p2):
                 visible = False
                 break
+        if visible:
+            for j in range(nh):
+                if j == hi or (j + 1) % nh == hi:
+                    continue
+                if _segments_cross(hx, hy, ox, oy, *hole[j], *hole[(j + 1) % nh]):
+                    visible = False
+                    break
         if visible:
             rotated_hole = hole[hi:] + hole[:hi]
             return (
@@ -267,7 +281,7 @@ def tessellate(
                 a, b, c = ring[0], ring[i], ring[i + 1]
                 if _orient_int(*a, *b, *c) != 0:
                     tris.append((a[0], a[1], b[0], b[1], c[0], c[1]))
-            ring = ring[:3]
+            ring = []  # fan covered the remainder; nothing left to emit
             break
         guard += 1
         if guard > 100000:
@@ -464,6 +478,35 @@ def _edge_crosses_edge(ax, ay, bx, by, q1x, q1y, q2x, q2y) -> Column:
         _orient(ax, ay, bx, by, q1x, q1y) * _orient(ax, ay, bx, by, q2x, q2y) <= 0
     ) & (
         _orient(q1x, q1y, q2x, q2y, ax, ay) * _orient(q1x, q1y, q2x, q2y, bx, by) <= 0
+    )
+
+
+def _seg_crosses_literal_edge(ax, ay, bx, by, x1, y1, x2, y2) -> Column:
+    """Column-edge vs literal-edge crossing with a bbox-overlap guard: the
+    raw ``orient·orient <= 0`` form reports collinear-but-disjoint segments
+    (all four orients zero) as crossing, so only run it when the segment
+    bounding boxes overlap — collinear segments with overlapping bboxes
+    really do touch."""
+    bbox_overlap = (
+        (F.greatest(ax, bx) >= F.lit(min(x1, x2)))
+        & (F.least(ax, bx) <= F.lit(max(x1, x2)))
+        & (F.greatest(ay, by) >= F.lit(min(y1, y2)))
+        & (F.least(ay, by) <= F.lit(max(y1, y2)))
+    )
+    return bbox_overlap & _edge_crosses_edge(ax, ay, bx, by, x1, y1, x2, y2)
+
+
+def _point_in_triangle_bounded(px, py, ax, ay, bx, by, cx, cy) -> Column:
+    """`_point_in_triangle` for a *literal* point, additionally bounded by
+    the triangle bbox columns: the orient-only form reports any point
+    collinear with a degenerate (flat/point) triangle as inside, with no
+    extent check — the bbox conjunct restores the extent."""
+    return (
+        (F.lit(px) >= F.col("tmin_x"))
+        & (F.lit(px) <= F.col("tmax_x"))
+        & (F.lit(py) >= F.col("tmin_y"))
+        & (F.lit(py) <= F.col("tmax_y"))
+        & _point_in_triangle(px, py, ax, ay, bx, by, cx, cy)
     )
 
 
@@ -664,7 +707,9 @@ def shape_polygon_query(
     )
     poly_vertex_in_tri = F.lit(False)
     for (px, py) in ring:
-        poly_vertex_in_tri = poly_vertex_in_tri | _point_in_triangle(px, py, ax, ay, bx, by, cx, cy)
+        poly_vertex_in_tri = poly_vertex_in_tri | _point_in_triangle_bounded(
+            px, py, ax, ay, bx, by, cx, cy
+        )
     edge_cross = F.lit(False)
     n = len(ring)
     for i in range(n):
@@ -673,7 +718,7 @@ def shape_polygon_query(
         for (e1x, e1y, e2x, e2y) in ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay)):
             edge_cross = edge_cross | (
                 ~((e1x == e2x) & (e1y == e2y))
-                & _edge_crosses_edge(e1x, e1y, e2x, e2y, x1, y1, x2, y2)
+                & _seg_crosses_literal_edge(e1x, e1y, e2x, e2y, x1, y1, x2, y2)
             )
     intersects = vertex_in_poly | poly_vertex_in_tri | edge_cross
     if relation == "WITHIN":
@@ -719,14 +764,14 @@ def shape_line_query(
     for i in range(len(pts) - 1):
         x1, y1 = pts[i]
         x2, y2 = pts[i + 1]
-        endpoint_in = _point_in_triangle(x1, y1, ax, ay, bx, by, cx, cy) | _point_in_triangle(
-            x2, y2, ax, ay, bx, by, cx, cy
-        )
+        endpoint_in = _point_in_triangle_bounded(
+            x1, y1, ax, ay, bx, by, cx, cy
+        ) | _point_in_triangle_bounded(x2, y2, ax, ay, bx, by, cx, cy)
         seg_cross = F.lit(False)
         for (e1x, e1y, e2x, e2y) in ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay)):
             seg_cross = seg_cross | (
                 ~((e1x == e2x) & (e1y == e2y))
-                & _edge_crosses_edge(e1x, e1y, e2x, e2y, x1, y1, x2, y2)
+                & _seg_crosses_literal_edge(e1x, e1y, e2x, e2y, x1, y1, x2, y2)
             )
         # touch-only contacts (a triangle vertex on the segment with both
         # adjacent edges on one side) and degenerate point/flat triangles:

@@ -183,7 +183,11 @@ def lsh_topk(
     dim = len(embeddings.select("embedding").first()["embedding"])
     q = quantize(embeddings).select("vec_id", "qvec")
     bk = lsh_buckets(q, dim, n_planes, n_tables)
-    withb = q.join(bk, "vec_id").persist()
+    # no persist: the bucketed corpus is read twice (tiny queries branch +
+    # candidates branch) — two scans is the honest 100 TB plan, and a
+    # persist here would leak executor storage for every caller that never
+    # unpersists the returned lazy plan's inputs
+    withb = q.join(bk, "vec_id")
     queries = withb.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "tbl", "bucket"
     )
@@ -279,6 +283,7 @@ def ivf_topk(
     n_centroids: Optional[int] = None,
     n_probe: int = 2,
     n_rounds: int = 2,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse quantization to TRAINED centroids, probe the
     query's ``n_probe`` nearest lists (by exact L2), exact dot rerank inside.
@@ -291,10 +296,23 @@ def ivf_topk(
     """
     import math
 
-    q = quantize(embeddings).select("vec_id", "qvec").persist()
-    if n_centroids is None:
-        n_centroids = int(math.ceil(math.sqrt(q.count())))
-    cents = kmeans_centroids(q, n_centroids, n_rounds).persist()
+    spark = embeddings.sparkSession
+    q = quantize(embeddings).select("vec_id", "qvec")
+    if centroids is None:
+        # train once, eagerly, and release the cache before returning: the
+        # codebook is broadcast-sized by construction (≤ ~sqrt(n)·dim ints),
+        # so materializing it to the driver cuts the whole k-means out of
+        # the returned query plan — repeat callers pass `centroids` back in
+        # to skip retraining entirely
+        q = q.persist()
+        if n_centroids is None:
+            n_centroids = int(math.ceil(math.sqrt(q.count())))
+        centroids = [
+            (r["cent_id"], r["cvec"])
+            for r in kmeans_centroids(q, n_centroids, n_rounds).collect()
+        ]
+        q.unpersist()
+    cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
 
     from pyspark.sql.window import Window
 

@@ -66,7 +66,14 @@ def _tokenize(s: str):
     while pos < len(s):
         m = _TOKEN_RE.match(s, pos)
         if not m or m.end() == pos:
-            break
+            if s[pos:].strip() == "":  # trailing whitespace only
+                break
+            # StandardQueryParser throws QueryNodeParseException on syntax it
+            # cannot consume (e.g. an unterminated /regex/ or a stray '/');
+            # silently dropping the tail would evaluate a DIFFERENT query
+            raise ValueError(
+                f"flexible parser: cannot tokenize {s[pos:pos + 20]!r} at offset {pos}"
+            )
         pos = m.end()
         for kind, val in m.groupdict().items():
             if val is not None:

@@ -111,3 +111,15 @@ def test_single_clause_unwrap_and_validation():
     assert p("hello", op="AND") == TermQuery("hello")
     with pytest.raises(ValueError):
         p("a", op="XOR")
+
+
+def test_unparseable_tail_raises():
+    """StandardQueryParser throws QueryNodeParseException on syntax it cannot
+    consume; silently dropping the tail would evaluate a different query."""
+    import pytest
+    from lucene_solr_spark.plans.flexible_parser import _tokenize
+
+    with pytest.raises(ValueError, match="cannot tokenize"):
+        _tokenize("title /unterminated AND critical")
+    # trailing whitespace is not a syntax error
+    assert [k for k, _ in _tokenize("a b  ")] == ["term", "term"]

@@ -206,3 +206,17 @@ def test_fvh_spark_weighted_uses_index_idf(searcher):
         )
         assert row["frag_score"] == pytest.approx(best, rel=0, abs=0)
         assert list(row["fragments"]) == frags
+
+
+def test_mixed_case_and_nonascii_offsets():
+    """Tokenization runs on the ORIGINAL string (not str.lower(), whose
+    length can differ — 'İ'.lower() is 2 chars), so tags land on the right
+    characters and preserve original casing."""
+    from lucene_solr_spark.operators.fvh import build_phrase_trie, highlight_document
+
+    trie = build_phrase_trie([(("hello",), 1.0)])
+    n, b, frags = highlight_document(
+        "Hello WORLD İstanbul hello again", trie, frag_char_size=4096
+    )
+    assert n == 1 and b == 2.0
+    assert frags == ["<b>Hello</b> WORLD İstanbul <b>hello</b> again"]

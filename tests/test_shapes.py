@@ -453,3 +453,71 @@ def test_shape_query_plan_has_pushdown_prefilter(spark):
         assert "PushedFilters: [" in plan
         assert "tmax_x" in plan and "tmin_y" in plan
         assert q.count() == 1
+
+
+def test_tessellate_concave_hole_bridge():
+    """A U-shaped hole whose rightmost vertex's line of sight is blocked by
+    its own boundary: the bridge must not cut through the hole interior."""
+    lats = [0.0, 20.0, 20.0, 0.0]
+    lons = [0.0, 0.0, 20.0, 20.0]
+    h_lats = [4.0, 12.0, 12.0, 6.0, 6.0, 12.0, 12.0, 4.0]
+    h_lons = [4.0, 4.0, 6.0, 6.0, 10.0, 10.0, 12.0, 12.0]
+    tris = tessellate(lats, lons, holes=[(h_lats, h_lons)])
+    assert len(tris) == len(set(tris))  # no duplicate triangles
+    outer = [(encode_lon(x), encode_lat(y)) for y, x in zip(lats, lons)]
+    hring = [(encode_lon(x), encode_lat(y)) for y, x in zip(h_lats, h_lons)]
+    assert sum(_area2(t) for t in tris) == abs(_signed_area2(outer)) - abs(
+        _signed_area2(hring)
+    )
+    cases = [
+        (8.0, 5.0, False),  # hole arm
+        (5.0, 8.0, False),  # hole bottom bar
+        (8.0, 11.0, False),  # hole arm
+        (8.0, 8.0, True),  # the U's cavity is solid polygon
+        (2.0, 2.0, True),
+    ]
+    for la, lo, expect in cases:
+        p = (encode_lon(lo), encode_lat(la))
+        assert any(_pt_in_tri(*p, *t) for t in tris) == expect, (la, lo)
+
+
+def test_polygon_query_collinear_disjoint_edges(spark):
+    """A shape edge collinear with a query-polygon edge but disjoint in
+    extent must NOT count as crossing (all-zero orient products)."""
+    # shape: thin triangle with a vertical edge at lon=10, lat in [0, 1]
+    rows = [(1, [0.0, 1.0, 0.5], [10.0, 10.0, 11.0])]
+    df = spark.createDataFrame(rows, "shape_id long, lats array<double>, lons array<double>")
+    tris = shape_triangles(df, ["shape_id"])
+    # query polygon has a vertical edge on the same lon=10 line, lat [5, 9]
+    got = shape_polygon_query(
+        tris, ["shape_id"], [5.0, 9.0, 9.0, 5.0], [10.0, 10.0, 14.0, 14.0]
+    ).collect()
+    assert got == []
+    # and a triangle genuinely inside the polygon stays WITHIN
+    rows2 = [(2, [6.0, 7.0, 6.5], [11.0, 11.0, 12.0])]
+    df2 = spark.createDataFrame(rows2, "shape_id long, lats array<double>, lons array<double>")
+    tris2 = shape_triangles(df2, ["shape_id"])
+    got2 = shape_polygon_query(
+        tris2, ["shape_id"], [5.0, 9.0, 9.0, 5.0], [10.0, 10.0, 14.0, 14.0],
+        relation="WITHIN",
+    ).collect()
+    assert [r.shape_id for r in got2] == [2]
+
+
+def test_degenerate_line_shape_vs_far_collinear_query(spark):
+    """A line shape (flat triangles) must not match a query polygon whose
+    vertex is collinear with the segment's line but beyond its extent."""
+    rows = [(1, [0.0, 10.0], [0.0, 10.0])]  # segment along lat=lon diag
+    df = spark.createDataFrame(rows, "shape_id long, lats array<double>, lons array<double>")
+    tris = line_triangles(df, ["shape_id"]).persist()
+    # polygon around (50, 50): its vertex (50, 50) is on the y=x line but
+    # far past the segment; bboxes of polygon and segment are disjoint in
+    # fact, so make them overlap via a long skinny polygon reaching back
+    q_lats = [50.0, 50.0, 5.0, 5.0]
+    q_lons = [49.0, 52.0, 52.0, 49.0]
+    got = shape_polygon_query(tris, ["shape_id"], q_lats, q_lons).collect()
+    assert got == []
+    # line query against the same shape: far collinear query segment
+    got2 = shape_line_query(tris, ["shape_id"], [20.0, 30.0], [20.0, 30.0]).collect()
+    assert got2 == []
+    tris.unpersist()
