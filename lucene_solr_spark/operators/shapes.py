@@ -43,6 +43,15 @@ Any valid triangulation yields identical query answers (the tests are exact
 on the shared encoded vertices and the mesh covers the polygon exactly), so
 this module does not replicate the reference's ear-clipping *order* — only
 its coordinate quantization and its relation semantics.
+
+Reference-parity note: the box path keeps Rectangle2D's exact decision
+procedure INCLUDING its degenerate-triangle quirk (``pointInTriangle`` has
+no extent check, so a box corner collinear with a flat line-triangle whose
+bbox overlaps the box reports INTERSECTS — Rectangle2D.java:138-147 does the
+same).  The polygon/line query paths, which have no reference-exact
+counterpart at this granularity, bound every point-in-triangle and
+edge-crossing test by the participating bboxes instead, so collinear-but-
+disjoint geometry never false-positives there.
 """
 
 from __future__ import annotations
