@@ -319,18 +319,26 @@ def simhash_near_pairs(
             f"recall guarantee requires max_hamming <= n_blocks - key_blocks "
             f"= {n_blocks - key_blocks}; raise n_blocks or lower max_hamming"
         )
-    sh = simhash(docs, bits).persist()
-    tables = []
+    sh = simhash(docs, bits)
+    # all C(n_blocks, key_blocks) probe keys in ONE projection + explode —
+    # a 20-way union of selects over a persisted df costs 20 cached reads
+    # (and leaks the cache); the explode is a single scan and pure codegen
+    entries = []
     for t, combo in enumerate(combinations(range(n_blocks), key_blocks)):
         key = F.lit(0).cast("long")
         for bi in combo:
             off, size = blocks[bi]
             val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
             key = F.shiftleft(key, size).bitwiseOR(val)
-        tables.append(sh.select("doc_id", "simhash", F.lit(t).alias("band"), key.alias("band_key")))
-    all_bands = tables[0]
-    for extra in tables[1:]:
-        all_bands = all_bands.unionByName(extra)
+        entries.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
+    all_bands = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
     a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     b = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     cand = a.join(b, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))

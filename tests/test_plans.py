@@ -131,3 +131,41 @@ def test_boolean_and_dismax_single_scan(spark, index8, tmp_path_factory):
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
 
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_substring_spans_pure_catalyst(spark):
+    """duplicated_spans: gram generation, dup filter, and span merge all stay
+    JVM-side — no Python eval in the plan."""
+    from lucene_solr_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame([(0, "a b c d e f g h i j k")], "doc_id long, text string")
+    p = _plan(duplicated_spans(df, k=3))
+    assert "EvalPython" not in p and "InPandas" not in p
+    assert "Generate posexplode" in p or "Generate explode" in p
+
+
+def test_bigram_logprob_pure_catalyst(spark):
+    from lucene_solr_spark.operators.lm import bigram_logprob
+
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    p = _plan(bigram_logprob(df))
+    assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_simhash_pairs_single_generate_no_cache(spark):
+    """The 20 Manku probe keys come from ONE explode over one scan — not a
+    20-way union over a persisted df."""
+    from lucene_solr_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = _plan(simhash_near_pairs(df))
+    assert "InMemoryTableScan" not in p
+    assert p.count("Generate explode") == 2  # one per self-join side
+    assert "Union" not in p
