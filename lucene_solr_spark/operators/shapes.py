@@ -457,12 +457,18 @@ def write_shape_index(tris: DataFrame, path: str, n_partitions: int = 32) -> Non
 
 
 def _orient(ax, ay, bx, by, cx, cy) -> Column:
-    """``GeoUtils.orient`` — sign of the double cross product, same IEEE ops
-    as the reference (GeoUtils.java:185-195)."""
+    """``GeoUtils.orient``'s double cross product, same IEEE ops as the
+    reference (GeoUtils.java:185-195) — returned RAW, not signum'd: every
+    test below only needs sign comparisons, and on encoded-int inputs the
+    cross product is integer-valued (|v| >= 1 or v == 0, no subnormals) and
+    < 2^128 (no overflow), so products/comparisons of raw values decide
+    signs exactly while generating far less code than signum() chains (the
+    predicate tree must stay under the JVM's 64 KB per-method codegen
+    limit)."""
     ax, ay, bx, by, cx, cy = [
         v.cast("double") if isinstance(v, Column) else F.lit(float(v)) for v in (ax, ay, bx, by, cx, cy)
     ]
-    return F.signum((bx - ax) * (cy - ay) - (cx - ax) * (by - ay))
+    return (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
 
 
 def _point_in_triangle(px, py, ax, ay, bx, by, cx, cy) -> Column:
@@ -482,7 +488,10 @@ def _bbox_contains_point(x, y, min_x, max_x, min_y, max_y) -> Column:
 def _edge_crosses_edge(ax, ay, bx, by, q1x, q1y, q2x, q2y) -> Column:
     """One box-side crossing test from ``Rectangle2D.edgeIntersectsBox``:
     ``orient(edge, s1)·orient(edge, s2) <= 0 && orient(side, e1)·orient(side,
-    e2) <= 0``."""
+    e2) <= 0`` — raw-value products share the sign of the signum products
+    (see `_orient`: each orient is 0 or >= 1 in magnitude and < ~2^67, so
+    the product is exactly 0.0 or has the true sign — no underflow to a
+    signed zero, no overflow)."""
     return (
         _orient(ax, ay, bx, by, q1x, q1y) * _orient(ax, ay, bx, by, q2x, q2y) <= 0
     ) & (

@@ -86,6 +86,37 @@ def main() -> None:
     df1 = {"term": "needle0427", "df": 1}
     passing = prune_run_ids(blooms, [df1["term"]])
 
+    # ---- (e) shape index: bbox pre-filter pushes to the triangle parquet
+    from lucene_solr_spark.operators.shapes import shape_box_query, write_shape_index
+
+    SHAPE_TMP = "/tmp/plan_evidence_shapes"
+    from lucene_solr_spark.operators.shapes import shape_triangles
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    clat = (F.col("c_custkey") * 7919 % 16000) / F.lit(100.0) - F.lit(80.0)
+    clon = (F.col("c_custkey") * 104729 % 34000) / F.lit(100.0) - F.lit(170.0)
+    r = (F.col("c_custkey") % 5 + 1) * F.lit(0.31) + F.lit(0.0043)
+    dia = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.array(clat + r, clat, clat - r, clat).alias("lats"),
+        F.array(clon, clon + 2 * r, clon, clon - 2 * r).alias("lons"),
+    )
+    if os.path.exists(SHAPE_TMP):
+        shutil.rmtree(SHAPE_TMP)
+    write_shape_index(shape_triangles(dia, ["c_custkey"]), SHAPE_TMP, n_partitions=16)
+    stored = spark.read.parquet(SHAPE_TMP)
+    n_total = stored.count()
+    boxq = shape_box_query(stored, ["c_custkey"], -10.005, 25.005, 30.005, 90.005)
+    splan = boxq._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    spushed = next(seg for seg in splan.split("\n\n") if "PushedFilters" in seg and "tmin" in seg)
+    spushed = "\n".join(ln for ln in spushed.splitlines() if not ln.startswith("Location"))
+    n_hits = len(boxq.collect())  # execute so AQE finalizes this plan object
+    _fin = boxq._jdf.queryExecution().executedPlan().toString()
+    # executed plans mark codegen stages with "*(id)" prefixes
+    codegen_ok = "*(" in next(ln for ln in _fin.splitlines() if "Filter" in ln)
+
     def fmt(m):
         return (
             f"blocks {m['surviving_blocks']}/{m['blocks']} survive "
@@ -143,6 +174,21 @@ high-impact blocks a long low-impact tail).
   lookup (the primary-key / rare-term case BloomFilteringPostingsFormat
   exists for; term-sorted min/max pruning alone cannot reject a term that
   falls inside a run's [min, max] range).
+
+## 5. Shape index (LatLonShape analog): bbox pruning + codegen
+
+The triangle table is range-partitioned + sorted on (tmin_y, tmin_x) by
+`write_shape_index`; a box query's pre-filter reaches the parquet scan as
+pushed min/max comparisons, so row groups outside the query box are never
+read — the BKD inner-node role:
+
+```
+{spushed.strip()}
+```
+
+Triangle table: {n_total} rows ({n_hits} shapes intersect the demo box);
+the exact Rectangle2D predicate tree runs inside a whole-stage-codegen
+stage (the filter line carries the `*(id)` codegen marker): {codegen_ok}.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
