@@ -349,6 +349,27 @@ def pipeline_queries() -> dict:
 
     q["mm_frame_sample"] = mm_frame_sample
 
+    def mm_bmp_roundtrip(spark, sf_dir):
+        """REAL image decode (`operators/media_codecs.py` from-scratch BMP
+        codec): payloads synthesized from doc_id arithmetic, encoded to
+        actual BI_RGB bytes, decoded back, features extracted — the oracle
+        re-derives every feature from doc_id alone, so a match proves the
+        full encode→decode→feature chain byte-for-byte."""
+        docs = _docs(spark, sf_dir)
+        payloads = multimodal.synthesize_bmp_payloads(docs)
+        return multimodal.decode_images(payloads).orderBy("doc_id")
+
+    q["mm_bmp_roundtrip"] = mm_bmp_roundtrip
+
+    def mm_wav_roundtrip(spark, sf_dir):
+        """REAL audio decode (RIFF PCM-16 codec): same round-trip contract
+        as mm_bmp_roundtrip, for the audio path."""
+        docs = _docs(spark, sf_dir)
+        payloads = multimodal.synthesize_wav_payloads(docs)
+        return multimodal.decode_audio(payloads).orderBy("doc_id")
+
+    q["mm_wav_roundtrip"] = mm_wav_roundtrip
+
     return q
 
 
@@ -765,6 +786,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(o AS BIGINT) AS "offset",
        CAST(unicode(substr(text, o+1, 1)) AS BIGINT) AS frame_byte
 FROM (SELECT doc_id, text, unnest(range(0, length(text), 64)) AS o FROM documents WHERE doc_id < 20)
 ORDER BY doc_id, o
+"""
+
+    # real BMP round trip: every feature is a closed form in doc_id — the
+    # oracle never parses a byte, so agreement pins the actual codec
+    o["mm_bmp_roundtrip"] = """
+WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+              FROM documents),
+px AS (SELECT d.doc_id, d.w, d.h,
+              (d.doc_id + x.x + 31*y.y + 7*c.c) % 256 AS v
+       FROM dims d,
+            LATERAL unnest(range(0, d.w)) AS x(x),
+            LATERAL unnest(range(0, d.h)) AS y(y),
+            LATERAL unnest(range(0, 3)) AS c(c))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+    o["mm_wav_roundtrip"] = """
+WITH dims AS (SELECT doc_id, 256 + doc_id % 128 AS n,
+                     8000 + 4000*(doc_id % 4) AS rate FROM documents),
+s AS (SELECT d.doc_id, d.n, d.rate,
+             ((7*d.doc_id + 13*i.i) % 4096) - 2048 AS v
+      FROM dims d, LATERAL unnest(range(0, d.n)) AS i(i))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(any_value(rate) AS BIGINT) AS sample_rate,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(min(v) AS BIGINT) AS s_min,
+       CAST(max(v) AS BIGINT) AS s_max
+FROM s GROUP BY doc_id ORDER BY doc_id
 """
     return o
 

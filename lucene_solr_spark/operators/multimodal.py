@@ -3,9 +3,12 @@
 A 100 TB training pipeline carries image/audio/video as opaque ``binary``
 columns next to typed metadata, and runs decode / feature-extract /
 frame-sample as Arrow-batched UDFs.  The decode libraries (PIL, ffmpeg, ...)
-are NOT in this container, so the codec step is STUBBED with a deterministic
-fake — but everything Spark-side is real and tested: schema, partitioning,
-UDF signature, Arrow batch shape.
+are NOT in this container, so the codec step for COMPRESSED formats is
+STUBBED with a deterministic fake — but uncompressed formats now have REAL
+from-scratch codecs (`media_codecs.py`: BMP BI_RGB 24-bit and RIFF PCM-16
+WAV, pure numpy/struct) driven by `decode_images` / `decode_audio` below,
+and everything Spark-side is real and tested: schema, partitioning, UDF
+signature, Arrow batch shape.
 
 ``decode_stub`` derives "image" metadata purely from the bytes (length,
 fake dimensions, checksum) so the DuckDB oracle can verify the plumbing
@@ -105,3 +108,107 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(fn, schema="doc_id bigint, offset bigint, frame_byte bigint")
+
+
+# --------------------------------------------------------------------------
+# Real uncompressed-media path (operators/media_codecs.py): BMP + WAV codecs
+# written from scratch on the public file formats — decode is NOT stubbed
+# for these; only compressed formats (JPEG/MP3/...) remain behind the stub.
+# --------------------------------------------------------------------------
+
+
+def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc BMP payloads: W = 8 + id % 16, H = 8 + 3·id %
+    16, pixel[y, x, c] = (id + x + 31y + 7c) mod 256.  Every decoded
+    feature therefore has a closed form in doc_id — the oracle re-derives
+    them without parsing a byte, so a contract match proves the whole
+    encode→bytes→decode→feature chain."""
+    from .media_codecs import encode_bmp
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for did in ids:
+                w = 8 + int(did) % 16
+                h = 8 + (3 * int(did)) % 16
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((int(did) + x + 31 * y + 7 * c) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id bigint, payload binary")
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """REAL image decode (BMP): (doc_id, width, height, px_sum, px_max)."""
+    from .media_codecs import decode_bmp
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            rows = {"doc_id": ids, "width": [], "height": [], "px_sum": [], "px_max": []}
+            for payload in pdf["payload"]:
+                px = decode_bmp(bytes(payload))
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["px_sum"].append(int(px.sum(dtype=np.int64)))
+                rows["px_max"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        fn, "doc_id bigint, width bigint, height bigint, px_sum bigint, px_max bigint"
+    )
+
+
+def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc PCM WAV: n = 256 + id % 128 samples at rate
+    8000 + 4000·(id % 4), s_i = ((7·id + 13·i) mod 4096) - 2048."""
+    from .media_codecs import encode_wav
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for did in ids:
+                n = 256 + int(did) % 128
+                rate = 8000 + 4000 * (int(did) % 4)
+                i = np.arange(n, dtype=np.int64)
+                s = ((7 * int(did) + 13 * i) % 4096 - 2048).astype(np.int16)
+                payloads.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id bigint, payload binary")
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode (RIFF PCM-16): per-doc sample stats
+    (doc_id, sample_rate, n_samples, abs_sum, s_min, s_max)."""
+    from .media_codecs import decode_wav
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            rows = {
+                "doc_id": ids,
+                "sample_rate": [],
+                "n_samples": [],
+                "abs_sum": [],
+                "s_min": [],
+                "s_max": [],
+            }
+            for payload in pdf["payload"]:
+                rate, _ch, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(s.size)
+                rows["abs_sum"].append(int(np.abs(s64).sum()))
+                rows["s_min"].append(int(s64.min()))
+                rows["s_max"].append(int(s64.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        fn,
+        "doc_id bigint, sample_rate bigint, n_samples bigint, "
+        "abs_sum bigint, s_min bigint, s_max bigint",
+    )
