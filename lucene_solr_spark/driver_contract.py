@@ -912,8 +912,12 @@ def ft_queries() -> dict:
         # the encode projection into every vertex reference of the (large)
         # Rectangle2D predicate and the generated method exceeds janino's
         # 64 KB limit (production reads triangles from parquet, where the
-        # columns are plain attributes and codegen stays intact).
-        tris = line_triangles(lines, ["c_custkey"]).persist()
+        # columns are plain attributes and codegen stays intact).  Cached
+        # per sf_dir so repeat calls don't stack cached copies.
+        key = ("line_tris", sf_dir)
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = line_triangles(lines, ["c_custkey"]).persist()
+        tris = _INDEX_CACHE[key]
         return shape_box_query(tris, ["c_custkey"], *_SHAPE_BOX).orderBy("c_custkey")
 
     def geo_shape_linequery(spark, sf_dir):
