@@ -60,6 +60,7 @@ _PRIORITY = [
     "ft_wdgf_topk", "ft_wdgf_parts_topk", "ft_flexible_parse",
     "ft_xml_parse", "ft_xml_span", "ft_fvh", "ft_fvh_phrase",
     "dd_substring_spans", "ta_bigram_ppl", "mm_bmp_roundtrip", "mm_wav_roundtrip",
+    "dd_semdedup", "ta_packing",
     # (c) §2.4 similarity family
     "ft_classic_topk", "ft_lmdirichlet_topk", "ft_boolean_sim",
     "ft_lmjm_topk", "ft_dfr_inl2_topk", "ft_dfi_topk", "ft_ib_ll_topk",

@@ -37,6 +37,29 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
+def minhash_perm_constants(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A, B) permutation constants for ``n_perms`` MinHash lanes.
+
+    The first 16 lanes are the contract literals above (so every existing
+    signature/oracle is a prefix of the extended scheme); lanes beyond 16
+    come from the engine's LCG rule — ``A_i = (1103515245·i + 12345) mod P``
+    (re-drawn at +1 offsets until nonzero), ``B_i = (2654435761·i + 40503)
+    mod P`` — deterministic, closed-form, replayable in SQL.  Production
+    near-dup thresholds want 128+ permutations over 16+ bands (VERDICT r1);
+    this is that path, with the 16-lane default kept for demo-scale."""
+    a = np.empty(n_perms, dtype=np.int64)
+    b = np.empty(n_perms, dtype=np.int64)
+    k = min(n_perms, N_MINHASH)
+    a[:k], b[:k] = MINHASH_A[:k], MINHASH_B[:k]
+    for i in range(N_MINHASH, n_perms):
+        ai = (1103515245 * i + 12345) % P_MOD
+        while ai == 0:
+            ai = (ai + 1) % P_MOD
+        a[i] = ai
+        b[i] = (2654435761 * i + 40503) % P_MOD
+    return a, b
+
+
 def _pad_matrix(strings: pd.Series) -> np.ndarray:
     """(n, maxlen) uint8 matrix of ASCII codes, zero-padded on the right."""
     s = strings.fillna("").astype(str)
@@ -81,10 +104,14 @@ def poly31(strings: pd.Series, mod: int = P_MOD, base: int = 31) -> np.ndarray:
     return h
 
 
-def minhash_sigs(hashes: np.ndarray) -> np.ndarray:
-    """(n, N_MINHASH) permuted hash values g_i(h) = (A_i*h + B_i) % P."""
+def minhash_sigs(hashes: np.ndarray, n_perms: int = N_MINHASH) -> np.ndarray:
+    """(n, n_perms) permuted hash values g_i(h) = (A_i*h + B_i) % P."""
     h = np.asarray(hashes, dtype=np.int64)[:, None]
-    return (MINHASH_A[None, :] * h + MINHASH_B[None, :]) % P_MOD
+    if n_perms == N_MINHASH:
+        a, b = MINHASH_A, MINHASH_B
+    else:
+        a, b = minhash_perm_constants(n_perms)
+    return (a[None, :] * h + b[None, :]) % P_MOD
 
 
 def fold_tokens(token_hashes_per_doc: list[np.ndarray], mult: int = 131, mod: int = P_MOD) -> np.ndarray:

@@ -162,30 +162,36 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
 
 
-def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, sig_0..sig_15): per-doc MinHash signature.
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, n_perms: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig_0..sig_{n_perms-1}): per-doc MinHash signature.
 
     min over the doc's shingle hashes under each fixed permutation — a single
-    groupBy(doc_id) with 16 min() aggregates (map-side combinable; the
-    shuffle carries 16 ints per doc)."""
+    groupBy(doc_id) with ``n_perms`` min() aggregates (map-side combinable;
+    the shuffle carries ``n_perms`` ints per doc).  The 16-lane default is
+    demo-scale; production near-dup thresholds use ``n_perms=128`` over 16
+    bands (the extra lanes come from the closed-form LCG rule in
+    ``functions.hashing.minhash_perm_constants`` — the first 16 stay the
+    contract literals, so signatures are prefix-compatible)."""
     sh = shingles(docs, k)
 
     def add_sigs(iterator):
         for pdf in iterator:
-            sigs = minhash_sigs(pdf["shingle_hash"].to_numpy(dtype=np.int64))
+            sigs = minhash_sigs(pdf["shingle_hash"].to_numpy(dtype=np.int64), n_perms)
             out = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)})
-            for i in range(N_MINHASH):
+            for i in range(n_perms):
                 out[f"sig_{i}"] = sigs[:, i]
             yield out
 
-    schema = "doc_id bigint, " + ", ".join(f"sig_{i} bigint" for i in range(N_MINHASH))
+    schema = "doc_id bigint, " + ", ".join(f"sig_{i} bigint" for i in range(n_perms))
     per_shingle = sh.mapInPandas(add_sigs, schema=schema)
     return per_shingle.groupBy("doc_id").agg(
-        *[F.min(f"sig_{i}").alias(f"sig_{i}") for i in range(N_MINHASH)]
+        *[F.min(f"sig_{i}").alias(f"sig_{i}") for i in range(n_perms)]
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BANDS) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BANDS, n_perms: int = N_MINHASH
+) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >=1 band.
 
     Band key = the tuple of that band's signature values; the band-bucket
@@ -193,16 +199,24 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BA
     docs) — bounded upstream by exact-dedup first in a real pipeline.
     Returns distinct (doc_a < doc_b) candidates with the matching band id.
     """
-    sigs = minhash_signatures(docs, k).persist()
-    rows_per_band = N_MINHASH // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key")
-        bands.append(sigs.select("doc_id", F.lit(b).alias("band"), key))
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
+    if n_perms % n_bands:
+        raise ValueError("n_perms must divide evenly into n_bands")
+    sigs = minhash_signatures(docs, k, n_perms).persist()
+    rows_per_band = n_perms // n_bands
+    # all band keys from ONE posexplode pass (no n_bands-way self-union)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    all_bands = sigs.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
     a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b_ = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (

@@ -337,3 +337,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold_dot: int,
+    n_centroids: Optional[int] = None,
+    n_rounds: int = 2,
+    centroids: Optional[list] = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup.
+
+    K-means-cluster the embedding space, then WITHIN each cluster mark a
+    vector as a semantic duplicate if some same-cluster vector with a
+    smaller ``vec_id`` has quantized dot >= ``threshold_dot`` (the paper
+    keeps one representative per high-similarity group; keep-lowest-id is
+    the deterministic variant, replayable in SQL).  Returns
+    ``(vec_id, cent_id, is_dup)`` — integers only.
+
+    Scale shape: clustering IS the blocking — the only self-join is within
+    a cluster (equi-shuffle keyed by cent_id), so pair count is
+    sum(cluster_size²) instead of n².  ``n_centroids`` controls cluster
+    size: the demo default ceil(sqrt(n)) gives sqrt(n)-sized clusters; at
+    production scale pick ``n_centroids ~ n / target_cluster_size`` (the
+    paper uses 50k clusters on LAION) so the within-cluster work stays
+    linear in n.  Training is :func:`kmeans_centroids` — deterministic,
+    broadcast codebook, corpus never self-joins during assignment.
+    """
+    import math
+
+    q = quantize(embeddings).select("vec_id", "qvec")
+    if centroids is None:
+        q = q.persist()
+        if n_centroids is None:
+            n_centroids = int(math.ceil(math.sqrt(q.count())))
+        centroids = [
+            (r["cent_id"], r["cvec"]) for r in kmeans_centroids(q, n_centroids, n_rounds).collect()
+        ]
+        q.unpersist()
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
+
+    from pyspark.sql.window import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qvec", "cent_id")
+    )
+    a = assigned.select(F.col("cent_id"), F.col("vec_id").alias("id_a"), F.col("qvec").alias("q_a"))
+    b = assigned.select(F.col("cent_id"), F.col("vec_id").alias("id_b"), F.col("qvec").alias("q_b"))
+    dups = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot(F.col("q_a"), F.col("q_b")) >= int(threshold_dot))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        F.col("vec_id").cast("long"),
+        F.col("cent_id").cast("long"),
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )

@@ -439,3 +439,139 @@ def test_redact_pii_brute(spark):
             red = re.sub(pat, f"<{name.upper()}>", red)
         assert got[doc_id]["redacted"] == red, doc_id
     assert got[3]["redacted"] == rows[2][1]  # clean text untouched
+
+
+def test_pack_sequences_brute(spark):
+    import re
+
+    from lucene_solr_spark.operators.chunking import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 13))) for i in range(40)]
+    rows.append((100, ""))  # empty doc: excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_start"], r["first_block"], r["last_block"])
+        for r in pack_sequences(docs, block_tokens=16, n_partitions=5).collect()
+    }
+    # brute: global running token count over doc_id order
+    want, cum = {}, 0
+    for doc_id, text in sorted(rows):
+        n = len(re.findall(r"[a-z0-9]+", text.lower()))
+        if n == 0:
+            continue
+        want[doc_id] = (n, cum, cum // 16, (cum + n - 1) // 16)
+        cum += n
+    assert got == want
+    assert 100 not in got
+    # partitioning must not change the placement (two-pass cumsum is global)
+    got1 = {
+        r["doc_id"]: (r["n_tokens"], r["token_start"], r["first_block"], r["last_block"])
+        for r in pack_sequences(docs, block_tokens=16, n_partitions=1).collect()
+    }
+    assert got1 == got
+
+
+def test_pack_sequences_validates(spark):
+    import pytest as _pytest
+
+    from lucene_solr_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, block_tokens=0)
+
+
+def test_semdedup_brute(spark):
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    vecs = []
+    for i in range(60):
+        v = base[i % 6] + rng.normal(scale=(0.01 if i % 3 == 0 else 0.8), size=8)
+        v = v / np.linalg.norm(v)
+        vecs.append((i, [float(x) for x in v]))
+    embs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    thr = 900_000
+    cents = [
+        (r["cent_id"], r["cvec"])
+        for r in similarity.kmeans_centroids(
+            similarity.quantize(embs).select("vec_id", "qvec"), 6
+        ).collect()
+    ]
+    got = {
+        r["vec_id"]: (r["cent_id"], r["is_dup"])
+        for r in similarity.semdedup(embs, thr, centroids=cents).collect()
+    }
+    # brute replay in numpy: same quantization, same assignment rule
+    Q = {vid: np.floor(np.array(v, dtype=np.float64) * 1000).astype(np.int64) for vid, v in vecs}
+    C = {cid: np.array(cv, dtype=np.int64) for cid, cv in cents}
+    assign = {}
+    for vid, qv in Q.items():
+        best = min(C, key=lambda c: (int(((qv - C[c]) ** 2).sum()), c))
+        assign[vid] = best
+    want = {}
+    for vid in Q:
+        dup = any(
+            assign[o] == assign[vid] and o < vid and int(Q[o] @ Q[vid]) >= thr for o in Q
+        )
+        want[vid] = (assign[vid], 1 if dup else 0)
+    assert got == want
+    # the near-identical replicas (every i % 3 == 0 beyond the first per
+    # cluster) must actually produce dups — the test is not vacuous
+    assert sum(d for _, d in got.values()) > 0
+    # survivor rule: within every cluster the smallest id is never a dup
+    for cid in set(c for c, _ in got.values()):
+        members = sorted(v for v, (c, _) in got.items() if c == cid)
+        assert got[members[0]][1] == 0
+
+
+def test_minhash_128_perm_production_path(spark):
+    """The production 128-perm / 16-band path: prefix-compatible signatures,
+    higher banding selectivity at the same recall for true near-dups."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.hashing import minhash_perm_constants
+    from lucene_solr_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    # corpus: 20 doc pairs that are near-dups (one token changed out of 30)
+    # plus 60 unrelated docs
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    did = 0
+    true_pairs = set()
+    for _ in range(20):
+        toks = list(rng.choice(vocab, size=30, replace=False))
+        alt = list(toks)
+        alt[15] = "mutated"
+        rows.append((did, " ".join(toks)))
+        rows.append((did + 1, " ".join(alt)))
+        true_pairs.add((did, did + 1))
+        did += 2
+    for _ in range(60):
+        rows.append((did, " ".join(rng.choice(vocab, size=30, replace=False))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a, b = minhash_perm_constants(128)
+    assert len(set(a.tolist())) == 128 and (a != 0).all()
+    s16 = minhash_signatures(docs, n_perms=16).orderBy("doc_id").toPandas()
+    s128 = minhash_signatures(docs, n_perms=128).orderBy("doc_id").toPandas()
+    for i in range(16):  # first 16 lanes are the contract literals
+        assert (s16[f"sig_{i}"] == s128[f"sig_{i}"]).all()
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n_bands=16, n_perms=128).collect()
+    }
+    # 1-of-30-shingle edits => Jaccard ~0.79; 8-row bands at 128 perms catch
+    # essentially all of them
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9
+    # and the candidate set stays tight: unrelated 30-token docs share no
+    # 8-row band
+    false_cands = got - true_pairs
+    assert len(false_cands) <= 2
