@@ -1683,6 +1683,152 @@ def ft_queries() -> dict:
         return s.spellcheck_collate(["scann", "kei"])
 
     q["ft_spell_collate"] = ft_spell_collate
+
+    # ---- index-maintenance lifecycle (deletes / expunge / merge / split /
+    # replication): §2.2 rows previously pytest-only, now driver-checked.
+    def _deleted_searcher(spark, sf_dir):
+        """Searcher with live deletes: every doc matching RARE is deleted
+        (IndexWriter.deleteDocuments(Query); stats intentionally keep
+        counting deleted docs until merge — searcher.delete_by_query)."""
+        key = ("deleted", sf_dir)
+        if key not in _INDEX_CACHE:
+            from dataclasses import replace as _dc_replace
+
+            s = doc_searcher(spark, sf_dir)
+            s2 = IndexSearcher(_dc_replace(s.index, deletes=None), s.corpus)
+            s2.delete_by_query(TermQuery(RARE))
+            _INDEX_CACHE[key] = s2
+        return _INDEX_CACHE[key]
+
+    def ft_deletes_topk(spark, sf_dir):
+        """Live-docs exclusion (``reference lucene/core/.../index/
+        IndexWriter.java:1276`` deleteDocuments + LiveDocs bitset skip at
+        collect time): docs containing RARE are deleted, then a SHOULD
+        query runs — deleted docs never surface, but BM25 stats still count
+        them (the reference's exact pre-merge semantics)."""
+        s2 = _deleted_searcher(spark, sf_dir)
+        return _ranked(
+            s2.search(BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID)]), 10).df
+        )
+
+    q["ft_deletes_topk"] = ft_deletes_topk
+
+    def ft_expunge_topk(spark, sf_dir):
+        """Distributed delete reclamation (``SegmentMerger`` skipping
+        non-live docs; merge.expunge_deletes_distributed — delete ids never
+        pass through the driver): after expunge, doc_count / avgdl / df are
+        recomputed WITHOUT the deleted docs, so scores shift vs
+        ft_deletes_topk — the oracle rebuilds all stats over the surviving
+        corpus only."""
+        key = ("expunged", sf_dir)
+        if key not in _INDEX_CACHE:
+            from .operators.merge import expunge_deletes_distributed
+
+            s2 = _deleted_searcher(spark, sf_dir)
+            idx3 = expunge_deletes_distributed(s2.index).persist()
+            _INDEX_CACHE[key] = IndexSearcher(idx3, s2.corpus)
+        return _ranked(_INDEX_CACHE[key].search(TermQuery(HOT), 10).df)
+
+    q["ft_expunge_topk"] = ft_expunge_topk
+
+    def ft_merged_topk(spark, sf_dir):
+        """forceMerge(1) (``reference lucene/core/.../index/IndexWriter.java
+        forceMerge`` via TieredMergePolicy maxMergeAtOnceExplicit): all
+        postings runs merged to ONE, results bit-identical to the unmerged
+        index; n_runs pins that the merge actually collapsed the runs."""
+        key = ("merged", sf_dir)
+        if key not in _INDEX_CACHE:
+            from .operators.merge import force_merge
+
+            s = doc_searcher(spark, sf_dir)
+            _INDEX_CACHE[key] = IndexSearcher(force_merge(s.index).persist(), s.corpus)
+        ms = _INDEX_CACHE[key]
+        n_runs = ms.index.postings.select("run_id").distinct().count()
+        top = _ranked(
+            ms.search(BooleanQuery.build(should=[TermQuery(HOT2), TermQuery(MID2)]), 10).df
+        )
+        return top.withColumn("n_runs", F.lit(n_runs).cast("long"))
+
+    q["ft_merged_topk"] = ft_merged_topk
+
+    def ft_shard_local_topk(spark, sf_dir):
+        """Index split + LOCAL statistics (``reference lucene/misc/.../index/
+        PKIndexSplitter.java``; contrast ft_distributed_topk, which splits
+        the same way but fixes stats globally via ExactStatsCache): shard 0
+        = doc_id < N/2, searched standalone, so idf/avgdl come from the
+        shard alone — the very stats skew distributed search must correct."""
+        key = ("shard0", sf_dir)
+        if key not in _INDEX_CACHE:
+            from .operators.merge import split_index
+
+            s = doc_searcher(spark, sf_dir)
+            half = s.index.doc_count // 2
+            _INDEX_CACHE[key] = IndexSearcher(
+                split_index(s.index, [half])[0].persist(), s.corpus
+            )
+        return _ranked(_INDEX_CACHE[key].search(TermQuery(MID), 10).df)
+
+    q["ft_shard_local_topk"] = ft_shard_local_topk
+
+    def ft_replica_topk(spark, sf_dir):
+        """Replicator round-trip (``reference lucene/replicator/.../
+        Replicator.java`` publish → client updateNow → atomic manifest
+        switch): the index is committed to disk, published as a revision,
+        replicated file-by-file to a fresh directory, read back, and
+        searched — results bit-identical to the source index."""
+        key = ("replica", sf_dir)
+        if key not in _INDEX_CACHE:
+            import tempfile
+
+            from .operators.indexer import InvertedIndex
+            from .operators.replicator import publish_revision, replicate
+
+            s = doc_searcher(spark, sf_dir)
+            src = tempfile.mkdtemp(prefix="idx_primary_")
+            dst = tempfile.mkdtemp(prefix="idx_replica_")
+            s.index.write(src)
+            publish_revision(src)
+            replicate(src, dst)
+            ridx = InvertedIndex.read(spark, dst, s.index.config).persist()
+            _INDEX_CACHE[key] = IndexSearcher(ridx, s.corpus)
+        return _ranked(
+            _INDEX_CACHE[key].search(
+                BooleanQuery.build(should=[TermQuery(HOT), TermQuery(RARE)]), 10
+            ).df
+        )
+
+    q["ft_replica_topk"] = ft_replica_topk
+
+    def ing_versioned(spark, sf_dir):
+        """Versioned updateDocuments (``reference solr/core/.../update/
+        processor/DistributedUpdateProcessor.java`` version resolution +
+        IndexWriter.java:1276 delete-then-add): per doc the HIGHEST version
+        wins across base ∪ updates, equal versions going to the update.
+        Updates target doc_id % 5 == 0 with versions above (%15), equal
+        (%10), or below (other %5) the base's — exercising all three
+        resolution outcomes."""
+        from .sources.ingest import apply_updates
+
+        docs = _load(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit("base").alias("src"),
+            F.col("n_chars").cast("long").alias("version"),
+        )
+        bump = (
+            F.when(F.col("doc_id") % 15 == 0, F.lit(7))
+            .when(F.col("doc_id") % 10 == 0, F.lit(0))
+            .otherwise(F.lit(-3))
+        )
+        upd = docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit("update").alias("src"),
+            (F.col("n_chars") + bump).cast("long").alias("version"),
+        )
+        out = apply_updates(base, upd, id_cols=("doc_id",), version_col="version")
+        return out.select("doc_id", "src", "version").orderBy("doc_id")
+
+    q["ing_versioned"] = ing_versioned
     return q
 
 
@@ -3776,4 +3922,86 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
             "FROM sa JOIN documents d ON sa.doc_id = d.doc_id"
         ),
     )
+
+    # ---- index-maintenance lifecycle --------------------------------------
+    # deletes: hits filtered out, but stats still computed over ALL docs
+    # (pre-merge live-docs semantics) — so the standard CTEs apply unchanged
+    _DEL = "del AS (SELECT DISTINCT doc_id FROM tf WHERE term = '" + RARE + "')"
+    deletes_body = (
+        f"SELECT doc_id, {dsum} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM del) GROUP BY doc_id"
+    )
+    o["ft_deletes_topk"] = _with(
+        [_term_cte("sa", HOT), _term_cte("sb", MID), _DEL], _topk_sql(deletes_body)
+    )
+
+    # expunge: stats (n, avgdl, df) rebuilt over the SURVIVING corpus only —
+    # the whole base-CTE block re-derives from docs2
+    def _base_over_docs2(prefix_ctes: str) -> str:
+        return (
+            "WITH "
+            + prefix_ctes
+            + ",\n"
+            + _BASE.strip().replace("FROM documents", "FROM docs2")
+        )
+
+    _EXPUNGE_PREFIX = (
+        "tok0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+        "AS term FROM documents),\n"
+        f"del AS (SELECT DISTINCT doc_id FROM tok0 WHERE term = '{RARE}'),\n"
+        "docs2 AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM del))"
+    )
+    o["ft_expunge_topk"] = (
+        _base_over_docs2(_EXPUNGE_PREFIX)
+        + ",\n"
+        + _term_cte("sc", HOT)
+        + "\n"
+        + _topk_sql("SELECT doc_id, score FROM sc")
+    )
+
+    # forceMerge(1): result-identical to the unmerged index; n_runs == 1
+    # pins that the runs actually collapsed
+    merged_body = (
+        f"SELECT doc_id, {dsum} AS score "
+        "FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id"
+    )
+    o["ft_merged_topk"] = _with(
+        [_term_cte("sa", HOT2), _term_cte("sb", MID2)],
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_runs FROM ({merged_body}) "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
+    # shard 0 searched standalone: every statistic local to doc_id < N/2
+    _SHARD_PREFIX = (
+        "docs2 AS (SELECT * FROM documents "
+        "WHERE doc_id < (SELECT count(*) // 2 FROM documents))"
+    )
+    o["ft_shard_local_topk"] = (
+        _base_over_docs2(_SHARD_PREFIX)
+        + ",\n"
+        + _term_cte("sc", MID)
+        + "\n"
+        + _topk_sql("SELECT doc_id, score FROM sc")
+    )
+
+    # replica search is bit-identical to the source index
+    o["ft_replica_topk"] = _with(
+        [_term_cte("sa", HOT), _term_cte("sb", RARE)], _topk_sql(or_body)
+    )
+
+    # versioned updates: highest version wins, ties to the update
+    o["ing_versioned"] = """
+WITH base AS (SELECT doc_id, 'base' AS src, n_chars AS version, 0 AS is_u FROM documents),
+upd AS (SELECT doc_id, 'update' AS src,
+        n_chars + (CASE WHEN doc_id % 15 = 0 THEN 7 WHEN doc_id % 10 = 0 THEN 0 ELSE -3 END) AS version,
+        1 AS is_u
+        FROM documents WHERE doc_id % 5 = 0),
+r AS (SELECT doc_id, src, version,
+      row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, is_u DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, src, CAST(version AS BIGINT) AS version
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
     return o
