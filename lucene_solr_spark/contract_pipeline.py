@@ -151,6 +151,37 @@ def pipeline_queries() -> dict:
 
     q["ta_packing"] = ta_packing
 
+    # fixed contract merge table: three round-0 merges over pairwise-disjoint
+    # characters, so the oracle's per-pattern occurrence arithmetic is exact
+    # (no cross-pattern interaction); multi-level merge chains are pinned by
+    # the brute-parity pytest instead (test_bpe.py)
+    BPE_CONTRACT_MERGES = [("s", "c"), ("e", "r"), ("d", "a")]
+
+    def ta_bpe_pairs(spark, sf_dir):
+        """BPE training round 0: adjacent-character pair frequencies over
+        word occurrences (the statistic the first merge maximizes), top 30
+        by (count desc, pair asc).  Vocab-scale pair explosion off the
+        word-count table — the corpus contributes one groupBy."""
+        from .operators.bpe import bpe_pair_counts
+
+        return (
+            bpe_pair_counts(_docs(spark, sf_dir))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(30)
+        )
+
+    q["ta_bpe_pairs"] = ta_bpe_pairs
+
+    def ta_bpe_encode(spark, sf_dir):
+        """BPE encoding under a fixed merge table: per-doc word/token counts.
+        The merge loop runs once per DISTINCT word (vocab-scale mapInPandas);
+        corpus-side work is explode + join + groupBy(doc)."""
+        from .operators.bpe import bpe_encode_counts
+
+        return bpe_encode_counts(_docs(spark, sf_dir), BPE_CONTRACT_MERGES).orderBy("doc_id")
+
+    q["ta_bpe_encode"] = ta_bpe_encode
+
     def dd_survivors(spark, sf_dir):
         """Dedup survivor selection: min-label components of the MinHash-LSH
         candidate graph, survivor = highest n_chars (ties -> lowest id)."""
@@ -621,6 +652,33 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(token_start // 64 AS BIGINT) AS first_block,
        CAST((token_start + n_tokens - 1) // 64 AS BIGINT) AS last_block
 FROM c ORDER BY doc_id
+"""
+
+    # BPE round-0 pair counts: every adjacent 2-char window of every word
+    # occurrence — identical to the Spark side's (word-type pairs × count)
+    o["ta_bpe_pairs"] = """
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+      FROM w WHERE length(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 30
+"""
+
+    # BPE encode under the fixed disjoint-character merges ('s','c'),
+    # ('e','r'), ('d','a'): because no character appears in two pairs, each
+    # pair's merge count is exactly its non-overlapping substring count in
+    # the raw word, so n_tokens = length - sum of pattern occurrences
+    o["ta_bpe_encode"] = """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+e AS (SELECT doc_id,
+      length(w)
+      - (length(w) - length(replace(w, 'sc', ''))) // 2
+      - (length(w) - length(replace(w, 'er', ''))) // 2
+      - (length(w) - length(replace(w, 'da', ''))) // 2 AS n_tokens
+      FROM w)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM e GROUP BY doc_id ORDER BY doc_id
 """
 
     # 64-bit SimHash: two independent 32-bit char-poly streams (base 31 ->
