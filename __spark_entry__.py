@@ -78,7 +78,7 @@ _PRIORITY = [
     # (b) new-operator proofs
     "ft_wdgf_topk", "ft_wdgf_parts_topk", "ft_flexible_parse",
     "ft_xml_parse", "ft_xml_span", "ft_fvh", "ft_fvh_phrase",
-    "dd_substring_spans", "ta_bigram_ppl", "mm_bmp_roundtrip", "mm_wav_roundtrip",
+    "dd_substring_spans", "ta_bigram_ppl", "mm_bmp_roundtrip", "mm_wav_roundtrip", "mm_resize",
     "dd_semdedup", "ta_packing", "ta_bpe_pairs", "ta_bpe_encode",
     # (b2) index-maintenance lifecycle, previously pytest-only (§2.2)
     "ft_deletes_topk", "ft_expunge_topk", "ft_merged_topk",

@@ -442,6 +442,18 @@ def pipeline_queries() -> dict:
 
     q["mm_wav_roundtrip"] = mm_wav_roundtrip
 
+    def mm_resize(spark, sf_dir):
+        """REAL nearest-neighbor resize to 8x8 over the synthesized BMPs:
+        resized[y,x,c] = src[y*H//8, x*W//8, c] and src pixels have the
+        closed form (id + x + 31y + 7c) mod 256, so the oracle re-derives
+        the resized px_sum / probe pixel entirely from doc_id arithmetic —
+        a match proves decode + the exact resample index mapping."""
+        docs = _docs(spark, sf_dir)
+        payloads = multimodal.synthesize_bmp_payloads(docs)
+        return multimodal.resize_images(payloads, 8, 8).orderBy("doc_id")
+
+    q["mm_resize"] = mm_resize
+
     return q
 
 
@@ -942,6 +954,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(any_value(h) AS BIGINT) AS height,
        CAST(sum(v) AS BIGINT) AS px_sum,
        CAST(max(v) AS BIGINT) AS px_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # resized pixel (y, x, c) samples the source at (y*h//8, x*w//8) —
+    # identical floor mapping as resize_images; probe = resized (3, 5, 1)
+    o["mm_resize"] = """
+WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+              FROM documents),
+px AS (SELECT d.doc_id,
+              (d.doc_id + (x.x * d.w) // 8 + 31 * ((y.y * d.h) // 8) + 7*c.c) % 256 AS v,
+              x.x AS x, y.y AS y, c.c AS c
+       FROM dims d,
+            LATERAL unnest(range(0, 8)) AS x(x),
+            LATERAL unnest(range(0, 8)) AS y(y),
+            LATERAL unnest(range(0, 3)) AS c(c))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(max(CASE WHEN x = 5 AND y = 3 AND c = 1 THEN v END) AS BIGINT) AS px_probe
 FROM px GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -92,3 +92,32 @@ def test_spark_decode_passes_match_numpy(spark):
         assert r.n_samples == n and r.sample_rate == 8000 + 4000 * (did % 4)
         assert r.abs_sum == int(np.abs(s).sum())
         assert (r.s_min, r.s_max) == (int(s.min()), int(s.max()))
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from lucene_solr_spark.operators.media_codecs import encode_bmp
+    from lucene_solr_spark.operators.multimodal import resize_images
+
+    # 4x6 gradient image, resized to 2x3 and to 1x1
+    y, x, c = np.ogrid[0:4, 0:6, 0:3]
+    px = ((5 * y + 2 * x + c) % 256).astype(np.uint8)
+    df = spark.createDataFrame([(0, bytearray(encode_bmp(px)))], "doc_id long, payload binary")
+
+    got = resize_images(df, 3, 2).collect()[0]
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    res = px[ys[:, None], xs[None, :], :]
+    assert (got["width"], got["height"]) == (3, 2)
+    assert got["px_sum"] == int(res.sum())
+    # probe clamps to (min(3, h-1), min(5, w-1), 1) = (1, 2, 1)
+    assert got["px_probe"] == int(res[1, 2, 1])
+
+    one = resize_images(df, 1, 1).collect()[0]
+    assert one["px_sum"] == int(px[0, 0, :].sum())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_images(df, 0, 2)
