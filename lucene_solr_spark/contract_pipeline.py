@@ -130,6 +130,36 @@ def pipeline_queries() -> dict:
 
     q["ta_stratified"] = ta_stratified
 
+    def ta_source_cap(spark, sf_dir):
+        """Per-source document cap (RefinedWeb-style per-host limit): keep at
+        most 12 docs per source by the deterministic hash order; verified by
+        the exact surviving id set."""
+        from .operators.sampling import cap_per_stratum
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source"
+        )
+        kept = cap_per_stratum(docs, "source", cap=12)
+        return kept.select("doc_id", "source").orderBy("doc_id")
+
+    q["ta_source_cap"] = ta_source_cap
+
+    def ta_dsir(spark, sf_dir):
+        """DSIR importance resampling weights (Xie et al. 2023): hashed
+        unigram+bigram bucket log-likelihood ratios against a 3-source
+        curated target; 25 most target-like docs by quantized weight."""
+        from .operators.sampling import dsir_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        )
+        out = dsir_weights(
+            docs, F.col("source").isin("src0", "src1", "src2"), n_buckets=64
+        )
+        return out.orderBy(F.desc("weight_q"), F.asc("doc_id")).limit(25)
+
+    q["ta_dsir"] = ta_dsir
+
     def ta_chunking(spark, sf_dir):
         """Context-window chunking: 40-token windows with 8-token overlap,
         doc-slice subset for bounded output."""
@@ -529,6 +559,34 @@ kept AS (SELECT lang FROM h WHERE
   OR (lang NOT IN ('en', 'de') AND hv % 10 = 0))
 SELECT lang, CAST(count(*) AS BIGINT) AS kept FROM kept GROUP BY lang ORDER BY lang
 """
+    o["ta_source_cap"] = """
+WITH r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY ((doc_id % 100000007) * 2654435761) % 100000007 ASC, doc_id ASC) AS rn
+           FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id
+"""
+
+    o["ta_dsir"] = f"""
+WITH tok2 AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+fe AS (SELECT doc_id, source, unnest(toks) AS f FROM tok2
+       UNION ALL
+       SELECT doc_id, source,
+              unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS f
+       FROM tok2 WHERE len(toks) >= 2),
+fb AS (SELECT doc_id, (source IN ('src0', 'src1', 'src2')) AS is_t, {_H('f')} % 64 AS b FROM fe),
+cnt AS (SELECT b, count(*) AS cq, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cp FROM fb GROUP BY b),
+tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM cnt),
+lam AS (SELECT b, CAST(floor(CAST(CAST(ln(((cp + 1.0) / (tp + 64.0)) / ((cq + 1.0) / (tq + 64.0)))
+                 AS FLOAT) AS DOUBLE) * 1048576) AS BIGINT) AS lam_q FROM cnt CROSS JOIN tot),
+w AS (SELECT doc_id, count(*) AS n_feats, sum(lam_q) AS weight_q
+      FROM fb JOIN lam USING (b) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(weight_q AS BIGINT) AS weight_q
+FROM w ORDER BY weight_q DESC, doc_id ASC LIMIT 25
+"""
+
     o["dd_ngram_jaccard"] = f"""
 WITH {_SHINGLES.strip()},
 sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),

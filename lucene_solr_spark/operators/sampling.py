@@ -17,7 +17,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["sample_hash", "stratified_sample"]
+__all__ = ["sample_hash", "stratified_sample", "cap_per_stratum", "dsir_weights"]
 
 P = 100000007
 K = 2654435761
@@ -55,3 +55,124 @@ def stratified_sample(
         others = ~F.col(strata_col).isin(list(rates))
         cond = cond | (others & (h % F.lit(int(default_rate)) == 0))
     return df.filter(cond)
+
+
+def cap_per_stratum(df: DataFrame, strata_col: str, cap: int, id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (the per-domain/per-source cap
+    of web-pipeline curation, e.g. RefinedWeb's per-host limits): the ``cap``
+    rows with the smallest ``sample_hash(id)`` win, ties broken by id — a
+    deterministic uniform draw without RNG state.
+
+    Scale shape: one count aggregate splits strata into under-cap (kept
+    verbatim — never sorted, never shuffled beyond the count) and over-cap
+    (row_number window over only those strata's rows). On a web corpus the
+    over-cap side is the few giant hosts, so the expensive sort touches a
+    small fraction of rows; the count agg is map-side combinable.
+    """
+    if int(cap) < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    small = counts.filter(F.col("_n") <= cap).select(strata_col)
+    tagged = df.join(F.broadcast(small.withColumn("_under", F.lit(True))), strata_col, "left")
+    under = tagged.filter(F.col("_under").isNotNull()).drop("_under")
+    over = tagged.filter(F.col("_under").isNull()).drop("_under")
+    w = Window.partitionBy(strata_col).orderBy(sample_hash(F.col(id_col)).asc(), F.col(id_col).asc())
+    capped = (
+        over.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
+    )
+    return under.unionByName(capped)
+
+
+_Q20 = 1 << 20  # the engine-wide 2^-20 fixed-point contract (lm.py, classify.py)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_cond: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    how target-like its hashed n-gram feature distribution is, so a
+    pretraining corpus can be resampled toward a small curated target set.
+
+    Features are unigrams + bigrams of the ``[a-z0-9]+`` token stream,
+    hashed (poly31, the engine's oracle-replayable string hash) into
+    ``n_buckets`` buckets. With bucket counts ``p_b`` over the target rows
+    (``target_cond``) and ``q_b`` over ALL rows, each bucket's add-one
+    log-likelihood ratio is quantized to the engine's order-free fixed
+    point::
+
+        lam_b = floor( float32( ln( ((p_b+1)/(Tp+B)) / ((q_b+1)/(Tq+B)) ) ) * 2^20 )
+
+    and a document's weight is the exact integer sum of ``lam_b`` over its
+    feature occurrences — ``weight_q / (n_feats * 2^20)`` is the average
+    log importance ratio. Rows with zero features are omitted.
+
+    Scale shape: two scans of the corpus, zero corpus-keyed shuffles beyond
+    the final ``groupBy(id)``. Pass 1 aggregates feature occurrences into
+    ``n_buckets`` partial-combined rows (both distributions in ONE groupBy);
+    the ratio table is a broadcast join; pass 2 re-derives features and sums
+    broadcast lambdas per document. Everything is built-in Catalyst
+    (regexp_extract_all / transform / aggregate higher-order functions) —
+    whole-stage codegen, no Python in the hot path.
+    """
+    from ..functions.hashing import P_MOD
+
+    if int(n_buckets) < 2:
+        raise ValueError("n_buckets must be >= 2")
+    B = int(n_buckets)
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr("transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i]))"),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    bucket = (
+        F.expr(
+            "aggregate(transform(sequence(1, length(_f)), i -> cast(ascii(substring(_f, i, 1)) as bigint)),"
+            f" cast(0 as bigint), (a, c) -> (a * 31 + c) % {P_MOD})"
+        )
+        % F.lit(B)
+    )
+
+    def feature_buckets(frame: DataFrame, keep: list) -> DataFrame:
+        # the doc text is dropped BEFORE the explode so each feature row
+        # carries only (keep-cols, bucket), never a copy of the document
+        feats = frame.withColumn("_toks", toks).select(
+            *keep, F.explode(F.concat(F.col("_toks"), bigrams)).alias("_f")
+        )
+        return feats.withColumn("_b", bucket).drop("_f")
+
+    fb = feature_buckets(
+        df.select(F.col(id_col), target_cond.alias("_is_t"), F.col(text_col)), [id_col, "_is_t"]
+    )
+    counts = fb.groupBy("_b").agg(
+        F.count("*").alias("_cq"),
+        F.sum(F.when(F.col("_is_t"), F.lit(1)).otherwise(F.lit(0))).alias("_cp"),
+    )
+    totals = counts.agg(F.sum("_cq").alias("_tq"), F.sum("_cp").alias("_tp"))
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.floor(
+            F.log(
+                ((F.col("_cp") + F.lit(1.0)) / (F.col("_tp") + F.lit(float(B))))
+                / ((F.col("_cq") + F.lit(1.0)) / (F.col("_tq") + F.lit(float(B))))
+            )
+            .cast("float")
+            .cast("double")
+            * F.lit(float(_Q20))
+        )
+        .cast("long")
+        .alias("_lam_q"),
+    )
+    scored = feature_buckets(df.select(F.col(id_col), F.col(text_col)), [id_col]).join(
+        F.broadcast(lam), "_b"
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_feats"),
+        F.sum("_lam_q").cast("bigint").alias("weight_q"),
+    )

@@ -575,3 +575,94 @@ def test_minhash_128_perm_production_path(spark):
     # 8-row band
     false_cands = got - true_pairs
     assert len(false_cands) <= 2
+
+
+def test_cap_per_stratum_brute(spark):
+    from lucene_solr_spark.operators.sampling import cap_per_stratum
+
+    p, k = 100000007, 2654435761
+    # skewed strata: s0 huge, s1 exactly at cap, s2 under cap
+    rows = (
+        [(i, "s0") for i in range(300)]
+        + [(1000 + i, "s1") for i in range(12)]
+        + [(2000 + i, "s2") for i in range(5)]
+    )
+
+    def brute(cap):
+        kept = []
+        for stratum in ("s0", "s1", "s2"):
+            ids = [i for i, s in rows if s == stratum]
+            ids.sort(key=lambda i: (((i % p) * k) % p, i))
+            kept += ids[:cap]
+        return sorted(kept)
+
+    for n_part in (2, 16):
+        df = spark.createDataFrame(rows, "doc_id long, source string").repartition(n_part)
+        got = sorted(r["doc_id"] for r in cap_per_stratum(df, "source", cap=12).collect())
+        assert got == brute(12)
+    # under-cap strata survive whole
+    assert set(i for i in got if i >= 2000) == {2000 + i for i in range(5)}
+    import pytest as _pytest
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        cap_per_stratum(df, "source", cap=0)
+
+
+def test_dsir_weights_brute(spark):
+    import math
+    import re
+
+    from lucene_solr_spark.functions.hashing import P_MOD
+    from lucene_solr_spark.operators.sampling import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", True),
+        (1, "quick brown foxes jump over lazy dogs daily", True),
+        (2, "import numpy as np and call np dot product", False),
+        (3, "the quick brown fox returns to the lazy dog", False),
+        (4, "stack trace at line 42 in module spark executor", False),
+        (5, "!!! ***", False),  # zero features -> omitted
+    ]
+    B = 16
+
+    def feats(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def poly31(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % P_MOD
+        return h
+
+    # brute: bucket counts, quantized lambdas, per-doc integer weights
+    cq, cp = [0] * B, [0] * B
+    for _i, text, is_t in rows:
+        for f in feats(text):
+            b = poly31(f) % B
+            cq[b] += 1
+            if is_t:
+                cp[b] += 1
+    tq, tp = sum(cq), sum(cp)
+    lam = [
+        math.floor(
+            float(np.float32(math.log(((cp[b] + 1.0) / (tp + B)) / ((cq[b] + 1.0) / (tq + B)))))
+            * (1 << 20)
+        )
+        for b in range(B)
+    ]
+    want = {}
+    for i, text, _t in rows:
+        fs = feats(text)
+        if fs:
+            want[i] = (len(fs), sum(lam[poly31(f) % B] for f in fs))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = dsir_weights(df, F.col("is_t"), n_buckets=B)
+    got = {r["doc_id"]: (r["n_feats"], r["weight_q"]) for r in out.collect()}
+    assert got == want
+    # the target-distribution doc outranks the code-like doc on average ratio
+    avg = lambda i: got[i][1] / got[i][0]
+    assert avg(3) > avg(2)
