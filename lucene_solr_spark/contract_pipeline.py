@@ -484,6 +484,45 @@ def pipeline_queries() -> dict:
 
     q["mm_resize"] = mm_resize
 
+    def dd_line_dedup(spark, sf_dir):
+        """CCNet-style line-level boilerplate dedup
+        (`operators/dedup.py::line_dedup`): each doc's token stream is cut
+        into 10-token lines; docs with doc_id % 3 == 0 get a shared header
+        line, doc_id % 5 == 0 a shared footer — min_df=2 drops exactly the
+        boilerplate (any line in >= 2 distinct docs) and keeps content."""
+        docs = _docs(spark, sf_dir)
+        base = (
+            docs.withColumn("t", F.split("text", " "))
+            .withColumn(
+                "body",
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(t) / 10.0) AS INT) - 1),"
+                    " i -> array_join(slice(t, 10 * i + 1, 10), ' '))"
+                ),
+            )
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.concat(
+                        F.when(
+                            F.col("doc_id") % 3 == 0,
+                            F.array(F.lit("follow us on spark social")),
+                        ).otherwise(F.array().cast("array<string>")),
+                        F.col("body"),
+                        F.when(
+                            F.col("doc_id") % 5 == 0,
+                            F.array(F.lit("copyright acme data systems")),
+                        ).otherwise(F.array().cast("array<string>")),
+                    ),
+                    "\n",
+                ),
+            )
+            .select("doc_id", "text")
+        )
+        return dedup.line_dedup(base, min_df=2).orderBy("doc_id")
+
+    q["dd_line_dedup"] = dd_line_dedup
+
     return q
 
 
@@ -529,6 +568,37 @@ sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 10 AS e
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(e - s) AS BIGINT) AS dup_tokens
 FROM sp GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # line-level dedup: the oracle replays the synthesized multi-line corpus
+    # (10-token body lines + planted header/footer boilerplate) and the
+    # df >= 2 drop rule on line STRINGS — engine-independent, exact
+    o["dd_line_dedup"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id,
+         array_to_string(
+           (CASE WHEN doc_id % 3 = 0 THEN ['follow us on spark social']
+                 ELSE [] END)
+           || list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+                             i -> array_to_string(t[10*i+1 : 10*i+10], ' '))
+           || (CASE WHEN doc_id % 5 = 0 THEN ['copyright acme data systems']
+                    ELSE [] END),
+           chr(10)) AS text2
+         FROM toks),
+lines AS (SELECT doc_id, generate_subscripts(p, 1) AS pos, unnest(p) AS line
+          FROM (SELECT doc_id, string_split(text2, chr(10)) AS p FROM base)),
+dup AS (SELECT line FROM lines WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         LEFT JOIN dup d ON l.line = d.line
+         WHERE d.line IS NULL OR trim(l.line) = ''),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(b.text2, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
 """
 
     # bigram LM: identical counts → identical double ln input; per-bigram

@@ -527,3 +527,61 @@ def duplicated_spans(
         )
         .select("doc_id", "span_start", "span_len")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every line whose exact content
+    appears in >= ``min_df`` DISTINCT documents (navigation bars, cookie
+    banners, share buttons — the boilerplate that survives doc-level dedup;
+    CCNet/RefinedWeb run this pass before any fuzzy dedup).  No reference
+    analog; task-brief training-pipeline surface.
+
+    Returns ``(doc_id, clean_text, n_lines, n_kept)``; blank lines are
+    document structure, never content — they are kept verbatim and excluded
+    from the df count.
+
+    Plan shape at scale: (1) one line-keyed groupBy for the df count —
+    map-side partial aggregation collapses each hot boilerplate line to one
+    row per task before the exchange; (2) the kept-filter join is corpus
+    lines against the *duplicated-line* set only, orders of magnitude
+    smaller than the corpus (AQE broadcasts it when it fits); (3) one
+    doc-keyed groupBy to reassemble text — the unavoidable exchange of any
+    document-reconstruction step, carrying only surviving lines.  All
+    expressions are codegen built-ins; no Python in the hot path.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dup = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("line", F.lit(1).alias("_dup"))
+    )
+    kept = lines.join(dup, "line", "left").filter(
+        F.col("_dup").isNull() | (F.trim("line") == "")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )

@@ -666,3 +666,44 @@ def test_dsir_weights_brute(spark):
     # the target-distribution doc outranks the code-like doc on average ratio
     avg = lambda i: got[i][1] / got[i][0]
     assert avg(3) > avg(2)
+
+
+def test_line_dedup_brute(spark):
+    from collections import Counter
+
+    from lucene_solr_spark.operators.dedup import line_dedup
+
+    hdr = "subscribe to our newsletter"
+    rows = [
+        (1, f"{hdr}\nunique content one\n\n{hdr} twice? no"),
+        (2, f"{hdr}\nunique content two\nshared body line"),
+        (3, f"shared body line\nunique content three\n{hdr}"),
+        (4, "only original material here"),
+        (5, "   \nwhitespace only line kept\n   "),
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), min_df=2
+        ).collect()
+    }
+    # brute: df over distinct docs per non-blank line; blanks always kept
+    df = Counter()
+    for _, text in rows:
+        for ln in set(l for l in text.split("\n") if l.strip()):
+            df[ln] += 1
+    want = {}
+    for doc_id, text in rows:
+        kept = [l for l in text.split("\n") if not l.strip() or df[l] < 2]
+        want[doc_id] = ("\n".join(kept), len(text.split("\n")), len(kept))
+    assert got == want
+    # the planted boilerplate line is gone everywhere, content survives
+    assert hdr not in got[1][0].split("\n")
+    assert "unique content one" in got[1][0].split("\n")
+    # blank / whitespace-only lines are never dropped (doc 5 keeps all 3)
+    assert got[5][2] == 3
+    # min_df above any line's df keeps every doc verbatim
+    all_kept = line_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), min_df=99
+    ).collect()
+    assert all(r["clean_text"] == dict(rows)[r["doc_id"]] for r in all_kept)
