@@ -223,6 +223,30 @@ def _floor_div(s, c):
     return ((s - r) / c).cast("long")
 
 
+def _assign_nearest(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """``(vec_id, qvec, cent_id)``: nearest centroid per vector, ties to the
+    lowest ``cent_id``.
+
+    Implemented as a map-side-combinable ``min(struct(l2, cent_id))``: the
+    broadcast crossJoin colocates each vector's k candidate rows inside one
+    task, so the partial aggregate collapses them to ONE row per vector
+    before the exchange — the shuffle carries n rows, never the n·k
+    window-sort a ``row_number`` assignment would (struct min is
+    lexicographic on (l2, cent_id), bit-identical to that window's rn=1)."""
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qvec",
+        F.struct(
+            _l2(F.col("qvec"), F.col("cvec")).alias("l2"), F.col("cent_id").alias("cent_id")
+        ).alias("_lc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("_lc").alias("_m"), F.first("qvec").alias("qvec"))
+        .select("vec_id", "qvec", F.col("_m.cent_id").alias("cent_id"))
+    )
+
+
 def kmeans_centroids(q: DataFrame, k: int, n_rounds: int = 2) -> DataFrame:
     """Integer-exact deterministic k-means over quantized vectors
     ``(vec_id, qvec)`` → ``(cent_id, cvec)``.
@@ -252,14 +276,7 @@ def kmeans_centroids(q: DataFrame, k: int, n_rounds: int = 2) -> DataFrame:
         F.col("qvec").alias("cvec"),
     )
     for _ in range(n_rounds):
-        w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
-        assigned = (
-            q.crossJoin(F.broadcast(cents))
-            .select("vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "qvec", "cent_id")
-        )
+        assigned = _assign_nearest(q, cents)
         elems = assigned.select("cent_id", F.posexplode("qvec").alias("pos", "val"))
         means = elems.groupBy("cent_id", "pos").agg(
             F.sum("val").alias("s"), F.count("*").alias("c")
@@ -316,14 +333,18 @@ def ivf_topk(
 
     from pyspark.sql.window import Window
 
-    scored_c = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2")
+    assigned = _assign_nearest(q, cents)
+    # probe ranking needs top-n_probe lists for the HANDFUL of query vectors
+    # only — filter first, then window over that tiny set (never rank the
+    # whole corpus's centroid candidates)
+    probe_scored = (
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
-    ranked = scored_c.withColumn("rn", F.row_number().over(w_assign))
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "qvec", "cent_id")
+    w_probe = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
     probes = (
-        ranked.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        probe_scored.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec"), "cent_id")
     )
@@ -378,16 +399,7 @@ def semdedup(
     spark = embeddings.sparkSession
     cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
 
-    from pyspark.sql.window import Window
-
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .select("vec_id", "qvec", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qvec", "cent_id")
-    )
+    assigned = _assign_nearest(q, cents)
     a = assigned.select(F.col("cent_id"), F.col("vec_id").alias("id_a"), F.col("qvec").alias("q_a"))
     b = assigned.select(F.col("cent_id"), F.col("vec_id").alias("id_b"), F.col("qvec").alias("q_b"))
     dups = (
