@@ -165,7 +165,9 @@ def shortest_path(
             break
         if probe["n"] == 0:
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        # plain union: every constituent is already checkpointed, so lineage
+        # stays O(depth) unions deep — no extra eager job per level
+        visited = visited.unionByName(frontier)
 
     if not found:
         return spark.createDataFrame([], "path array<string>, depth int")
@@ -244,7 +246,9 @@ def graph_query(
         if traversal_filter is not None:
             hop = hop.where(traversal_filter)
         matched.append(hop)
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        # plain union: every constituent is already checkpointed, so lineage
+        # stays O(depth) unions deep — no extra eager job per level
+        visited = visited.unionByName(frontier)
         frontier = (
             hop.where(F.col(to_col).isNotNull())
             .select(F.col(to_col).cast("string").alias("val"))
