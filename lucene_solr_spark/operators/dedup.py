@@ -534,6 +534,7 @@ def line_dedup(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delim: str = "\n",
 ) -> DataFrame:
     """CCNet-style line-level dedup: drop every line whose exact content
     appears in >= ``min_df`` DISTINCT documents (navigation bars, cookie
@@ -543,7 +544,8 @@ def line_dedup(
 
     Returns ``(doc_id, clean_text, n_lines, n_kept)``; blank lines are
     document structure, never content — they are kept verbatim and excluded
-    from the df count.
+    from the df count.  ``delim="\\n\\n"`` gives the paragraph-level variant
+    of the same pass (``delim`` is a Java regex, like ``F.split``).
 
     Plan shape at scale: (1) one line-keyed groupBy for the df count —
     map-side partial aggregation collapses each hot boilerplate line to one
@@ -556,7 +558,7 @@ def line_dedup(
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "line"),
     )
     dup = (
         lines.filter(F.trim("line") != "")
@@ -571,13 +573,13 @@ def line_dedup(
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
-            "\n",
+            delim,
         ).alias("clean_text"),
         F.count("*").cast("bigint").alias("n_kept"),
     )
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+        F.size(F.split(F.col(text_col), delim, -1)).cast("bigint").alias("n_lines"),
     )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",

@@ -707,3 +707,26 @@ def test_line_dedup_brute(spark):
         spark.createDataFrame(rows, "doc_id long, text string"), min_df=99
     ).collect()
     assert all(r["clean_text"] == dict(rows)[r["doc_id"]] for r in all_kept)
+
+
+def test_line_dedup_paragraph_delim(spark):
+    from lucene_solr_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "shared para\n\nunique one"),
+        (2, "shared para\n\nunique two"),
+        (3, "solo\n\nshared para"),
+    ]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_df=2,
+            delim="\n\n",
+        ).collect()
+    }
+    assert got == {
+        1: ("unique one", 2, 1),
+        2: ("unique two", 2, 1),
+        3: ("solo", 2, 1),
+    }
