@@ -80,6 +80,7 @@ _PRIORITY = [
     "ft_xml_parse", "ft_xml_span", "ft_fvh", "ft_fvh_phrase",
     "dd_substring_spans", "ta_bigram_ppl", "mm_bmp_roundtrip", "mm_wav_roundtrip", "mm_resize",
     "dd_semdedup", "ta_packing", "ta_bpe_pairs", "ta_bpe_encode",
+    "dd_line_dedup",
     # (b2) index-maintenance lifecycle, previously pytest-only (§2.2)
     "ft_deletes_topk", "ft_expunge_topk", "ft_merged_topk",
     "ft_shard_local_topk", "ft_replica_topk", "ing_versioned",
