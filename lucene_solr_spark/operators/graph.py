@@ -31,6 +31,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+# frontier/visited sets are broadcast-hinted only below this row count; a
+# web-scale BFS frontier past it takes the id-keyed shuffle-join plan
+# instead (AQE may still broadcast when runtime stats allow)
+_BCAST_MAX_NODES = 1_000_000
+
 
 def gather_nodes(
     edges: DataFrame,
@@ -139,17 +144,26 @@ def shortest_path(
     visited = frontier  # cycle(): every earlier level blocks re-expansion
     parent_levels: list[DataFrame] = []
     found = False
+    # frontier/visited sizes are known for free from each level's probe;
+    # only hint a broadcast while they are genuinely broadcast-sized — on a
+    # high-fanout web-scale graph a frontier can reach tens of millions of
+    # nodes, where the hint would OOM the driver and an id-keyed shuffle
+    # join is the correct plan (AQE still broadcasts if stats allow)
+    frontier_n = visited_n = 1
     for _depth in range(max_depth):
+        f_side = F.broadcast(frontier) if frontier_n <= _BCAST_MAX_NODES else frontier
         hop = (
-            edges.join(F.broadcast(frontier), edges.src == F.col("node"))
+            edges.join(f_side, edges.src == F.col("node"))
             .select(F.col("src").alias("parent"), F.col("dst").alias("child"))
             .distinct()
         )
         # ShortestPathStream:338-364 — target edges are kept even though the
         # cycle check would normally apply only to non-target nodes (the
         # target cannot be in `visited`: the loop stops the level it appears)
+        v = visited.select(F.col("node").alias("_v"))
+        v_side = F.broadcast(v) if visited_n <= _BCAST_MAX_NODES else v
         new = hop.join(
-            F.broadcast(visited.select(F.col("node").alias("_v"))),
+            v_side,
             hop.child == F.col("_v"),
             "left_anti",
         ).localCheckpoint(eager=True)
@@ -168,6 +182,8 @@ def shortest_path(
         # plain union: every constituent is already checkpointed, so lineage
         # stays O(depth) unions deep — no extra eager job per level
         visited = visited.unionByName(frontier)
+        frontier_n = probe["n"]
+        visited_n += frontier_n
 
     if not found:
         return spark.createDataFrame([], "path array<string>, depth int")
@@ -237,9 +253,16 @@ def graph_query(
     # returns the roots plus N hop levels.  Here ``hops`` counts completed
     # hop levels, so we keep hopping while hops < max_depth.
     hops = 0
-    while (max_depth == -1 or hops < max_depth) and frontier.limit(1).count() > 0:
+    while max_depth == -1 or hops < max_depth:
+        # one capped count answers both "frontier empty?" and "still
+        # broadcast-sized?" — never a full count of a huge frontier
+        f_n = frontier.limit(_BCAST_MAX_NODES + 1).count()
+        if f_n == 0:
+            break
+        f = frontier.select(F.col("val").alias("_f"))
+        f_side = F.broadcast(f) if f_n <= _BCAST_MAX_NODES else f
         hop = docs.join(
-            F.broadcast(frontier.select(F.col("val").alias("_f"))),
+            f_side,
             F.col(from_col).cast("string") == F.col("_f"),
             "left_semi",
         )
