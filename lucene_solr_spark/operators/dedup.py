@@ -118,8 +118,16 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    df_cap = sh.groupBy("shingle_hash").agg(F.count("*").alias("sdf")).filter(F.col("sdf") <= max_shingle_df)
-    joinable = sh.join(F.broadcast(df_cap.select("shingle_hash")), "shingle_hash")
+    # anti-join against the OVER-cap (stop-shingle) set — the Zipf head,
+    # bounded by total_occurrences / max_shingle_df, not the under-cap set
+    # (≈ every distinct shingle at web scale, never broadcast-sized); no
+    # forced hint — AQE broadcasts the head when it fits
+    stop = (
+        sh.groupBy("shingle_hash")
+        .agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
+    )
+    joinable = sh.join(stop.select("shingle_hash"), "shingle_hash", "left_anti")
 
     # pair generation: ONE hash exchange + a sorted linear pass (vectorized
     # triangular expansion per shingle run), instead of a self-join's two

@@ -74,10 +74,14 @@ def cap_per_stratum(df: DataFrame, strata_col: str, cap: int, id_col: str = "doc
     from pyspark.sql.window import Window
 
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
-    small = counts.filter(F.col("_n") <= cap).select(strata_col)
-    tagged = df.join(F.broadcast(small.withColumn("_under", F.lit(True))), strata_col, "left")
-    under = tagged.filter(F.col("_under").isNotNull()).drop("_under")
-    over = tagged.filter(F.col("_under").isNull()).drop("_under")
+    # ONE count join, split by the carried count: at web scale the under-cap
+    # stratum list is ≈ every distinct host (never broadcast-sized), so no
+    # forced hint — AQE broadcasts the counts table when it fits
+    tagged = df.join(counts, strata_col, "left")
+    under = tagged.filter(F.col("_n") <= cap).drop("_n")
+    # NULL-stratum rows never equi-join (_n null): they form one window
+    # group on the over side and get capped together, as before
+    over = tagged.filter((F.col("_n") > cap) | F.col("_n").isNull()).drop("_n")
     w = Window.partitionBy(strata_col).orderBy(sample_hash(F.col(id_col)).asc(), F.col(id_col).asc())
     capped = (
         over.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
