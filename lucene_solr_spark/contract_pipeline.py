@@ -52,6 +52,7 @@ _QV = (
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 5
 LSH_DEMO_P, LSH_DEMO_L = 6, 4  # contract-scale LSH: 2^6 buckets x 4 tables
+PQ_M, PQ_KS, PQ_REFINE = 4, 16, 4  # contract-scale PQ: 4 subspaces x 16 codes
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -371,6 +372,36 @@ def pipeline_queries() -> dict:
         ).orderBy("query_id", "rank")
 
     q["sim_ann_ivf"] = sim_ann_ivf
+
+    # trained PQ codebooks per sf_dir — deterministic, shared by repeat calls
+    _pq_book_cache: dict = {}
+
+    def _trained_pq(spark, sf_dir):
+        books = _pq_book_cache.get(sf_dir)
+        if books is None:
+            qv = similarity.quantize(_embs(spark, sf_dir)).select("vec_id", "qvec")
+            books = [
+                (r["sub"], r["cent_id"], r["cvec"])
+                for r in similarity.pq_codebooks(qv, m=PQ_M, ks=PQ_KS).collect()
+            ]
+            _pq_book_cache[sf_dir] = books
+        return books
+
+    def sim_ann_pq(spark, sf_dir):
+        """PQ ANN (ADC scan over m=4 subspace codes + exact re-rank of the
+        top k·refine): the compressed-candidate-generation path — the scan
+        reads 4 small ints per vector instead of the 64-dim raw embedding."""
+        return similarity.pq_topk(
+            _embs(spark, sf_dir),
+            ANN_QUERY_IDS,
+            ANN_K,
+            m=PQ_M,
+            ks=PQ_KS,
+            refine=PQ_REFINE,
+            codebooks=_trained_pq(spark, sf_dir),
+        ).orderBy("query_id", "rank")
+
+    q["sim_ann_pq"] = sim_ann_pq
 
     def dd_embedding_neardup(spark, sf_dir):
         # min_dot ~ cos 0.3 at the floor(1000x) quantized scale (unit vectors)
@@ -974,6 +1005,62 @@ cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, {_dot_sql('a.q', '
 r AS (SELECT query_id, neighbor_id, dot,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
       FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+    # PQ (operators/similarity.pq_codebooks / pq_topk): per-subspace grouped
+    # k-means (same hash-spread init + two integer Lloyd rounds, subdim 16),
+    # ADC sum over the m=4 code lookups, exact re-rank of the top k*refine
+    _sd = 64 // PQ_M
+    _pq_lloyd = []
+    for _r in (1, 2):
+        _prev = f"pc{_r - 1}"
+        _pq_lloyd.append(
+            f"""
+ps{_r} AS (SELECT v.vec_id, v.sub, v.q, c.cent_id, {_l2_sql('v.q', 'c.cvec', _sd)} AS l2
+           FROM sv v JOIN {_prev} c ON v.sub = c.sub),
+pa{_r} AS (SELECT vec_id, sub, q, cent_id FROM
+           (SELECT vec_id, sub, q, cent_id,
+                   row_number() OVER (PARTITION BY sub, vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM ps{_r})
+           WHERE rn = 1),
+pm{_r} AS (SELECT sub, cent_id, i, sum(q[i]) AS s, count(*) AS c
+           FROM pa{_r} CROSS JOIN (SELECT unnest(range(1, {_sd + 1})) AS i) GROUP BY sub, cent_id, i),
+pc{_r} AS (SELECT sub, cent_id, list((s - ((s % c + c) % c)) // c ORDER BY i) AS cvec FROM pm{_r} GROUP BY sub, cent_id)"""
+        )
+    _PQ_LLOYD = ",".join(_pq_lloyd)
+
+    o["sim_ann_pq"] = f"""
+WITH {_QV},
+sv AS (SELECT vec_id, s.sub, list_slice(q, s.sub*{_sd}+1, s.sub*{_sd}+{_sd}) AS q
+       FROM qv CROSS JOIN (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS sub) s),
+pranked0 AS (SELECT vec_id,
+             row_number() OVER (ORDER BY ((vec_id % 100000007) * 2654435761) % 100000007 ASC, vec_id ASC) - 1 AS cent_id
+             FROM qv),
+pseed AS (SELECT vec_id, CAST(cent_id AS INT) AS cent_id FROM pranked0 WHERE cent_id < {PQ_KS}),
+pc0 AS (SELECT sv.sub, p.cent_id, sv.q AS cvec FROM sv JOIN pseed p USING (vec_id)),
+{_PQ_LLOYD.strip()},
+psf AS (SELECT v.vec_id, v.sub, c.cent_id, {_l2_sql('v.q', 'c.cvec', _sd)} AS l2
+        FROM sv v JOIN pc2 c ON v.sub = c.sub),
+codes AS (SELECT vec_id, sub, cent_id FROM
+          (SELECT vec_id, sub, cent_id,
+                  row_number() OVER (PARTITION BY sub, vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM psf)
+          WHERE rn = 1),
+lut AS (SELECT sv.vec_id AS query_id, sv.sub, c.cent_id, {_dot_sql('sv.q', 'c.cvec', _sd)} AS pdot
+        FROM sv JOIN pc2 c ON sv.sub = c.sub WHERE sv.vec_id IN ({ids})),
+adc AS (SELECT l.query_id, cd.vec_id, sum(l.pdot) AS adc_dot
+        FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.cent_id = l.cent_id
+        WHERE cd.vec_id <> l.query_id GROUP BY l.query_id, cd.vec_id),
+cand AS (SELECT query_id, vec_id FROM
+         (SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn FROM adc)
+         WHERE rn <= {ANN_K * PQ_REFINE}),
+rer AS (SELECT c.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qq.q')} AS dot
+        FROM cand c JOIN qv v ON v.vec_id = c.vec_id JOIN qv qq ON qq.vec_id = c.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM rer)
 SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(dot AS BIGINT) AS dot
 FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank

@@ -673,6 +673,18 @@ def ft_queries() -> dict:
 
     q["ft_search_after"] = ft_search_after
 
+    def ft_explain(spark, sf_dir):
+        """IndexSearcher.explain flattened over a whole top-10 page (the
+        Solr debug=results shape): per-clause BM25 leaves (tf, df, quantized
+        weight and score) for every hit of the flagship boolean query — one
+        scored-postings pass for all ten docs, not ten driver round-trips."""
+        s = doc_searcher(spark, sf_dir)
+        bq = BooleanQuery.build(should=[TermQuery(HOT), TermQuery(MID)])
+        ids = [r["doc_id"] for r in s.search(bq, 10).df.select("doc_id").collect()]
+        return s.explain_rows(bq, ids).orderBy("doc_id", "term")
+
+    q["ft_explain"] = ft_explain
+
     # ---- pluggable similarities (search/similarities/: ClassicSimilarity,
     # BooleanSimilarity, LMDirichletSimilarity) over the same index
     def _sim_search_q(query, sim_factory, k=10):
@@ -2738,6 +2750,29 @@ def ft_oracle_sql() -> dict:
         "SELECT CAST(rnk - 10 AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id FROM ("
         "  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk, doc_id FROM sc"
         ") WHERE rnk BETWEEN 11 AND 20 ORDER BY rnk",
+    )
+
+    # ft_explain: leaf-level BM25 decomposition for the flagship OR's top-10
+    # page — weight = f32 idf, score = f32(weight * f32 tf-norm), both
+    # emitted floor(f32_as_double * 2^20) (quantize-before-compare contract)
+    _q20 = lambda x: f"CAST(floor({_D(x)} * 1048576) AS BIGINT)"  # noqa: E731
+    _expl_t32 = _R(f"tf.tf / (tf.tf + {_D(_CACHE)})")
+    _expl_w = _R(_idf("dfreq.df"))
+    o["ft_explain"] = _with(
+        [_term_cte("sa", HOT), _term_cte("sb", MID)],
+        f"""
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, tf.term AS term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfreq.df AS BIGINT) AS df,
+       {_q20(_expl_w)} AS weight_q,
+       {_q20(_R(_expl_w + " * " + _expl_t32))} AS score_q
+FROM tf JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id
+WHERE tf.term IN ('{HOT}', '{MID}') AND tf.doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, {_R('sum(' + _D('score') + ')')} AS score
+    FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id ASC LIMIT 10)
+ORDER BY doc_id, term
+""",
     )
 
     # keyword / point field filters: FILTER clauses are non-scoring, so the

@@ -3277,6 +3277,53 @@ class IndexSearcher:
             }
         raise NotImplementedError(type(query).__name__)
 
+    def explain_rows(self, query: Query, doc_ids: list[int]) -> DataFrame:
+        """Vectorized :meth:`explain` for a doc SET: flattens the per-clause
+        Explanation leaves of a TermQuery / all-term BooleanQuery into rows
+        ``(doc_id, term, tf, df, weight_q, score_q)`` — ONE scored-postings
+        pass filtered to the k explain targets instead of a driver
+        round-trip per document (the batch shape Solr's ``debug=results``
+        response takes for a whole page of hits).  ``weight_q``/``score_q``
+        are ``floor(float32_value · 2^20)`` — the repo's
+        quantize-before-compare contract, so a DuckDB oracle can replay the
+        BM25 decomposition bit-for-bit."""
+        leaves: list[tuple[str, float]] = []
+
+        def _collect(qr, b: float):
+            while isinstance(qr, BoostQuery):
+                b *= qr.boost
+                qr = qr.query
+            if isinstance(qr, TermQuery):
+                leaves.append((qr.term, float(b * qr.boost)))
+            elif isinstance(qr, BooleanQuery):
+                for c in qr.clauses:
+                    if c.occur in ("SHOULD", "MUST"):
+                        _collect(c.query, b)
+            else:
+                raise NotImplementedError("explain_rows supports all-term booleans")
+
+        _collect(query, 1.0)
+        stats = self._term_stats({t for t, _ in leaves})
+        weights = {t: self._leaf_w(b, t, stats) for t, b in leaves if t in stats}
+        meta = self.spark.createDataFrame(
+            [(t, int(stats[t][0]), float(w)) for t, w in weights.items()],
+            "term string, df long, weight float",
+        )
+        q20 = lambda c: F.floor(c.cast("double") * F.lit(1 << 20)).cast("long")  # noqa: E731
+        return (
+            self._scored_postings(weights)
+            .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .join(F.broadcast(meta), "term")
+            .select(
+                F.col("doc_id").cast("long"),
+                "term",
+                F.col("tf").cast("long"),
+                "df",
+                q20(F.col("weight")).alias("weight_q"),
+                q20(F.col("score")).alias("score_q"),
+            )
+        )
+
     def count(self, query: Query) -> int:
         """TotalHitCountCollector analog (live docs only).
 

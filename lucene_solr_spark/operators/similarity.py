@@ -360,6 +360,176 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------------ PQ
+def _subvectors(q: DataFrame, m: int, dim: int) -> DataFrame:
+    """``(vec_id, sub, qvec)``: the corpus split into ``m`` contiguous
+    subspaces of ``dim // m`` components each (one posexplode pass)."""
+    subd = dim // m
+    slices = F.array(*[F.slice("qvec", s * subd + 1, subd) for s in range(m)])
+    return q.select("vec_id", F.posexplode(slices).alias("sub", "qvec"))
+
+
+def pq_codebooks(
+    q: DataFrame, m: int = 4, dim: int = 64, ks: int = 16, n_rounds: int = 2
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): one ``ks``-entry k-means
+    codebook per contiguous subspace, trained jointly → ``(sub, cent_id,
+    cvec)``.
+
+    Same deterministic recipe as :func:`kmeans_centroids` — hash-spread
+    init, integer Lloyd rounds with exact L2 assignment (ties to the lowest
+    ``cent_id``) and floor-division means — but GROUPED by subspace, so all
+    ``m`` codebooks train in the same two corpus passes instead of ``m``
+    separate jobs: one Lloyd round = one broadcast-join map pass + one
+    aggregation keyed by ``(sub, cent_id, pos)``.  The init seeds are the
+    ``ks`` corpus vectors with the smallest multiplicative id hash (the
+    hash depends on ``vec_id`` only, so every subspace seeds from the same
+    documents — replayable in ANSI SQL).
+
+    Scale shape: the full codebook is ``m·ks`` rows (broadcast-sized by
+    construction); the corpus never self-joins or shuffles by payload.
+    """
+    spark = q.sparkSession
+    h = ((F.col("vec_id") % _HP) * _HK) % _HP
+    # distributed top-ks by hash (TakeOrderedAndProject) — never a global sort
+    seed = [
+        (int(r["vec_id"]), i)
+        for i, r in enumerate(
+            q.select("vec_id", h.alias("_h")).orderBy("_h", "vec_id").limit(ks).collect()
+        )
+    ]
+    seed_df = spark.createDataFrame(seed, "vec_id long, cent_id int")
+    subs = _subvectors(q, m, dim)
+    cents = subs.join(F.broadcast(seed_df), "vec_id").select(
+        "sub", "cent_id", F.col("qvec").alias("cvec")
+    )
+    for _ in range(n_rounds):
+        assigned = _assign_nearest_grouped(subs, cents)
+        elems = assigned.select("sub", "cent_id", F.posexplode("qvec").alias("pos", "val"))
+        means = elems.groupBy("sub", "cent_id", "pos").agg(
+            F.sum("val").alias("s"), F.count("*").alias("c")
+        )
+        cents = (
+            means.select("sub", "cent_id", "pos", _floor_div(F.col("s"), F.col("c")).alias("elem"))
+            .groupBy("sub", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "elem"))), lambda x: x["elem"]
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def _assign_nearest_grouped(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-subspace nearest codeword: ``(sub, vec_id, qvec, cent_id)``, ties
+    to the lowest ``cent_id`` — the grouped twin of :func:`_assign_nearest`
+    (same map-side-combinable min-struct shape, broadcast codebook join
+    keyed by ``sub``)."""
+    scored = subs.join(F.broadcast(cents), "sub").select(
+        "sub",
+        "vec_id",
+        "qvec",
+        F.struct(
+            _l2(F.col("qvec"), F.col("cvec")).alias("l2"), F.col("cent_id").alias("cent_id")
+        ).alias("_lc"),
+    )
+    return (
+        scored.groupBy("sub", "vec_id")
+        .agg(F.min("_lc").alias("_m"), F.first("qvec").alias("qvec"))
+        .select("sub", "vec_id", "qvec", F.col("_m.cent_id").alias("cent_id"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    ks: int = 16,
+    n_rounds: int = 2,
+    refine: int = 4,
+    codebooks: Optional[list] = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation + exact re-rank (the
+    FAISS ``IndexPQ`` / IVFADC-refine recipe, Jégou et al. 2011 §III):
+
+    1. encode every corpus vector as ``m`` codewords (its nearest codebook
+       entry per subspace);
+    2. per query, build the ``m×ks`` lookup table of subspace dots
+       ``dot(q_sub, codeword)`` and approximate ``dot(q, x) ≈ Σ_sub
+       LUT[sub][code_sub(x)]`` — the scan touches only the code table
+       (``m`` small ints per vector instead of ``dim``: the memory/IO
+       argument that makes PQ the 100 TB candidate-generation path);
+    3. exact-dot re-rank of the top ``k·refine`` ADC candidates (raw
+       vectors fetched for that handful only).
+
+    All arithmetic is integer-exact on the quantized vectors, so the DuckDB
+    oracle replays training, encoding, ADC, and re-rank bit-for-bit.
+
+    Scale shape: codebooks broadcast (``m·ks·(dim/m)`` ints); encoding is a
+    broadcast join + map-side-combined min-struct (corpus never
+    self-joins); the ADC aggregation is map-side combinable keyed
+    ``(query_id, vec_id)``; re-rank joins raw vectors for ``k·refine`` ids
+    per query only.
+    """
+    spark = embeddings.sparkSession
+    q = quantize(embeddings).select("vec_id", "qvec")
+    if codebooks is None:
+        codebooks = [
+            (r["sub"], r["cent_id"], r["cvec"])
+            for r in pq_codebooks(q, m, dim, ks, n_rounds).collect()
+        ]
+    cents = spark.createDataFrame(codebooks, "sub int, cent_id int, cvec array<bigint>")
+    subd = dim // m
+
+    subs = _subvectors(q, m, dim)
+    codes = _assign_nearest_grouped(subs, cents).select("sub", "vec_id", "cent_id")
+
+    # per-query subspace lookup table: |query_ids|·m·ks rows — broadcast
+    qsubs = _subvectors(q.filter(F.col("vec_id").isin([int(i) for i in query_ids])), m, dim)
+    lut = qsubs.join(F.broadcast(cents), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "cent_id",
+        _dot(F.col("qvec"), F.col("cvec")).alias("pdot"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    from pyspark.sql.window import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "vec_id")
+    )
+    qvecs = q.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    rer = (
+        q.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qvec"), F.col("q_qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold_dot: int,

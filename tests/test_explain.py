@@ -59,3 +59,26 @@ def test_explain_dismax(searcher):
     for doc_id, score in top:
         e = searcher.explain(q, doc_id)
         assert e["value"] == pytest.approx(score, abs=1e-6)
+
+
+def test_explain_rows_matches_per_doc_explain(searcher):
+    """The batched explain_rows leaves agree with the driver-side explain
+    tree doc by doc: same leaf score (under the 2^20 quantization) and the
+    same weight detail, for every hit of a two-term OR page."""
+    h1, h2 = _hot2(searcher)
+    q = BooleanQuery.build(should=[TermQuery(h1), TermQuery(h2)])
+    ids = [d for d, _ in searcher.search(q, 5).collect()]
+    rows = {(r["doc_id"], r["term"]): r for r in searcher.explain_rows(q, ids).collect()}
+    assert {d for d, _ in rows} == set(ids)
+    for doc_id in ids:
+        e = searcher.explain(q, doc_id)
+        leaves = {
+            d["description"].split("'")[1]: d for d in e["details"] if d["details"]
+        }
+        for term, leaf in leaves.items():
+            r = rows[(doc_id, term)]
+            assert r["score_q"] == int(np.floor(np.float64(np.float32(leaf["value"])) * (1 << 20)))
+            w = leaf["details"][0]["value"]
+            assert r["weight_q"] == int(np.floor(np.float64(np.float32(w)) * (1 << 20)))
+        # no extra leaves beyond the matching terms
+        assert {t for d, t in rows if d == doc_id} == set(leaves)

@@ -228,6 +228,57 @@ def test_ivf_recall_clustered(spark):
     assert recall >= 0.9, recall
 
 
+def test_pq_topk_recall_and_exact_rerank(spark):
+    """PQ ADC + exact re-rank: on a clustered corpus the 4x16-code ADC scan
+    with k*refine re-rank recovers >= 0.9 of the brute-force top-5, and every
+    returned dot is the TRUE dot (the re-rank stage is exact by design)."""
+    from lucene_solr_spark.operators.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.default_rng(17)
+    dim, n_clusters, per = 64, 20, 20
+    centers = _unit_rows(rng, n_clusters, dim) * 10.0
+    vecs = np.vstack(
+        [centers[c] + 0.3 * rng.normal(size=(per, dim)) for c in range(n_clusters)]
+    )
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]})
+    embs = spark.createDataFrame(pdf)
+    queries = [0, 25, 50, 111, 222, 333, 399]
+    qm = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    dots = qm @ qm.T
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    pq = pq_topk(embs, queries, k=5).collect()
+    for r in pq:
+        assert r["dot"] == int(dots[r["query_id"], r["neighbor_id"]])  # exact re-rank
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in pq} & brute) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_pq_codebooks_deterministic_grouped(spark):
+    """pq_codebooks is partitioning-independent, trains one ks-entry codebook
+    per subspace, and matches per-subspace kmeans_centroids exactly (the
+    grouped training is a pure batching of the ungrouped recipe)."""
+    from lucene_solr_spark.operators.similarity import kmeans_centroids, pq_codebooks, quantize
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(80, 64)) * 3
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [list(map(float, v)) for v in vecs]})
+    q = quantize(spark.createDataFrame(pdf)).select("vec_id", "qvec")
+    b1 = {(r["sub"], r["cent_id"]): list(r["cvec"]) for r in pq_codebooks(q, ks=8).collect()}
+    b2 = {
+        (r["sub"], r["cent_id"]): list(r["cvec"])
+        for r in pq_codebooks(q.repartition(7), ks=8).collect()
+    }
+    assert b1 == b2  # deterministic under any partitioning
+    assert {s for s, _ in b1} == {0, 1, 2, 3} and all(len(v) == 16 for v in b1.values())
+    # grouped == ungrouped: subspace 2 trained alone gives the same codebook
+    sub2 = q.select("vec_id", F.slice("qvec", 33, 16).alias("qvec"))
+    solo = {r["cent_id"]: list(r["cvec"]) for r in kmeans_centroids(sub2, k=8).collect()}
+    assert solo == {c: v for (s, c), v in b1.items() if s == 2}
+
+
 def test_kmeans_centroids_deterministic_and_trained(spark):
     """kmeans_centroids is partitioning-independent and actually moves the
     codebook off its seed vectors (trained, not the first-k stand-in)."""
