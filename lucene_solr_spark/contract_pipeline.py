@@ -182,6 +182,40 @@ def pipeline_queries() -> dict:
 
     q["ta_packing"] = ta_packing
 
+    def ta_sft_pairs(spark, sf_dir):
+        """SFT example extraction (operators/sft.py): synthesize transcript
+        turns from `documents` (conversation = source, turn order = doc_id,
+        roles alternating user/assistant), then render each assistant turn
+        into (context, target, loss_start, loss_len) — last-3-turn context,
+        byte-exact loss-mask offsets."""
+        from pyspark.sql.window import Window
+
+        from .operators.sft import sft_pairs
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        )
+        turns = docs.select(
+            F.col("source").alias("conv_id"),
+            F.row_number().over(w).cast("int").alias("turn_idx"),
+            F.col("text"),
+        )
+        turns = turns.withColumn(
+            "role", F.when(F.col("turn_idx") % 2 == 1, "user").otherwise("assistant")
+        )
+        out = sft_pairs(turns, max_context_turns=3)
+        return out.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "context",
+            "target",
+            "loss_start",
+            "loss_len",
+        ).orderBy("conv_id", "turn_idx")
+
+    q["ta_sft_pairs"] = ta_sft_pairs
+
     # fixed contract merge table: three round-0 merges over pairwise-disjoint
     # characters, so the oracle's per-pattern occurrence arithmetic is exact
     # (no cross-pattern interaction); multi-level merge chains are pinned by
@@ -823,6 +857,30 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(token_start // 64 AS BIGINT) AS first_block,
        CAST((token_start + n_tokens - 1) // 64 AS BIGINT) AS last_block
 FROM c ORDER BY doc_id
+"""
+
+    # SFT pairs (operators/sft.py): ordered-window list of '<role> text'
+    # renders, last-3 slice joined by \n, loss offsets over the rendered
+    # example context + '\n' + '<assistant> ' + target (12 = header length)
+    o["ta_sft_pairs"] = """
+WITH t AS (SELECT source AS conv_id,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS turn_idx,
+                  text FROM documents),
+r AS (SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role, text FROM t),
+c AS (SELECT conv_id, turn_idx, role, text,
+             coalesce(list('<' || role || '> ' || text)
+                      OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST([] AS VARCHAR[])) AS ctxl
+      FROM r),
+x AS (SELECT conv_id, turn_idx, role, text,
+             array_to_string(list_slice(ctxl, greatest(1, len(ctxl) - 2), len(ctxl)), chr(10)) AS context
+      FROM c)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, context, text AS target,
+       CAST(length(context) + (CASE WHEN length(context) > 0 THEN 1 ELSE 0 END) + 12 AS BIGINT) AS loss_start,
+       CAST(length(text) AS BIGINT) AS loss_len
+FROM x WHERE role = 'assistant' ORDER BY conv_id, turn_idx
 """
 
     # BPE round-0 pair counts: every adjacent 2-char window of every word

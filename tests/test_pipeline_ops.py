@@ -781,3 +781,31 @@ def test_line_dedup_paragraph_delim(spark):
         2: ("unique two", 2, 1),
         3: ("solo", 2, 1),
     }
+
+
+def test_sft_pairs_mask_and_context(spark):
+    """sft_pairs: the loss-mask span recovers the target byte-for-byte from
+    the rendered example, context is exactly the last-3 prior turns, and
+    non-target-role turns emit no row."""
+    from lucene_solr_spark.operators.sft import render_example, sft_pairs
+
+    rows = [
+        ("c1", 1, "user", "hello there"),
+        ("c1", 2, "assistant", "hi how can I help"),
+        ("c1", 3, "user", "run the scan"),
+        ("c1", 4, "assistant", "scanning now"),
+        ("c1", 5, "user", "thanks"),
+        ("c1", 6, "assistant", "done"),
+        ("c2", 1, "assistant", "opening greeting"),  # first-turn target: empty context
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv_id"], r["turn_idx"]): r for r in sft_pairs(turns, max_context_turns=3).collect()}
+
+    assert set(got) == {("c1", 2), ("c1", 4), ("c1", 6), ("c2", 1)}
+    for r in got.values():
+        ex = render_example(r["context"], r["target"])
+        assert ex[r["loss_start"] : r["loss_start"] + r["loss_len"]] == r["target"]
+    # last-3 truncation: turn 6 sees turns 3..5 only, in order
+    assert got[("c1", 6)]["context"] == "<user> run the scan\n<assistant> scanning now\n<user> thanks"
+    assert got[("c1", 2)]["context"] == "<user> hello there"
+    assert got[("c2", 1)]["context"] == "" and got[("c2", 1)]["loss_start"] == 12
