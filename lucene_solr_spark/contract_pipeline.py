@@ -437,6 +437,23 @@ def pipeline_queries() -> dict:
 
     q["sim_ann_pq"] = sim_ann_pq
 
+    def sim_ann_ivfpq(spark, sf_dir):
+        """IVFADC: trained coarse lists (2-probe) + PQ-compressed in-list
+        ADC + exact re-rank — the candidate count AND the per-candidate
+        payload both shrink (the 10^12-vector ANN shape)."""
+        return similarity.ivfpq_topk(
+            _embs(spark, sf_dir),
+            ANN_QUERY_IDS,
+            ANN_K,
+            m=PQ_M,
+            ks=PQ_KS,
+            refine=PQ_REFINE,
+            centroids=_trained_cents(spark, sf_dir),
+            codebooks=_trained_pq(spark, sf_dir),
+        ).orderBy("query_id", "rank")
+
+    q["sim_ann_ivfpq"] = sim_ann_ivfpq
+
     def dd_embedding_neardup(spark, sf_dir):
         # min_dot ~ cos 0.3 at the floor(1000x) quantized scale (unit vectors)
         pairs = similarity.embedding_neardup_pairs(
@@ -1110,6 +1127,59 @@ lut AS (SELECT sv.vec_id AS query_id, sv.sub, c.cent_id, {_dot_sql('sv.q', 'c.cv
 adc AS (SELECT l.query_id, cd.vec_id, sum(l.pdot) AS adc_dot
         FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.cent_id = l.cent_id
         WHERE cd.vec_id <> l.query_id GROUP BY l.query_id, cd.vec_id),
+cand AS (SELECT query_id, vec_id FROM
+         (SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn FROM adc)
+         WHERE rn <= {ANN_K * PQ_REFINE}),
+rer AS (SELECT c.query_id, v.vec_id AS neighbor_id, {_dot_sql('v.q', 'qq.q')} AS dot
+        FROM cand c JOIN qv v ON v.vec_id = c.vec_id JOIN qv qq ON qq.vec_id = c.query_id),
+r AS (SELECT query_id, neighbor_id, dot,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+      FROM rer)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+    # IVFADC = the IVF oracle's coarse block (qv..assigned/probes) + the PQ
+    # oracle's code block (sv..codes/lut), ADC restricted to probed-list
+    # members, exact re-rank — CTE name sets are disjoint by construction
+    o["sim_ann_ivfpq"] = f"""
+WITH {_QV},
+ranked0 AS (SELECT q AS cvec,
+            row_number() OVER (ORDER BY ((vec_id % 100000007) * 2654435761) % 100000007 ASC, vec_id ASC) - 1 AS cent_id
+            FROM qv),
+c0 AS (SELECT CAST(cent_id AS INT) AS cent_id, cvec FROM ranked0
+       WHERE cent_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM qv)),
+{_LLOYD.strip()},
+sf AS (SELECT v.vec_id, v.q, c.cent_id, {_l2_sql('v.q', 'c.cvec')} AS l2 FROM qv v CROSS JOIN c2 c),
+rf AS (SELECT vec_id, q, cent_id,
+       row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM sf),
+assigned AS (SELECT vec_id, cent_id AS list_id FROM rf WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM rf
+           WHERE rn <= 2 AND vec_id IN ({ids})),
+in_list AS (SELECT p.query_id, a.vec_id FROM assigned a JOIN probes p ON a.list_id = p.list_id
+            WHERE a.vec_id <> p.query_id),
+sv AS (SELECT vec_id, s.sub, list_slice(q, s.sub*{_sd}+1, s.sub*{_sd}+{_sd}) AS q
+       FROM qv CROSS JOIN (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS sub) s),
+pranked0 AS (SELECT vec_id,
+             row_number() OVER (ORDER BY ((vec_id % 100000007) * 2654435761) % 100000007 ASC, vec_id ASC) - 1 AS cent_id
+             FROM qv),
+pseed AS (SELECT vec_id, CAST(cent_id AS INT) AS cent_id FROM pranked0 WHERE cent_id < {PQ_KS}),
+pc0 AS (SELECT sv.sub, p.cent_id, sv.q AS cvec FROM sv JOIN pseed p USING (vec_id)),
+{_PQ_LLOYD.strip()},
+psf AS (SELECT v.vec_id, v.sub, c.cent_id, {_l2_sql('v.q', 'c.cvec', _sd)} AS l2
+        FROM sv v JOIN pc2 c ON v.sub = c.sub),
+codes AS (SELECT vec_id, sub, cent_id FROM
+          (SELECT vec_id, sub, cent_id,
+                  row_number() OVER (PARTITION BY sub, vec_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM psf)
+          WHERE rn = 1),
+lut AS (SELECT sv.vec_id AS query_id, sv.sub, c.cent_id, {_dot_sql('sv.q', 'c.cvec', _sd)} AS pdot
+        FROM sv JOIN pc2 c ON sv.sub = c.sub WHERE sv.vec_id IN ({ids})),
+adc AS (SELECT il.query_id, cd.vec_id, sum(l.pdot) AS adc_dot
+        FROM codes cd JOIN in_list il ON cd.vec_id = il.vec_id
+        JOIN lut l ON l.query_id = il.query_id AND l.sub = cd.sub AND l.cent_id = cd.cent_id
+        GROUP BY il.query_id, cd.vec_id),
 cand AS (SELECT query_id, vec_id FROM
          (SELECT query_id, vec_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn FROM adc)

@@ -530,6 +530,118 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: Optional[int] = None,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    ks: int = 16,
+    n_rounds: int = 2,
+    refine: int = 4,
+    centroids: Optional[list] = None,
+    codebooks: Optional[list] = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV, the FAISS ``IndexIVFPQ`` + refine
+    recipe): coarse-quantize the corpus into trained IVF lists, scan ONLY
+    the query's ``n_probe`` probed lists, approximate dots there via the
+    PQ code table + per-query lookup table, then exact-dot re-rank the top
+    ``k·refine``.
+
+    Composition of :func:`ivf_topk` (coarse stage) and :func:`pq_topk`
+    (compressed in-list scan): candidates per query drop from n to
+    ~``n_probe·n/n_centroids``, and the scanned payload per candidate is
+    ``m`` small ints, not the raw vector — the two multiplicative savings
+    that make ANN work at 10^12 vectors.  Both codebooks train
+    deterministically (hash-spread init + integer Lloyd rounds), so the
+    DuckDB oracle replays coarse training, PQ training, encoding, ADC, and
+    re-rank bit-for-bit.
+    """
+    import math
+
+    spark = embeddings.sparkSession
+    q = quantize(embeddings).select("vec_id", "qvec")
+    if centroids is None:
+        q = q.persist()
+        if n_centroids is None:
+            n_centroids = int(math.ceil(math.sqrt(q.count())))
+        centroids = [
+            (r["cent_id"], r["cvec"]) for r in kmeans_centroids(q, n_centroids, n_rounds).collect()
+        ]
+        q.unpersist()
+    cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
+    if codebooks is None:
+        codebooks = [
+            (r["sub"], r["cent_id"], r["cvec"])
+            for r in pq_codebooks(q, m, dim, ks, n_rounds).collect()
+        ]
+    books = spark.createDataFrame(codebooks, "sub int, cent_id int, cvec array<bigint>")
+
+    from pyspark.sql.window import Window
+
+    # coarse stage (same shapes as ivf_topk): corpus -> list id; query -> probes
+    assigned = _assign_nearest(q, cents).select("vec_id", F.col("cent_id").alias("list_id"))
+    probe_scored = (
+        q.filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", _l2(F.col("qvec"), F.col("cvec")).alias("l2"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("cent_id"))
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
+    )
+
+    # PQ stage restricted to the probed lists
+    subs = _subvectors(q, m, dim)
+    codes = _assign_nearest_grouped(subs, books).select("sub", "vec_id", "cent_id")
+    qsubs = _subvectors(q.filter(F.col("vec_id").isin([int(i) for i in query_ids])), m, dim)
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "cent_id",
+        _dot(F.col("qvec"), F.col("cvec")).alias("pdot"),
+    )
+    # restrict FIRST (probed-list members only), THEN look up: the LUT join
+    # and the ADC sum run over candidates — n_probe·n/n_centroids rows per
+    # query — never the full m·n code table
+    in_list = assigned.join(F.broadcast(probes), "list_id").select("query_id", "vec_id")
+    adc = (
+        codes.join(in_list, "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "cent_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "vec_id")
+    )
+    qvecs = q.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    rer = (
+        q.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qvec"), F.col("q_qvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold_dot: int,

@@ -809,3 +809,30 @@ def test_sft_pairs_mask_and_context(spark):
     assert got[("c1", 6)]["context"] == "<user> run the scan\n<assistant> scanning now\n<user> thanks"
     assert got[("c1", 2)]["context"] == "<user> hello there"
     assert got[("c2", 1)]["context"] == "" and got[("c2", 1)]["loss_start"] == 12
+
+
+def test_ivfpq_recall_clustered(spark):
+    """IVFADC (coarse lists + PQ in-list ADC + exact re-rank): on a
+    clustered corpus it recovers >= 0.9 of the brute-force top-5 and every
+    returned dot is the TRUE dot (re-rank exactness)."""
+    from lucene_solr_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    rng = np.random.default_rng(23)
+    dim, n_clusters, per = 64, 20, 20
+    centers = _unit_rows(rng, n_clusters, dim) * 10.0
+    vecs = np.vstack(
+        [centers[c] + 0.3 * rng.normal(size=(per, dim)) for c in range(n_clusters)]
+    )
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]})
+    embs = spark.createDataFrame(pdf)
+    queries = [0, 25, 50, 111, 222, 333, 399]
+    qm = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    dots = qm @ qm.T
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    got = ivfpq_topk(embs, queries, k=5).collect()
+    for r in got:
+        assert r["dot"] == int(dots[r["query_id"], r["neighbor_id"]])
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in got} & brute) / len(brute)
+    assert recall >= 0.9, recall
