@@ -3303,6 +3303,10 @@ class IndexSearcher:
                 raise NotImplementedError("explain_rows supports all-term booleans")
 
         _collect(query, 1.0)
+        if len({t for t, _ in leaves}) != len(leaves):
+            # a duplicate-term clause would silently collapse in the weights
+            # dict below; the per-doc explain() path handles that shape
+            raise NotImplementedError("explain_rows needs distinct clause terms")
         stats = self._term_stats({t for t, _ in leaves})
         weights = {t: self._leaf_w(b, t, stats) for t, b in leaves if t in stats}
         meta = self.spark.createDataFrame(
