@@ -3287,6 +3287,10 @@ class IndexSearcher:
         are ``floor(float32_value · 2^20)`` — the repo's
         quantize-before-compare contract, so a DuckDB oracle can replay the
         BM25 decomposition bit-for-bit."""
+        if self.similarity is not None:
+            # _leaf_w returns a Similarity.term_params tuple there, and the
+            # weight/score split below is BM25-specific
+            raise NotImplementedError("explain_rows supports the default BM25 path")
         leaves: list[tuple[str, float]] = []
 
         def _collect(qr, b: float):

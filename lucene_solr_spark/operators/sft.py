@@ -3,8 +3,8 @@
 The training-data step between the corpus this engine indexes (Iceberg-style
 ``(conv_id, turn_idx, role, text, ...)`` transcript turns — the same table
 shape the index build consumes, FIXTURES.md §1) and an SFT trainer: render
-each target-role turn into a ``(context, target)`` pair with byte-exact
-loss-mask offsets, the conversation flattening every chat-model pipeline
+each target-role turn into a ``(context, target)`` pair with exact
+character-offset loss masks, the conversation flattening every chat-model pipeline
 performs before tokenization.
 
 Spark-first shape: ONE window per conversation (shuffle keyed ``conv_id`` —
@@ -40,8 +40,10 @@ def sft_pairs(
         context + "\\n" + "<{target_role}> " + target      (context nonempty)
         "<{target_role}> " + target                         (first turn)
 
-    and ``loss_start``/``loss_len`` are the 0-based character offset and
-    length of ``target`` inside that rendered string — the loss-mask span a
+    and ``loss_start``/``loss_len`` are the 0-based CHARACTER (not byte)
+    offset and length of ``target`` inside that rendered string — exact
+    under any slicing that counts codepoints; a byte-oriented consumer
+    must re-measure after encoding — the loss-mask span a
     trainer applies after tokenization (prompt tokens masked, target tokens
     live).  Every step is replayable in ANSI SQL: the ordered-window
     ``collect_list`` is deterministic because the frame is ordered by
@@ -52,7 +54,11 @@ def sft_pairs(
         .orderBy(idx_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rendered = F.concat(F.lit("<"), F.col(role_col), F.lit("> "), F.col(text_col))
+    # NULL text renders as the empty string: concat/collect_list would
+    # otherwise silently DROP the whole turn from the context window
+    # (collect_list skips nulls), shifting the last-n slice
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    rendered = F.concat(F.lit("<"), F.col(role_col), F.lit("> "), txt)
     ctx_all = F.collect_list(rendered).over(w)
     # last-n via positive indexing: start = max(1, len - n + 1) — identical
     # semantics in Spark slice() and DuckDB list_slice(), no negative-start
@@ -70,9 +76,9 @@ def sft_pairs(
             F.col(idx_col).alias("turn_idx"),
             F.col(role_col).alias("_role"),
             ctx.alias("context"),
-            F.col(text_col).alias("target"),
+            txt.alias("target"),
             loss_start.cast("long").alias("loss_start"),
-            F.length(text_col).cast("long").alias("loss_len"),
+            F.length(txt).cast("long").alias("loss_len"),
         )
         .filter(F.col("_role") == target_role)
         .drop("_role")
@@ -82,6 +88,6 @@ def sft_pairs(
 def render_example(context: str, target: str, target_role: str = "assistant") -> str:
     """The rendered training string a (context, target) pair flattens to —
     the definition ``loss_start``/``loss_len`` index into (shared by the
-    pytest that checks the mask recovers the target byte-for-byte)."""
+    pytest that checks the mask recovers the target character-for-character)."""
     head = f"<{target_role}> "
     return (context + "\n" + head + target) if context else (head + target)

@@ -482,34 +482,53 @@ def pq_topk(
             (r["sub"], r["cent_id"], r["cvec"])
             for r in pq_codebooks(q, m, dim, ks, n_rounds).collect()
         ]
-    cents = spark.createDataFrame(codebooks, "sub int, cent_id int, cvec array<bigint>")
-    subd = dim // m
-
-    subs = _subvectors(q, m, dim)
-    codes = _assign_nearest_grouped(subs, cents).select("sub", "vec_id", "cent_id")
-
-    # per-query subspace lookup table: |query_ids|·m·ks rows — broadcast
-    qsubs = _subvectors(q.filter(F.col("vec_id").isin([int(i) for i in query_ids])), m, dim)
-    lut = qsubs.join(F.broadcast(cents), "sub").select(
-        F.col("vec_id").alias("query_id"),
-        "sub",
-        "cent_id",
-        _dot(F.col("qvec"), F.col("cvec")).alias("pdot"),
-    )
+    books = spark.createDataFrame(codebooks, "sub int, cent_id int, cvec array<bigint>")
+    codes, lut = _pq_codes_and_lut(q, books, query_ids, m, dim)
     adc = (
         codes.join(F.broadcast(lut), ["sub", "cent_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("adc_dot"))
     )
+    return _exact_rerank(q, _adc_top_candidates(adc, k * refine), query_ids, k)
+
+
+def _pq_codes_and_lut(q: DataFrame, books: DataFrame, query_ids: list[int], m: int, dim: int):
+    """Corpus code table ``(sub, vec_id, cent_id)`` + per-query subspace
+    lookup table ``(query_id, sub, cent_id, pdot)`` — the LUT is
+    ``|query_ids|·m·ks`` rows, broadcast-sized by construction."""
+    codes = _assign_nearest_grouped(_subvectors(q, m, dim), books).select(
+        "sub", "vec_id", "cent_id"
+    )
+    qsubs = _subvectors(q.filter(F.col("vec_id").isin([int(i) for i in query_ids])), m, dim)
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "cent_id",
+        _dot(F.col("qvec"), F.col("cvec")).alias("pdot"),
+    )
+    return codes, lut
+
+
+def _adc_top_candidates(adc: DataFrame, limit: int) -> DataFrame:
+    """Top-``limit`` ADC candidates per query (ties to the lowest vec_id)
+    → ``(query_id, vec_id)``."""
     from pyspark.sql.window import Window
 
-    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
-    cand = (
-        adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= k * refine)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit)
         .select("query_id", "vec_id")
     )
+
+
+def _exact_rerank(q: DataFrame, cand: DataFrame, query_ids: list[int], k: int) -> DataFrame:
+    """Exact-dot re-rank of the broadcast-sized ``(query_id, vec_id)``
+    candidate set → the standard ``(query_id, rank, neighbor_id, dot)``
+    top-k frame (raw vectors fetched for the candidates only)."""
+    from pyspark.sql.window import Window
+
     qvecs = q.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
@@ -563,20 +582,26 @@ def ivfpq_topk(
 
     spark = embeddings.sparkSession
     q = quantize(embeddings).select("vec_id", "qvec")
-    if centroids is None:
+    # one persist spans BOTH trainings: coarse k-means and the PQ codebooks
+    # each make several corpus passes, and an early unpersist would force the
+    # second training to re-quantize from source every job
+    training = centroids is None or codebooks is None
+    if training:
         q = q.persist()
+    if centroids is None:
         if n_centroids is None:
             n_centroids = int(math.ceil(math.sqrt(q.count())))
         centroids = [
             (r["cent_id"], r["cvec"]) for r in kmeans_centroids(q, n_centroids, n_rounds).collect()
         ]
-        q.unpersist()
-    cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
     if codebooks is None:
         codebooks = [
             (r["sub"], r["cent_id"], r["cvec"])
             for r in pq_codebooks(q, m, dim, ks, n_rounds).collect()
         ]
+    if training:
+        q.unpersist()
+    cents = spark.createDataFrame(centroids, "cent_id int, cvec array<bigint>")
     books = spark.createDataFrame(codebooks, "sub int, cent_id int, cvec array<bigint>")
 
     from pyspark.sql.window import Window
@@ -595,19 +620,11 @@ def ivfpq_topk(
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
     )
 
-    # PQ stage restricted to the probed lists
-    subs = _subvectors(q, m, dim)
-    codes = _assign_nearest_grouped(subs, books).select("sub", "vec_id", "cent_id")
-    qsubs = _subvectors(q.filter(F.col("vec_id").isin([int(i) for i in query_ids])), m, dim)
-    lut = qsubs.join(F.broadcast(books), "sub").select(
-        F.col("vec_id").alias("query_id"),
-        "sub",
-        "cent_id",
-        _dot(F.col("qvec"), F.col("cvec")).alias("pdot"),
-    )
-    # restrict FIRST (probed-list members only), THEN look up: the LUT join
-    # and the ADC sum run over candidates — n_probe·n/n_centroids rows per
-    # query — never the full m·n code table
+    # PQ stage restricted to the probed lists — restrict FIRST (probed-list
+    # members only), THEN look up: the LUT join and the ADC sum run over
+    # candidates — n_probe·n/n_centroids rows per query — never the full
+    # m·n code table
+    codes, lut = _pq_codes_and_lut(q, books, query_ids, m, dim)
     in_list = assigned.join(F.broadcast(probes), "list_id").select("query_id", "vec_id")
     adc = (
         codes.join(in_list, "vec_id")
@@ -616,30 +633,7 @@ def ivfpq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("adc_dot"))
     )
-    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("vec_id"))
-    cand = (
-        adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= k * refine)
-        .select("query_id", "vec_id")
-    )
-    qvecs = q.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
-    )
-    rer = (
-        q.join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _dot(F.col("qvec"), F.col("q_qvec")).alias("dot"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        rer.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "dot")
-    )
+    return _exact_rerank(q, _adc_top_candidates(adc, k * refine), query_ids, k)
 
 
 def semdedup(

@@ -836,3 +836,21 @@ def test_ivfpq_recall_clustered(spark):
         assert r["dot"] == int(dots[r["query_id"], r["neighbor_id"]])
     recall = len({(r["query_id"], r["neighbor_id"]) for r in got} & brute) / len(brute)
     assert recall >= 0.9, recall
+
+
+def test_sft_pairs_null_text_keeps_turn_slot(spark):
+    """A NULL-text turn renders as '<role> ' instead of silently vanishing
+    from the context window (collect_list skips nulls — the coalesce guard
+    keeps the last-n slice aligned)."""
+    from lucene_solr_spark.operators.sft import sft_pairs
+
+    rows = [
+        ("c1", 1, "user", "one"),
+        ("c1", 2, "assistant", "two"),
+        ("c1", 3, "user", None),
+        ("c1", 4, "assistant", "four"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["turn_idx"]: r for r in sft_pairs(turns, max_context_turns=3).collect()}
+    assert got[4]["context"] == "<user> one\n<assistant> two\n<user> "
+    assert got[4]["loss_start"] == len(got[4]["context"]) + 1 + 12
