@@ -685,6 +685,18 @@ def ft_queries() -> dict:
 
     q["ft_explain"] = ft_explain
 
+    def ft_cluster_topk(spark, sf_dir):
+        """Search-result clustering (Solr ClusteringComponent role): cluster
+        the HOT query's top-60 page into 4 groups by hashed-token vectors +
+        the engine's deterministic integer k-means. K-row post-search work,
+        like the reference component."""
+        from .operators.clustering import cluster_results
+
+        s = doc_searcher(spark, sf_dir)
+        return cluster_results(s, TermQuery(HOT), n=60, k=4, n_buckets=32).orderBy("doc_id")
+
+    q["ft_cluster_topk"] = ft_cluster_topk
+
     # ---- pluggable similarities (search/similarities/: ClassicSimilarity,
     # BooleanSimilarity, LMDirichletSimilarity) over the same index
     def _sim_search_q(query, sim_factory, k=10):
@@ -2773,6 +2785,54 @@ WHERE tf.term IN ('{HOT}', '{MID}') AND tf.doc_id IN (
   ) ORDER BY score DESC, doc_id ASC LIMIT 10)
 ORDER BY doc_id, term
 """,
+    )
+
+    # ft_cluster_topk: top-60 page -> poly31-hashed 32-bucket token vectors
+    # -> the same deterministic k-means replay as sim_ann_ivf (hash-spread
+    # init over the PAGE's doc ids, two integer Lloyd rounds, exact-L2
+    # assignment with ties to the lowest centroid)
+    _cl_l2 = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, 33), i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+    _cl_lloyd = []
+    for _r in (1, 2):
+        _prev = f"kc{_r - 1}"
+        _cl_lloyd.append(
+            f"""
+ks{_r} AS (SELECT v.doc_id, v.q, c.cent_id, {_cl_l2('v.q', 'c.cvec')} AS l2 FROM cvecs v CROSS JOIN {_prev} c),
+ka{_r} AS (SELECT doc_id, q, cent_id FROM
+           (SELECT doc_id, q, cent_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM ks{_r})
+           WHERE rn = 1),
+km{_r} AS (SELECT cent_id, i, sum(q[i]) AS s, count(*) AS c
+           FROM ka{_r} CROSS JOIN (SELECT unnest(range(1, 33)) AS i) GROUP BY cent_id, i),
+kc{_r} AS (SELECT cent_id, list((s - ((s % c + c) % c)) // c ORDER BY i) AS cvec FROM km{_r} GROUP BY cent_id)"""
+        )
+    _poly31b = (
+        "list_reduce(list_transform(range(1, length(term)+1), "
+        "i -> CAST(unicode(substr(term, CAST(i AS INT), 1)) AS BIGINT)), "
+        "(a, b) -> (a*31+b) % 1000000007) % 32"
+    )
+    o["ft_cluster_topk"] = _with(
+        [
+            _term_cte("sc", HOT),
+            "sel AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 60)",
+            f"feats AS (SELECT t.doc_id, {_poly31b} AS b FROM tok t JOIN sel USING (doc_id))",
+            "fcnt AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b)",
+            "grid AS (SELECT s.doc_id, g.b FROM sel s CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g)",
+            "cvecs AS (SELECT doc_id, list(coalesce(c, 0) ORDER BY b) AS q\n"
+            "          FROM grid LEFT JOIN fcnt USING (doc_id, b) GROUP BY doc_id)",
+            "kranked0 AS (SELECT doc_id, q,\n"
+            "             row_number() OVER (ORDER BY ((doc_id % 100000007) * 2654435761) % 100000007 ASC, doc_id ASC) - 1 AS cent_id\n"
+            "             FROM cvecs)",
+            "kc0 AS (SELECT CAST(cent_id AS INT) AS cent_id, q AS cvec FROM kranked0 WHERE cent_id < 4)",
+            ",".join(_cl_lloyd).strip(),
+            f"kf AS (SELECT v.doc_id, c.cent_id, {_cl_l2('v.q', 'c.cvec')} AS l2 FROM cvecs v CROSS JOIN kc2 c)",
+            "kr AS (SELECT doc_id, cent_id,\n"
+            "       row_number() OVER (PARTITION BY doc_id ORDER BY l2 ASC, cent_id ASC) AS rn FROM kf)",
+        ],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cent_id AS BIGINT) AS cluster\n"
+        "FROM kr WHERE rn = 1 ORDER BY doc_id",
     )
 
     # keyword / point field filters: FILTER clauses are non-scoring, so the
