@@ -216,6 +216,31 @@ def pipeline_queries() -> dict:
 
     q["ta_sft_pairs"] = ta_sft_pairs
 
+    def ta_c4_clean(spark, sf_dir):
+        """C4 cleaning rules (operators/cleaning.py): synthesize a
+        multi-line corpus from `documents` (8-token lines; every third line
+        left unpunctuated, every seventh salted with 'javascript', doc-level
+        curly-brace / lorem-ipsum injections) so all five rules fire, then
+        apply the line + doc passes."""
+        from .operators.cleaning import c4_clean
+
+        docs = _docs(spark, sf_dir)
+        synth = docs.withColumn("t", F.split("text", " ")).select(
+            "doc_id",
+            F.expr(
+                "concat("
+                " array_join(transform(sequence(0, cast(ceil(size(t)/8.0) AS INT) - 1),"
+                "   i -> concat(array_join(slice(t, 8*i+1, 8), ' '),"
+                "               CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END,"
+                "               CASE WHEN (doc_id + i) % 3 < 2 THEN '.' ELSE '' END)), '\\n'),"
+                " CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END,"
+                " CASE WHEN doc_id % 23 = 0 THEN ' lorem ipsum' ELSE '' END)"
+            ).alias("text"),
+        )
+        return c4_clean(synth).orderBy("doc_id")
+
+    q["ta_c4_clean"] = ta_c4_clean
+
     # fixed contract merge table: three round-0 merges over pairwise-disjoint
     # characters, so the oracle's per-pattern occurrence arithmetic is exact
     # (no cross-pattern interaction); multi-level merge chains are pinned by
@@ -898,6 +923,35 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, context, text AS target,
        CAST(length(context) + (CASE WHEN length(context) > 0 THEN 1 ELSE 0 END) + 12 AS BIGINT) AS loss_start,
        CAST(length(text) AS BIGINT) AS loss_len
 FROM x WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+"""
+
+    # C4 cleaning: replay the synthesized multi-line corpus + the five rules
+    # (terminal punct, min words, javascript line, brace/lorem doc, min kept)
+    o["ta_c4_clean"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+synth AS (SELECT doc_id,
+   array_to_string(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+     i -> array_to_string(t[8*i+1 : 8*i+8], ' ')
+          || (CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END)
+          || (CASE WHEN (doc_id + i) % 3 < 2 THEN '.' ELSE '' END)), chr(10))
+   || (CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END)
+   || (CASE WHEN doc_id % 23 = 0 THEN ' lorem ipsum' ELSE '' END) AS text2
+   FROM toks),
+lines AS (SELECT doc_id, generate_subscripts(p, 1) AS pos, unnest(p) AS line
+          FROM (SELECT doc_id, string_split(text2, chr(10)) AS p FROM synth)),
+kept AS (SELECT doc_id, pos, line FROM lines
+         WHERE regexp_matches(rtrim(line), '[.!?"]$')
+           AND len(regexp_extract_all(line, '\\S+')) >= 5
+           AND NOT contains(lower(line), 'javascript')),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(string_split(s.text2, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN NOT (contains(s.text2, '{') OR contains(lower(s.text2), 'lorem ipsum'))
+                  AND coalesce(r.n_kept, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS kept_doc
+FROM synth s LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
 """
 
     # BPE round-0 pair counts: every adjacent 2-char window of every word

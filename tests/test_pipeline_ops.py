@@ -854,3 +854,31 @@ def test_sft_pairs_null_text_keeps_turn_slot(spark):
     got = {r["turn_idx"]: r for r in sft_pairs(turns, max_context_turns=3).collect()}
     assert got[4]["context"] == "<user> one\n<assistant> two\n<user> "
     assert got[4]["loss_start"] == len(got[4]["context"]) + 1 + 12
+
+
+def test_c4_clean_rules(spark):
+    """Each C4 rule fires independently: unpunctuated lines drop, short
+    lines drop, javascript lines drop, brace/lorem docs drop wholesale,
+    and a doc with < min_lines survivors drops even with clean lines."""
+    from lucene_solr_spark.operators.cleaning import c4_clean
+
+    good = "alpha beta gamma delta epsilon zeta."
+    rows = [
+        (0, "\n".join([good, "one two three four five six", good, good])),  # no-punct line drops
+        (1, "\n".join([good, "too short.", good, good])),  # short line drops
+        (2, "\n".join([good, "enable JavaScript to continue please now.", good, good])),
+        (3, "\n".join([good, good, good]) + " {"),  # brace kills the doc
+        (4, "\n".join([good, good, good]) + "\nsee Lorem Ipsum text here ok."),
+        (5, "\n".join([good, good])),  # only 2 survivors < min_lines=3
+        (6, "\n".join([good, good, good, good])),  # fully clean
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+
+    assert got[0]["n_lines"] == 4 and got[0]["n_kept"] == 3 and got[0]["kept_doc"] == 1
+    assert got[1]["n_kept"] == 3 and "short" not in got[1]["clean_text"]
+    assert got[2]["n_kept"] == 3 and "JavaScript" not in got[2]["clean_text"]
+    assert got[3]["kept_doc"] == 0  # brace
+    assert got[4]["kept_doc"] == 0  # lorem ipsum (case-insensitive)
+    assert got[5]["n_kept"] == 2 and got[5]["kept_doc"] == 0
+    assert got[6]["kept_doc"] == 1 and got[6]["clean_text"] == rows[6][1]
