@@ -241,6 +241,31 @@ def pipeline_queries() -> dict:
 
     q["ta_c4_clean"] = ta_c4_clean
 
+    def ta_gopher_quality(spark, sf_dir):
+        """Gopher doc-quality rules (operators/cleaning.py): synthesize
+        bullets (every fifth line), ellipsis endings (every fourth), '#'
+        symbol runs (doc_id % 11) and a stop-word line (even doc_ids) so
+        each rule can fire; every ratio is an exact integer inequality."""
+        from .operators.cleaning import gopher_quality
+
+        docs = _docs(spark, sf_dir)
+        synth = docs.withColumn("t", F.split("text", " ")).select(
+            "doc_id",
+            F.expr(
+                "concat("
+                " array_join(transform(sequence(0, cast(ceil(size(t)/8.0) AS INT) - 1),"
+                "   i -> concat("
+                "     CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,"
+                "     array_join(slice(t, 8*i+1, 8), ' '),"
+                "     CASE WHEN (doc_id + i) % 4 = 3 THEN '...' ELSE '' END)), '\\n'),"
+                " CASE WHEN doc_id % 2 = 0 THEN concat('\\n', 'that is all of the data.') ELSE '' END,"
+                " CASE WHEN doc_id % 11 = 0 THEN ' # # # # # # #' ELSE '' END)"
+            ).alias("text"),
+        )
+        return gopher_quality(synth, min_words=20).orderBy("doc_id")
+
+    q["ta_gopher_quality"] = ta_gopher_quality
+
     # fixed contract merge table: three round-0 merges over pairwise-disjoint
     # characters, so the oracle's per-pattern occurrence arithmetic is exact
     # (no cross-pattern interaction); multi-level merge chains are pinned by
@@ -952,6 +977,40 @@ SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN NOT (contains(s.text2, '{') OR contains(lower(s.text2), 'lorem ipsum'))
                   AND coalesce(r.n_kept, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS kept_doc
 FROM synth s LEFT JOIN reb r USING (doc_id) ORDER BY doc_id
+"""
+
+    # Gopher rules: same synthesis, every ratio cross-multiplied to integers
+    o["ta_gopher_quality"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+synth AS (SELECT doc_id,
+   array_to_string(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+     i -> (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END)
+          || array_to_string(t[8*i+1 : 8*i+8], ' ')
+          || (CASE WHEN (doc_id + i) % 4 = 3 THEN '...' ELSE '' END)), chr(10))
+   || (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'that is all of the data.' ELSE '' END)
+   || (CASE WHEN doc_id % 11 = 0 THEN ' # # # # # # #' ELSE '' END) AS text2
+   FROM toks),
+cnt AS (SELECT doc_id,
+   CAST(len(regexp_extract_all(text2, '\\S+')) AS BIGINT) AS n_words,
+   CAST(list_sum(list_transform(regexp_extract_all(text2, '\\S+'), w -> length(w))) AS BIGINT) AS chars,
+   CAST(len(list_filter(regexp_extract_all(text2, '\\S+'), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+   CAST(len(regexp_extract_all(text2, '#')) + len(regexp_extract_all(text2, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+   CAST(len(string_split(text2, chr(10))) AS BIGINT) AS n_lines,
+   CAST(len(list_filter(string_split(text2, chr(10)), l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+   CAST(len(list_filter(string_split(text2, chr(10)), l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS BIGINT) AS n_ell_end,
+   CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text2), '[a-z0-9]+')),
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+   FROM synth)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, chars, n_alpha, n_symbols, n_lines,
+       n_bullet, n_ell_end, n_stop,
+       CAST(CASE WHEN n_words >= 20 AND n_words <= 100000
+                  AND 3*n_words <= chars AND chars <= 10*n_words
+                  AND 10*n_symbols <= n_words
+                  AND 5*n_alpha >= 4*n_words
+                  AND 10*n_bullet <= 9*n_lines
+                  AND 10*n_ell_end <= 3*n_lines
+                  AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cnt ORDER BY doc_id
 """
 
     # BPE round-0 pair counts: every adjacent 2-char window of every word

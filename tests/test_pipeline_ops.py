@@ -882,3 +882,32 @@ def test_c4_clean_rules(spark):
     assert got[4]["kept_doc"] == 0  # lorem ipsum (case-insensitive)
     assert got[5]["n_kept"] == 2 and got[5]["kept_doc"] == 0
     assert got[6]["kept_doc"] == 1 and got[6]["clean_text"] == rows[6][1]
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule fires independently on a crafted doc while the
+    control doc passes all of them (integer-exact inequalities)."""
+    from lucene_solr_spark.operators.cleaning import gopher_quality
+
+    good = "the quick brown fox jumps over all lazy dogs of this earth today " * 2  # 26 w
+    rows = [
+        (0, good),
+        (1, "the of tiny"),  # < 20 words
+        (2, "the of " + "extraordinarily " * 20),  # mean word len > 10
+        (3, good + " # # # #"),  # 30 words, 4 symbols -> 40 > 30
+        (4, "\n".join(["- " + good] * 3)),  # all lines bullets
+        (5, "\n".join([good + "...", good + "...", good])),  # 2/3 ellipsis ends
+        (6, "zork quux blarg " * 8),  # no stop words
+        (7, good + " " + "12345 " * 30),  # 56 words, 26 alpha -> 130 < 224
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in gopher_quality(docs, min_words=20).collect()}
+
+    assert got[0]["kept"] == 1 and got[0]["n_stop"] >= 2
+    assert got[1]["kept"] == 0 and got[1]["n_words"] < 20
+    assert got[2]["kept"] == 0 and got[2]["chars"] > 10 * got[2]["n_words"]
+    assert got[3]["kept"] == 0 and got[3]["n_symbols"] == 4
+    assert got[4]["kept"] == 0 and got[4]["n_bullet"] == got[4]["n_lines"]
+    assert got[5]["kept"] == 0 and got[5]["n_ell_end"] == 2
+    assert got[6]["kept"] == 0 and got[6]["n_stop"] == 0
+    assert got[7]["kept"] == 0 and 5 * got[7]["n_alpha"] < 4 * got[7]["n_words"]
