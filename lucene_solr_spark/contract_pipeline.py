@@ -131,6 +131,20 @@ def pipeline_queries() -> dict:
 
     q["ta_stratified"] = ta_stratified
 
+    def ta_shards(spark, sf_dir):
+        """Deterministic training-shard export (sampling.shard_assign): the
+        seeded global permutation over documents cut into 64-doc shards,
+        ranked by the two-pass partition-offset scheme."""
+        from .operators.sampling import shard_assign
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        out = shard_assign(docs, 64, n_partitions=8)
+        return out.select("doc_id", "shard_id", "shard_pos").orderBy("doc_id")
+
+    q["ta_shards"] = ta_shards
+
     def ta_source_cap(spark, sf_dir):
         """Per-source document cap (RefinedWeb-style per-host limit): keep at
         most 12 docs per source by the deterministic hash order; verified by
@@ -752,6 +766,13 @@ agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         CAST(sum(lq) AS BIGINT) AS logprob_q FROM lq GROUP BY doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, logprob_q FROM agg
 ORDER BY CAST(logprob_q AS DOUBLE) / n_bigrams ASC, doc_id ASC LIMIT 20
+"""
+
+    o["ta_shards"] = """
+WITH h AS (SELECT doc_id, ((doc_id % 100000007) * 2654435761) % 100000007 AS hv FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY hv, doc_id) - 1 AS rk FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(floor(rk / 64) AS BIGINT) AS shard_id,
+       CAST(rk % 64 AS BIGINT) AS shard_pos FROM r ORDER BY doc_id
 """
 
     o["ta_stratified"] = """

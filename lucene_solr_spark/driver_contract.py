@@ -228,6 +228,9 @@ def _with(ctes: list, final: str) -> str:
 # fixed query terms, present at every scale factor of the documents table
 HOT, HOT2, MID, MID2, RARE = "scan", "merge", "key", "sort", "dup"
 
+# fixed targets for the kNN-classifier contract query
+KNN_TARGETS = (7, 11, 23, 42)
+
 # concave pentagon + rectangular hole for the polygon contract query —
 # vertices shared verbatim by the Spark predicate and the SQL oracle
 POLY_LATS = [-50.0, 60.0, -10.0, 60.0, -50.0]
@@ -731,6 +734,54 @@ def ft_queries() -> dict:
         )
 
     q["cls_naive_bayes"] = cls_naive_bayes
+
+    def cls_confusion(spark, sf_dir):
+        """ConfusionMatrixGenerator analog (``reference lucene/classification/
+        src/java/org/apache/lucene/classification/utils/
+        ConfusionMatrixGenerator.java:63-121``): run the NB classifier over
+        every document and cross-tabulate actual `lang` vs assigned class."""
+        from lucene_solr_spark.operators.classify import (
+            SimpleNaiveBayesClassifier,
+            confusion_matrix,
+        )
+
+        s = doc_searcher(spark, sf_dir)
+        nb = SimpleNaiveBayesClassifier(s.index, s.corpus, "lang")
+        return confusion_matrix(nb.classify(), s.corpus, "lang").orderBy("actual", "assigned")
+
+    q["cls_confusion"] = cls_confusion
+
+    def cls_split(spark, sf_dir):
+        """DatasetSplitter analog (``reference .../classification/utils/
+        DatasetSplitter.java:40-102``): deterministic 70/20/10
+        train/test/cross-validation split; per-(split, lang) counts."""
+        from lucene_solr_spark.operators.classify import split_dataset
+
+        s = doc_searcher(spark, sf_dir)
+        return (
+            split_dataset(s.corpus, test_ppm=200_000, cv_ppm=100_000)
+            .groupBy("split", "lang")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("split", "lang")
+        )
+
+    q["cls_split"] = cls_split
+
+    def cls_knn(spark, sf_dir):
+        """KNearestNeighborClassifier (``reference
+        KNearestNeighborClassifier.java:130-236``) for four fixed docs: MLT
+        top-10 neighbour vote in the 2^-20 fixed-point contract path."""
+        from lucene_solr_spark.operators.classify import KNearestNeighborClassifier
+
+        s = doc_searcher(spark, sf_dir)
+        knn = KNearestNeighborClassifier(s, "lang")
+        rows = []
+        for t in KNN_TARGETS:
+            cls, vote = knn.classify_doc_quantized(t)
+            rows.append((t, cls, int(vote)))
+        return spark.createDataFrame(rows, "target_id long, cls string, vote long")
+
+    q["cls_knn"] = cls_knn
 
     def _itv(terms, ordered, max_gaps):
         def fn(spark, sf_dir):
@@ -2469,8 +2520,7 @@ def ft_oracle_sql() -> dict:
     def _q20(x: str) -> str:
         return f"CAST(floor(CAST(CAST({x} AS REAL) AS DOUBLE) * 1048576) AS BIGINT)"
 
-    o["cls_naive_bayes"] = _with(
-        [
+    _nb_ctes = [
             "cstats AS (SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS df_c FROM documents GROUP BY lang)",
             "gl AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tf) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avg_unique, "
             "(SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_labeled)",
@@ -2489,10 +2539,57 @@ def ft_oracle_sql() -> dict:
             "nbsc AS (SELECT dense.doc_id AS doc_id, dense.cls AS cls, "
             "dense.base_q + coalesce(sparse.corr_q, 0) AS score FROM dense "
             "LEFT JOIN sparse ON dense.doc_id = sparse.doc_id AND dense.cls = sparse.cls)",
-        ],
-        "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score FROM "
+    ]
+    _nb_best = (
+        "nbbest AS (SELECT doc_id, cls, score FROM "
         "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM nbsc) "
-        "WHERE rn = 1 ORDER BY doc_id",
+        "WHERE rn = 1)"
+    )
+    o["cls_naive_bayes"] = _with(
+        _nb_ctes + [_nb_best],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score "
+        "FROM nbbest ORDER BY doc_id",
+    )
+
+    # confusion matrix: the same NB argmax joined back to the actual label
+    o["cls_confusion"] = _with(
+        _nb_ctes + [_nb_best],
+        "SELECT d.lang AS actual, b.cls AS assigned, CAST(count(*) AS BIGINT) AS n "
+        "FROM nbbest b JOIN documents d USING (doc_id) "
+        "GROUP BY d.lang, b.cls ORDER BY actual, assigned",
+    )
+
+    # dataset splitter: the multiplicative-hash ppm bands replayed verbatim
+    o["cls_split"] = """
+WITH b AS (SELECT lang, (((doc_id % 100000007) * 2654435761) % 100000007) % 1000000 AS band FROM documents),
+s AS (SELECT lang, CASE WHEN band < 200000 THEN 'test' WHEN band < 300000 THEN 'cv' ELSE 'train' END AS split FROM b)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+    # kNN classifier: per target, the ft_mlt scoring replay -> top-10 ->
+    # 2^-20 fixed-point normalized-score vote -> argmax (ties: higher class,
+    # matching classify_doc's (vote, cls) max)
+    _knn_ctes, _knn_parts = [], []
+    for _t in KNN_TARGETS:
+        _knn_ctes += [
+            f"kmlt{_t} AS (SELECT term FROM tf WHERE doc_id = {_t} ORDER BY tf DESC, term ASC LIMIT 5)",
+            f"ksc{_t} AS (SELECT tf.doc_id AS doc_id, "
+            f"CAST(sum(CAST({per_term_score} AS DOUBLE)) AS REAL) AS score "
+            f"FROM tf JOIN kmlt{_t} USING (term) JOIN dfreq USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"WHERE tf.doc_id <> {_t} GROUP BY tf.doc_id)",
+            f"ktop{_t} AS (SELECT doc_id, score FROM ksc{_t} ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            f"kvote{_t} AS (SELECT d.lang AS cls, sum(CAST(floor("
+            f"CAST(t.score AS DOUBLE) / (SELECT CAST(max(score) AS DOUBLE) FROM ktop{_t}) * 1048576"
+            f") AS BIGINT)) AS vote FROM ktop{_t} t JOIN documents d USING (doc_id) GROUP BY d.lang)",
+            f"kbest{_t} AS (SELECT {_t} AS target_id, cls, vote FROM kvote{_t} "
+            f"ORDER BY vote DESC, cls DESC LIMIT 1)",
+        ]
+        _knn_parts.append(f"SELECT * FROM kbest{_t}")
+    o["cls_knn"] = _with(
+        _knn_ctes,
+        "SELECT CAST(target_id AS BIGINT) AS target_id, cls, CAST(vote AS BIGINT) AS vote FROM ("
+        + " UNION ALL ".join(_knn_parts)
+        + ") ORDER BY target_id",
     )
 
     # interval queries: minimal-interval candidates + strict-containment

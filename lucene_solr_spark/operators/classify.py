@@ -219,3 +219,110 @@ class KNearestNeighborClassifier:
             scores = {c: v * self.k / sumdoc for c, v in scores.items()}
         best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
         return best
+
+    def classify_doc_quantized(self, doc_id: int):
+        """Contract path of :meth:`classify_doc`: each hit's normalized score
+        ``score / max_score`` quantizes to a 2^-20 fixed-point BIGINT before
+        the per-class sum, so the vote is order-free and replays bit-exactly
+        in SQL.  The reference's ``/k`` and ``k/sumdoc`` corrections
+        (:228-233) rescale every class equally and cannot change the argmax,
+        so the integer vote skips them; ties keep :meth:`classify_doc`'s
+        higher-class preference.  Returns (cls, vote) or None."""
+        s = self.searcher
+        mlt = s.more_like_this(doc_id, self.max_query_terms)
+        top = s.search(mlt, self.k, exclude_doc_ids=[doc_id])
+        id_col = s.index.config.id_col
+        hits = (
+            top.df.join(
+                s.corpus.select(F.col(id_col).alias("doc_id"), F.col(self.class_col).alias("cls")),
+                "doc_id",
+            )
+            .select("cls", "score")
+            .collect()
+        )
+        if not hits:
+            return None
+        import math
+
+        max_score = max(float(h["score"]) for h in hits)
+        agg: dict = {}
+        for h in hits:
+            q = math.floor(float(h["score"]) / max_score * Q_SCALE)
+            agg[h["cls"]] = agg.get(h["cls"], 0) + q
+        return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
+
+
+def confusion_matrix(
+    assigned: DataFrame, corpus: DataFrame, class_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """ConfusionMatrixGenerator analog (``reference lucene/classification/src/
+    java/org/apache/lucene/classification/utils/ConfusionMatrixGenerator.java:
+    63-121``): cross-tabulate actual vs assigned class over a labeled corpus.
+
+    ``assigned`` is any (doc_id, cls) classification output (e.g.
+    :meth:`SimpleNaiveBayesClassifier.classify`).  One id-keyed join + one
+    |C|²-row aggregate — the corpus never shuffles beyond the join, and both
+    sides are map-side combinable, so the shape holds at any corpus size.
+    """
+    actual = corpus.select(F.col(id_col).alias("doc_id"), F.col(class_col).alias("actual"))
+    return (
+        assigned.select("doc_id", F.col("cls").alias("assigned"))
+        .join(actual, "doc_id")
+        .groupBy("actual", "assigned")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def classification_metrics(cm_rows) -> dict:
+    """Accuracy / per-class precision & recall / F1 from the |C|² confusion
+    counts (driver-side, same scale the reference's generator reports at —
+    ``ConfusionMatrixGenerator.java:123-186``).  ``cm_rows`` is an iterable
+    of (actual, assigned, n) rows, e.g. ``confusion_matrix(...).collect()``.
+    """
+    counts = {(r[0], r[1]): int(r[2]) for r in (tuple(r) for r in cm_rows)}
+    classes = sorted({a for a, _ in counts} | {p for _, p in counts})
+    total = sum(counts.values())
+    diag = sum(counts.get((c, c), 0) for c in classes)
+    per_class = {}
+    for c in classes:
+        tp = counts.get((c, c), 0)
+        fp = sum(v for (a, p), v in counts.items() if p == c and a != c)
+        fn = sum(v for (a, p), v in counts.items() if a == c and p != c)
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        per_class[c] = {"precision": precision, "recall": recall, "f1": f1}
+    return {
+        "accuracy": diag / total if total else 0.0,
+        "total": total,
+        "per_class": per_class,
+    }
+
+
+def split_dataset(
+    df: DataFrame, test_ppm: int = 200_000, cv_ppm: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """DatasetSplitter analog (``reference lucene/classification/src/java/org/
+    apache/lucene/classification/utils/DatasetSplitter.java:40-102``): carve a
+    labeled corpus into train / test / (cross-validation) sets.
+
+    The reference draws per-doc randoms against the two ratios while copying
+    docs into three target indexes; here the draw is the engine's
+    deterministic multiplicative id hash mapped onto parts-per-million bands
+    — ``[0, test_ppm)`` → test, ``[test_ppm, test_ppm+cv_ppm)`` → cv, rest →
+    train — so the split reproduces under any partitioning or cluster size
+    and replays bit-exactly in SQL.  Pure Catalyst column append: no shuffle,
+    no RNG state; pruning still reaches the scan.
+    """
+    test_ppm, cv_ppm = int(test_ppm), int(cv_ppm)
+    if test_ppm < 0 or cv_ppm < 0 or test_ppm + cv_ppm >= 1_000_000:
+        raise ValueError("ppm bands must be >= 0 and sum below 1,000,000")
+    from .sampling import sample_hash
+
+    band = sample_hash(F.col(id_col)) % F.lit(1_000_000)
+    split = (
+        F.when(band < F.lit(test_ppm), F.lit("test"))
+        .when(band < F.lit(test_ppm + cv_ppm), F.lit("cv"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

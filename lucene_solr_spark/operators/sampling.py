@@ -17,7 +17,13 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["sample_hash", "stratified_sample", "cap_per_stratum", "dsir_weights"]
+__all__ = [
+    "sample_hash",
+    "stratified_sample",
+    "cap_per_stratum",
+    "dsir_weights",
+    "shard_assign",
+]
 
 P = 100000007
 K = 2654435761
@@ -87,6 +93,62 @@ def cap_per_stratum(df: DataFrame, strata_col: str, cap: int, id_col: str = "doc
         over.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
     )
     return under.unionByName(capped)
+
+
+def shard_assign(
+    df: DataFrame, shard_size: int, id_col: str = "doc_id", n_partitions: Optional[int] = None
+) -> DataFrame:
+    """Deterministic training-shard export: place every row in a seeded
+    global permutation and cut the stream into fixed-size shards — the
+    "globally shuffle, then write shard files" step that precedes training,
+    made reproducible (no RNG state, no ``monotonically_increasing_id``).
+
+    The permutation key is the engine's multiplicative id hash (ties by id),
+    so the draw is uniform yet bit-replayable in SQL.  Rank comes from the
+    ``assign_doc_ids`` two-pass partition-offset scheme: ONE range exchange
+    on (hash, id), a tiny per-partition count collect, then each row gets
+    ``base[partition] + local_index``.  No global window, no driver
+    materialization — the shape is the index build's own, proven at
+    0.8+ scaling efficiency.  Appends ``shard_id`` and ``shard_pos``
+    (position within the shard); every shard except the last holds exactly
+    ``shard_size`` rows.
+    """
+    if int(shard_size) < 1:
+        raise ValueError("shard_size must be >= 1")
+    shard_size = int(shard_size)
+    n = n_partitions or df.rdd.getNumPartitions() or 8
+    placed = (
+        df.withColumn("_h", sample_hash(F.col(id_col)))
+        .repartitionByRange(n, "_h", id_col)
+        .sortWithinPartitions("_h", id_col)
+        .persist()
+    )
+    counts = placed.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
+    bases, acc = {}, 0
+    for row in counts:
+        bases[int(row["pid"])] = acc
+        acc += int(row["count"])
+
+    out_schema = ", ".join(
+        f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields
+    ) + ", shard_id bigint, shard_pos bigint"
+
+    def add_shards(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bases.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            ranks = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            out = pdf.drop(columns=["_h"])
+            out["shard_id"] = ranks // shard_size
+            out["shard_pos"] = ranks % shard_size
+            yield out
+
+    return placed.mapInPandas(add_shards, schema=out_schema)
 
 
 _Q20 = 1 << 20  # the engine-wide 2^-20 fixed-point contract (lm.py, classify.py)
