@@ -145,6 +145,19 @@ def pipeline_queries() -> dict:
 
     q["ta_shards"] = ta_shards
 
+    def ta_mixture(spark, sf_dir):
+        """Temperature mixture resampling (tau=0.5, target half the corpus):
+        per-lang survivor counts under the n^tau stratum reweighting."""
+        from .operators.sampling import temperature_mixture
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang"
+        )
+        kept = temperature_mixture(docs, "lang", tau=0.5, target_fraction=0.5)
+        return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("kept")).orderBy("lang")
+
+    q["ta_mixture"] = ta_mixture
+
     def ta_source_cap(spark, sf_dir):
         """Per-source document cap (RefinedWeb-style per-host limit): keep at
         most 12 docs per source by the deterministic hash order; verified by
@@ -773,6 +786,16 @@ WITH h AS (SELECT doc_id, ((doc_id % 100000007) * 2654435761) % 100000007 AS hv 
 r AS (SELECT doc_id, row_number() OVER (ORDER BY hv, doc_id) - 1 AS rk FROM h)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(floor(rk / 64) AS BIGINT) AS shard_id,
        CAST(rk % 64 AS BIGINT) AS shard_pos FROM r ORDER BY doc_id
+"""
+
+    o["ta_mixture"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+w AS (SELECT lang, n, sqrt(n) AS w FROM c),
+tot AS (SELECT sum(n) AS nt, sum(w ORDER BY lang) AS wt FROM w),
+th AS (SELECT lang, CAST(floor(least(1.0, (0.5 * (SELECT nt FROM tot)) * w / ((SELECT wt FROM tot) * n)) * 1000000) AS BIGINT) AS ppm FROM w)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS kept FROM documents d JOIN th USING (lang)
+WHERE ((d.doc_id % 100000007) * 2654435761) % 100000007 % 1000000 < th.ppm
+GROUP BY d.lang ORDER BY d.lang
 """
 
     o["ta_stratified"] = """

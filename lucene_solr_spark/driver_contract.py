@@ -783,6 +783,27 @@ def ft_queries() -> dict:
 
     q["cls_knn"] = cls_knn
 
+    def cls_perceptron(spark, sf_dir):
+        """BooleanPerceptronClassifier (``reference
+        BooleanPerceptronClassifier.java``): all-integer perceptron, label =
+        (lang == 'en'), single-shard reference-exact training.  Sequential
+        iterative algorithm — declared non-SQL-expressible (rows-only
+        driver check); the training loop is pinned bit-exactly by
+        ``test_classify_utils.py::test_perceptron_reference_parity``."""
+        from lucene_solr_spark.operators.classify import BooleanPerceptronClassifier
+
+        s = doc_searcher(spark, sf_dir)
+        labeled = s.corpus.withColumn("is_en", F.col("lang") == "en")
+        p = BooleanPerceptronClassifier(s.index, labeled, "is_en")
+        p.train(n_partitions=1)
+        return (
+            p.classify()
+            .select(F.col("doc_id").cast("long"), "output", "assigned")
+            .orderBy("doc_id")
+        )
+
+    q["cls_perceptron"] = cls_perceptron
+
     def _itv(terms, ordered, max_gaps):
         def fn(spark, sf_dir):
             """IntervalQuery (Intervals.ordered/unordered + maxgaps): rank by

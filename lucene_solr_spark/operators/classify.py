@@ -252,6 +252,124 @@ class KNearestNeighborClassifier:
         return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
 
 
+class BooleanPerceptronClassifier:
+    """Binary perceptron over term occurrences with all-integer weights —
+    ``reference lucene/classification/src/java/org/apache/lucene/
+    classification/BooleanPerceptronClassifier.java``.
+
+    Reference semantics, mirrored exactly on the single-shard path:
+
+    - initial weights ``w[t] = totalTermFreq(t)`` (:118-124);
+    - ``bias = sumTotalTermFreq / docCount`` (:100-107);
+    - training docs visited in doc order; ``assigned = (Σ_occurrences
+      w[token] >= bias)`` scored against the FST *snapshot*, which refreshes
+      only on a misclassified doc whose ordinal hits the batch boundary
+      (``batchCount % batchSize == 0``, :135-160) — weight updates land in
+      the live map immediately but scoring lags until the next refresh;
+    - on misclassification every distinct doc term gets ``w[t] += modifier ·
+      tf(t, doc)`` with ``modifier = correct.compareTo(assigned)`` (:151-199).
+
+    All arithmetic is integer (the reference stores longs in the FST), so
+    the loop replays bit-exactly — pinned by a brute-force pytest.
+
+    Distribution: the loop is inherently sequential (the reference trains
+    single-threaded over its index), so with ``n_partitions > 1`` each
+    doc-range partition trains a reference-exact perceptron on its slice and
+    the models merge by integer-floor parameter *mixing* (McDonald et al.
+    2010, "Distributed Training Strategies for the Structured Perceptron"):
+    per-term deltas are floor-averaged over all partitions, the shared
+    totalTermFreq init staying exact.  ``n_partitions=1`` is bit-identical
+    to the reference.  Per-partition state is one dict over the partition's
+    vocabulary — the same heap the reference spends on its FST.
+    """
+
+    def __init__(self, index, corpus: DataFrame, label_col: str, batch_size: int = 1):
+        self.index = index
+        self.corpus = corpus
+        self.label_col = label_col
+        self.batch_size = int(batch_size)
+        self.bias = float(index.sum_ttf) / float(index.doc_count)
+        self._weights = None
+
+    def train(self, n_partitions: int = 1) -> DataFrame:
+        """Returns the trained (term, weight) table; cached for classify()."""
+        import pandas as pd
+
+        id_col = self.index.config.id_col
+        dt = _doc_terms(self.corpus, self.index.config)
+        labeled = self.corpus.select(
+            F.col(id_col).alias("doc_id"), F.col(self.label_col).cast("boolean").alias("_lbl")
+        ).filter(F.col("_lbl").isNotNull())
+        rows = (
+            dt.join(labeled, "doc_id")
+            .join(self.index.terms.select("term", F.col("ttf").alias("_w0")), "term")
+            .repartitionByRange(int(n_partitions), "doc_id")
+            .sortWithinPartitions("doc_id", "term")
+        )
+        bias, batch_size = self.bias, self.batch_size
+
+        def train_part(iterator):
+            chunks = list(iterator)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            if not len(pdf):
+                return
+            cur: dict = {}
+            fst: dict = {}
+            batch_count = 0
+            for _, doc in pdf.groupby("doc_id", sort=True):
+                output = 0
+                for t, tf, w0 in zip(doc["term"], doc["tf"], doc["_w0"]):
+                    output += int(tf) * (int(w0) + fst.get(t, 0))
+                assigned = output >= bias
+                correct = bool(doc["_lbl"].iloc[0])
+                modifier = (correct > assigned) - (correct < assigned)
+                if modifier != 0:
+                    for t, tf in zip(doc["term"], doc["tf"]):
+                        cur[t] = cur.get(t, 0) + modifier * int(tf)
+                    if batch_count % batch_size == 0:
+                        fst = dict(cur)
+                batch_count += 1
+            yield pd.DataFrame({"term": list(cur), "delta": list(cur.values())}).astype(
+                {"term": "string", "delta": "int64"}
+            )
+
+        deltas = rows.mapInPandas(train_part, "term string, delta bigint")
+        merged = deltas.groupBy("term").agg(
+            F.floor(F.sum("delta") / F.lit(int(n_partitions))).cast("bigint").alias("delta")
+        )
+        self._weights = (
+            self.index.terms.select("term", F.col("ttf").alias("w0"))
+            .join(merged, "term", "left")
+            .select(
+                "term",
+                (F.col("w0") + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint").alias("weight"),
+            )
+            .persist()
+        )
+        return self._weights
+
+    def classify(self, docs: Optional[DataFrame] = None) -> DataFrame:
+        """(doc_id, output, assigned) for every doc: ``output = Σ tf·w`` and
+        ``assigned = output >= bias`` (assignClass, :200-218) — one term join
+        + one doc-keyed sum, fully distributed exact-integer scoring."""
+        if self._weights is None:
+            self.train()
+        dt = _doc_terms(self.corpus, self.index.config)
+        if docs is not None:
+            id_col = self.index.config.id_col
+            dt = dt.join(docs.select(F.col(id_col).alias("doc_id")), "doc_id")
+        return (
+            dt.join(self._weights, "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf") * F.col("weight")).cast("bigint").alias("output"))
+            .select(
+                "doc_id", "output", (F.col("output") >= F.lit(self.bias)).alias("assigned")
+            )
+        )
+
+
 def confusion_matrix(
     assigned: DataFrame, corpus: DataFrame, class_col: str, id_col: str = "doc_id"
 ) -> DataFrame:

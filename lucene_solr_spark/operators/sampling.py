@@ -23,6 +23,7 @@ __all__ = [
     "cap_per_stratum",
     "dsir_weights",
     "shard_assign",
+    "temperature_mixture",
 ]
 
 P = 100000007
@@ -93,6 +94,64 @@ def cap_per_stratum(df: DataFrame, strata_col: str, cap: int, id_col: str = "doc
         over.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
     )
     return under.unionByName(capped)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    tau: float = 0.5,
+    target_fraction: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture resampling: downsample so the surviving
+    stratum distribution is proportional to ``n_s^tau`` — the multilingual /
+    per-source temperature sampling of pretraining pipelines (mT5, XLM-R
+    style), where ``tau < 1`` upweights small languages/sources relative to
+    proportional sampling.
+
+    With stratum sizes ``n_s`` and a target of ``target_fraction · N`` total
+    survivors, the expected take from stratum s is ``T · n_s^tau / Σ n^tau``
+    and its keep probability ``q_s = min(1, take_s / n_s)``.  The draw is the
+    engine's deterministic multiplicative id hash against ``floor(q_s·10^6)``
+    parts-per-million thresholds, so the sample reproduces under any
+    partitioning and replays bit-exactly in SQL.
+
+    Scale shape: ONE map-side-combinable ``groupBy(strata).count()`` collect
+    (|strata| rows — languages/hosts, never corpus-scale), thresholds become
+    literals in a pure Catalyst filter over the corpus — no shuffle, no RNG
+    state, pruning still reaches the scan.  Determinism note: thresholds are
+    computed driver-side in float64 with strata accumulated in sorted order,
+    so the only floating sum (``Σ n^tau``) has a pinned order on both sides
+    of the contract; ``tau=0.5`` uses IEEE-correctly-rounded sqrt.
+    """
+    import math
+
+    if not 0.0 < float(target_fraction) <= 1.0:
+        raise ValueError("target_fraction must be in (0, 1]")
+    if float(tau) <= 0.0:
+        raise ValueError("tau must be > 0")
+    rows = df.groupBy(strata_col).count().collect()
+    sizes = {r[strata_col]: int(r["count"]) for r in rows if r[strata_col] is not None}
+    if not sizes:
+        raise ValueError("no non-null strata to sample from")
+    n_total = sum(sizes.values())
+    weights = {
+        s: (math.sqrt(float(n)) if float(tau) == 0.5 else float(n) ** float(tau))
+        for s, n in sizes.items()
+    }
+    w_total = 0.0
+    for s in sorted(weights):  # pinned accumulation order (see docstring)
+        w_total += weights[s]
+    target = float(target_fraction) * float(n_total)
+    ppm = {
+        s: int(math.floor(min(1.0, target * weights[s] / (w_total * sizes[s])) * 1_000_000))
+        for s in sizes
+    }
+    h = sample_hash(F.col(id_col)) % F.lit(1_000_000)
+    cond = F.lit(False)
+    for s, p in ppm.items():
+        cond = cond | ((F.col(strata_col) == s) & (h < F.lit(p)))
+    return df.filter(cond)
 
 
 def shard_assign(

@@ -105,3 +105,113 @@ def test_shard_assign_brute_and_invariance(spark_corpus):
 def test_shard_assign_validation(spark_corpus):
     with pytest.raises(ValueError):
         shard_assign(spark_corpus, 0)
+
+
+def _brute_perceptron(spark_corpus, index8, label_of, batch_size=1):
+    """Pure-Python replay of BooleanPerceptronClassifier.java's loop."""
+    analyzer = index8.config.analyzer
+    pdf = spark_corpus.select("doc_id", "text").toPandas().sort_values("doc_id")
+    doc_tf = {}
+    for r in pdf.itertuples():
+        counts = {}
+        for t in analyzer.tokens(r.text):
+            counts[t] = counts.get(t, 0) + 1
+        doc_tf[int(r.doc_id)] = counts
+    w = {}
+    for counts in doc_tf.values():
+        for t, tf in counts.items():
+            w[t] = w.get(t, 0) + tf  # totalTermFreq init
+    sum_ttf = sum(w.values())
+    bias = sum_ttf / len(doc_tf)
+    fst = dict(w)
+    batch_count = 0
+    for did in sorted(doc_tf):
+        counts = doc_tf[did]
+        output = sum(tf * fst.get(t, 0) for t, tf in counts.items())
+        assigned = output >= bias
+        correct = label_of(did)
+        modifier = (correct > assigned) - (correct < assigned)
+        if modifier != 0:
+            for t, tf in counts.items():
+                w[t] = w.get(t, 0) + modifier * tf
+            if batch_count % batch_size == 0:
+                fst = dict(w)
+        batch_count += 1
+    outputs = {
+        did: sum(tf * w.get(t, 0) for t, tf in counts.items())
+        for did, counts in doc_tf.items()
+    }
+    return w, bias, outputs
+
+
+def test_perceptron_reference_parity(spark_corpus, index8):
+    from lucene_solr_spark.operators.classify import BooleanPerceptronClassifier
+
+    labeled = spark_corpus.withColumn("is_user", F.col("role") == "user")
+    p = BooleanPerceptronClassifier(index8, labeled, "is_user")
+    weights = {r["term"]: int(r["weight"]) for r in p.train(n_partitions=1).collect()}
+    roles = dict(
+        (int(r["doc_id"]), r["role"] == "user")
+        for r in spark_corpus.select("doc_id", "role").collect()
+    )
+    brute_w, brute_bias, brute_out = _brute_perceptron(
+        spark_corpus, index8, lambda did: roles[did]
+    )
+    assert p.bias == brute_bias
+    assert weights == brute_w
+    got = {
+        int(r["doc_id"]): (int(r["output"]), bool(r["assigned"]))
+        for r in p.classify().collect()
+    }
+    for did, out in brute_out.items():
+        assert got[did] == (out, out >= brute_bias)
+
+
+def test_perceptron_mixing_deterministic(spark_corpus, index8):
+    from lucene_solr_spark.operators.classify import BooleanPerceptronClassifier
+
+    labeled = spark_corpus.withColumn("is_user", F.col("role") == "user")
+    a = BooleanPerceptronClassifier(index8, labeled, "is_user")
+    b = BooleanPerceptronClassifier(index8, labeled, "is_user")
+    wa = {r["term"]: int(r["weight"]) for r in a.train(n_partitions=4).collect()}
+    wb = {r["term"]: int(r["weight"]) for r in b.train(n_partitions=4).collect()}
+    assert wa == wb
+    assert wa  # non-trivial vocabulary
+
+
+def test_temperature_mixture_brute_and_flattening(spark_corpus):
+    import math
+
+    from lucene_solr_spark.operators.sampling import temperature_mixture
+
+    kept = temperature_mixture(spark_corpus, "role", tau=0.5, target_fraction=0.5)
+    got = kept.select("doc_id", "role").toPandas()
+    # brute replay of the threshold computation + hash filter
+    pdf = spark_corpus.select("doc_id", "role").toPandas()
+    sizes = pdf.groupby("role").size().to_dict()
+    w = {s: math.sqrt(float(n)) for s, n in sizes.items()}
+    wt = 0.0
+    for s in sorted(w):
+        wt += w[s]
+    target = 0.5 * float(len(pdf))
+    ppm = {
+        s: int(math.floor(min(1.0, target * w[s] / (wt * sizes[s])) * 1_000_000))
+        for s in sizes
+    }
+    want = {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if ((r.doc_id % P) * K) % P % 1_000_000 < ppm[r.role]
+    }
+    assert set(got["doc_id"]) == want
+    # tau < 1 flattens: smaller strata keep a rate >= larger strata
+    rates = {
+        s: len(got[got["role"] == s]) / n for s, n in sizes.items() if n > 0
+    }
+    by_size = sorted(sizes, key=sizes.get)
+    for small, big in zip(by_size, by_size[1:]):
+        assert rates[small] >= rates[big] - 0.05  # hash granularity slack
+    with pytest.raises(ValueError):
+        temperature_mixture(spark_corpus, "role", tau=0.5, target_fraction=0.0)
+    with pytest.raises(ValueError):
+        temperature_mixture(spark_corpus, "role", tau=-1.0)
