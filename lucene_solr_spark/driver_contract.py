@@ -231,6 +231,10 @@ HOT, HOT2, MID, MID2, RARE = "scan", "merge", "key", "sort", "dup"
 # fixed targets for the kNN-classifier contract query
 KNN_TARGETS = (7, 11, 23, 42)
 
+# unseen inputs for the fuzzy-kNN contract query (deliberate misspellings of
+# dictionary terms, plus one exact term to exercise the df_src > 0 path)
+KNN_FUZZY_TEXTS = ("scann merg", "keey stream", "sortt dupp")
+
 # concave pentagon + rectangular hole for the polygon contract query —
 # vertices shared verbatim by the Spark predicate and the SQL oracle
 POLY_LATS = [-50.0, 60.0, -10.0, 60.0, -50.0]
@@ -775,10 +779,10 @@ def ft_queries() -> dict:
 
         s = doc_searcher(spark, sf_dir)
         knn = KNearestNeighborClassifier(s, "lang")
-        rows = []
-        for t in KNN_TARGETS:
-            cls, vote = knn.classify_doc_quantized(t)
-            rows.append((t, cls, int(vote)))
+        # batched path: all four MLT queries share ONE postings scan
+        # (bit-identical to per-target classify_doc_quantized — tested)
+        res = knn.classify_docs_quantized(KNN_TARGETS)
+        rows = [(t, res[t][0], int(res[t][1])) for t in KNN_TARGETS]
         return spark.createDataFrame(rows, "target_id long, cls string, vote long")
 
     q["cls_knn"] = cls_knn
@@ -803,6 +807,23 @@ def ft_queries() -> dict:
         )
 
     q["cls_perceptron"] = cls_perceptron
+
+    def cls_knn_fuzzy(spark, sf_dir):
+        """KNearestFuzzyClassifier (``reference KNearestFuzzyClassifier.java``
+        + ``utils/NearestFuzzyQuery.java``): classify three unseen (and
+        misspelled) strings by the fuzzy-expanded top-10 neighbour vote in
+        the 2^-20 fixed-point contract path."""
+        from lucene_solr_spark.operators.classify import KNearestFuzzyClassifier
+
+        s = doc_searcher(spark, sf_dir)
+        knn = KNearestFuzzyClassifier(s, "lang")
+        rows = []
+        for i, text in enumerate(KNN_FUZZY_TEXTS):
+            cls, vote = knn.classify_text_quantized(text)
+            rows.append((i, cls, int(vote)))
+        return spark.createDataFrame(rows, "query_id long, cls string, vote long")
+
+    q["cls_knn_fuzzy"] = cls_knn_fuzzy
 
     def _itv(terms, ordered, max_gaps):
         def fn(spark, sf_dir):
@@ -2611,6 +2632,64 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
         "SELECT CAST(target_id AS BIGINT) AS target_id, cls, CAST(vote AS BIGINT) AS vote FROM ("
         + " UNION ALL ".join(_knn_parts)
         + ") ORDER BY target_id",
+    )
+
+    # fuzzy-kNN classifier: full NearestFuzzyQuery.rewrite replay — per
+    # token: 2-prefix + suffix-levenshtein<=1 expansion, FuzzyTermsEnum f32
+    # boost, variant score f32(f32(b^2)*classic_idf(df_src | avg-variant-df)),
+    # global top-300; leaves score BM25 with df FORCED to 1 (newTermQuery);
+    # then the same quantized top-10 vote as cls_knn
+    import re as _re
+
+    _nf_ctes, _nf_parts = [], []
+    for _j, _text in enumerate(KNN_FUZZY_TEXTS):
+        _tok_parts = []
+        for _i, _t in enumerate(_re.findall("[a-z0-9]+", _text.lower())):
+            _pre, _suf, _n = _t[:2], _t[2:], len(_t)
+            _b = (
+                f"CASE WHEN term = '{_t}' THEN CAST(1.0 AS REAL) ELSE "
+                + _R(f"1.0 - {_R(f'CAST(1 AS REAL) / CAST(least(length(term), {_n}) AS REAL)')}")
+                + " END"
+            )
+            _nf_ctes += [
+                f"nfc{_j}_{_i} AS (SELECT term, df, {_b} AS b FROM dfreq "
+                f"WHERE substring(term, 1, 2) = '{_pre}' "
+                f"AND levenshtein(substring(term, 3), '{_suf}') <= 1)",
+                # df_src > 0 wins; else integer mean of ALL variant dfs (:185-193)
+                f"nfd{_j}_{_i} AS (SELECT CASE WHEN max(CASE WHEN term = '{_t}' THEN df END) > 0 "
+                f"THEN max(CASE WHEN term = '{_t}' THEN df END) "
+                f"ELSE CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT) END AS dfu FROM nfc{_j}_{_i})",
+                f"nfs{_j}_{_i} AS (SELECT term, "
+                + _R(
+                    _R("b * b")
+                    + " * "
+                    + _R(f"ln(((SELECT n FROM st) + 1) / ((SELECT dfu FROM nfd{_j}_{_i}) + 1.0)) + 1.0")
+                )
+                + f" AS st FROM (SELECT term, b FROM nfc{_j}_{_i} ORDER BY b DESC, term ASC LIMIT 50))",
+            ]
+            _tok_parts.append(f"SELECT term, st FROM nfs{_j}_{_i}")
+        _nf_w = _R(f"lv.st * {_idf('1')}")
+        _nf_leaf = _R(f"{_nf_w} * {_R(f'tf.tf / (tf.tf + {_D(_CACHE)})')}")
+        _nf_ctes += [
+            f"nfl{_j} AS (SELECT term, st FROM (" + " UNION ALL ".join(_tok_parts) + ") "
+            f"ORDER BY st DESC, term ASC LIMIT 300)",
+            f"nsc{_j} AS (SELECT tf.doc_id AS doc_id, "
+            f"CAST(sum(CAST({_nf_leaf} AS DOUBLE)) AS REAL) AS score "
+            f"FROM tf JOIN nfl{_j} lv USING (term) JOIN dlq ON tf.doc_id = dlq.doc_id "
+            f"GROUP BY tf.doc_id)",
+            f"ntop{_j} AS (SELECT doc_id, score FROM nsc{_j} ORDER BY score DESC, doc_id ASC LIMIT 10)",
+            f"nvote{_j} AS (SELECT d.lang AS cls, sum(CAST(floor("
+            f"CAST(t.score AS DOUBLE) / (SELECT CAST(max(score) AS DOUBLE) FROM ntop{_j}) * 1048576"
+            f") AS BIGINT)) AS vote FROM ntop{_j} t JOIN documents d USING (doc_id) GROUP BY d.lang)",
+            f"nbest{_j} AS (SELECT {_j} AS query_id, cls, vote FROM nvote{_j} "
+            f"ORDER BY vote DESC, cls DESC LIMIT 1)",
+        ]
+        _nf_parts.append(f"SELECT * FROM nbest{_j}")
+    o["cls_knn_fuzzy"] = _with(
+        _nf_ctes,
+        "SELECT CAST(query_id AS BIGINT) AS query_id, cls, CAST(vote AS BIGINT) AS vote FROM ("
+        + " UNION ALL ".join(_nf_parts)
+        + ") ORDER BY query_id",
     )
 
     # interval queries: minimal-interval candidates + strict-containment

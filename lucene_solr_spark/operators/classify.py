@@ -251,6 +251,214 @@ class KNearestNeighborClassifier:
             agg[h["cls"]] = agg.get(h["cls"], 0) + q
         return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
 
+    def classify_docs_quantized(self, doc_ids) -> dict:
+        """Batched :meth:`classify_doc_quantized` for many targets: ONE
+        corpus fetch for all target texts, ONE postings scan for every MLT
+        query via ``IndexSearcher.batch_search`` (bit-identical per-query
+        scores to the single path), ONE class join + collect.  Each target's
+        own doc is excluded by over-fetching k+1 and dropping it — the
+        surviving set is exactly the single path's top-k.  Returns
+        {doc_id: (cls, vote) | None}."""
+        import math
+
+        s = self.searcher
+        targets = [int(d) for d in doc_ids]
+        id_col, text_col = s.index.config.id_col, s.index.config.text_col
+        texts = {
+            int(r["doc_id"]): r[text_col]
+            for r in s.corpus.filter(F.col(id_col).isin(targets))
+            .select(F.col(id_col).alias("doc_id"), text_col)
+            .collect()
+        }
+        queries = {
+            t: s.more_like_this_from_text(texts[t], self.max_query_terms)
+            for t in targets
+            if t in texts
+        }
+        if not queries:
+            return {t: None for t in targets}
+        ranked = s.batch_search(queries, self.k + 1)
+        hits = (
+            ranked.join(
+                s.corpus.select(F.col(id_col).alias("doc_id"), F.col(self.class_col).alias("cls")),
+                "doc_id",
+            )
+            .select("query_id", "rank", "doc_id", "cls", "score")
+            .collect()
+        )
+        by_target: dict = {t: [] for t in targets}
+        for h in sorted(hits, key=lambda h: (str(h["query_id"]), h["rank"])):
+            t = int(h["query_id"])  # batch_search keys query_id as string
+            if int(h["doc_id"]) == t:
+                continue  # self-match: the single path's exclude_doc_ids
+            if len(by_target[t]) < self.k:
+                by_target[t].append(h)
+        out: dict = {}
+        for t in targets:
+            rows = by_target.get(t) or []
+            if not rows:
+                out[t] = None
+                continue
+            max_score = max(float(h["score"]) for h in rows)
+            agg: dict = {}
+            for h in rows:
+                q = math.floor(float(h["score"]) / max_score * Q_SCALE)
+                agg[h["cls"]] = agg.get(h["cls"], 0) + q
+            out[t] = max(agg.items(), key=lambda kv: (kv[1], kv[0]))
+        return out
+
+
+# NearestFuzzyQuery constants (``reference lucene/classification/src/java/
+# org/apache/lucene/classification/utils/NearestFuzzyQuery.java:36-39``)
+_NF_MAX_VARIANTS = 50
+_NF_MAX_TERMS = 300
+_NF_PREFIX = 2
+_NF_MAX_EDITS = 1
+
+
+def nearest_fuzzy_leaves(searcher, text: str) -> list:
+    """NearestFuzzyQuery.rewrite (``reference .../classification/utils/
+    NearestFuzzyQuery.java:120-210``): analyze ``text``; per distinct token,
+    fuzzy-expand against the term dictionary (maxEdits=1 beyond an exact
+    2-codepoint prefix), keep the top-50 variants per token by FuzzyTermsEnum
+    boost ``1 − ed/min(|t|,|q|)`` (f32, exact match → 1.0); score each kept
+    variant ``f32(f32(boost²) · classic_idf(df_src))`` where ``df_src`` is
+    the source token's df, or the integer mean of the variants' dfs when the
+    source is unindexed (:185-193); keep the global top-300 by score.  The
+    rewritten query is a flat SHOULD of BoostQuery(TermQuery(variant)) whose
+    term states force ``df = ttf = 1`` (:159-172 newTermQuery), so each
+    leaf's BM25 weight is ``f32(score · idf(df=1))``.
+
+    Returns [(source_token, variant_term, leaf_weight_f32)] — one row per
+    SHOULD clause (the same variant reached from two sources stays two
+    clauses, as in the reference).  Dictionary access is ONE pruned scan
+    collecting only terms sharing some token's 2-prefix — the vocab-scale
+    driver work every MultiTermQuery in this engine already does.
+    """
+    from ..functions import bm25 as _bm25
+    from ..functions.editdist import levenshtein
+
+    analyzer = searcher.index.config.analyzer
+    tokens, seen = [], set()
+    for t in analyzer.tokens(text):
+        if t not in seen:
+            seen.add(t)
+            tokens.append(t)
+    if not tokens:
+        return []
+    prefixes = sorted({t[:_NF_PREFIX] for t in tokens})
+    rows = (
+        searcher.index.terms.filter(
+            F.substring("term", 1, _NF_PREFIX).isin(prefixes)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    n_docs = searcher.index.doc_count
+    import numpy as np
+
+    global_cands = []
+    for src in tokens:
+        pre = src[:_NF_PREFIX]
+        suffix = src[len(pre):]
+        variants, df_src, total_df, n_var = [], 0, 0, 0
+        for r in rows:
+            term = r["term"]
+            if not term.startswith(pre):
+                continue
+            ed = levenshtein(term[len(pre):], suffix)
+            if ed > _NF_MAX_EDITS:
+                continue
+            n_var += 1
+            total_df += int(r["df"])
+            if term == src:
+                df_src = int(r["df"])
+                boost = np.float32(1.0)
+            else:
+                boost = np.float32(1.0) - np.float32(ed) / np.float32(
+                    min(len(term), len(src))
+                )
+            variants.append((float(boost), term))
+        if not n_var:
+            continue
+        df_used = df_src if df_src > 0 else total_df // n_var
+        idf_src = np.float32(np.log((n_docs + 1) / (df_used + 1.0)) + 1.0)
+        variants.sort(key=lambda x: (-x[0], x[1]))
+        for boost, term in variants[:_NF_MAX_VARIANTS]:
+            b32 = np.float32(boost)
+            st = float(np.float32(np.float32(b32 * b32) * idf_src))
+            global_cands.append((st, term, src))
+    global_cands.sort(key=lambda x: (-x[0], x[1]))
+    idf1 = _bm25.idf(1, n_docs)  # newTermQuery's forced df=ttf=1 stats
+    return [
+        (src, term, float(np.float32(np.float32(st) * idf1)))
+        for st, term, src in global_cands[:_NF_MAX_TERMS]
+    ]
+
+
+def nearest_fuzzy_search(searcher, text: str, k: int = 10):
+    """Evaluate the rewritten NearestFuzzyQuery: each leaf scores its
+    variant's postings with the df=1 BM25 weight, leaves double-sum per doc
+    (DisjunctionSumScorer), top-k by (score desc, doc_id asc).  Leaves
+    sharing a variant term run as separate clauses (slot-unioned scans)."""
+    leaves = nearest_fuzzy_leaves(searcher, text)
+    if not leaves:
+        return searcher._empty().orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    slots: list = []
+    for _, term, w in leaves:
+        for slot in slots:
+            if term not in slot:
+                slot[term] = w
+                break
+        else:
+            slots.append({term: w})
+    scored = None
+    for slot in slots:
+        part = searcher._scored_postings(slot).select("doc_id", "score")
+        scored = part if scored is None else scored.unionByName(part)
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+    )
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class KNearestFuzzyClassifier:
+    """kNN vote over NearestFuzzyQuery hits — ``reference
+    KNearestFuzzyClassifier.java:108-174``.  The per-class score
+    ``count · (Σ(score/max)/count) / k`` collapses to the same normalized
+    vote as :class:`KNearestNeighborClassifier`; the quantized path uses the
+    engine's 2^-20 fixed-point contract so the argmax replays in SQL."""
+
+    def __init__(self, searcher, class_col: str, k: int = 10):
+        self.searcher = searcher
+        self.class_col = class_col
+        self.k = k
+
+    def classify_text_quantized(self, text: str):
+        """(cls, vote) for an unseen text, or None without neighbours."""
+        import math
+
+        s = self.searcher
+        top = nearest_fuzzy_search(s, text, self.k)
+        id_col = s.index.config.id_col
+        hits = (
+            top.join(
+                s.corpus.select(F.col(id_col).alias("doc_id"), F.col(self.class_col).alias("cls")),
+                "doc_id",
+            )
+            .select("cls", "score")
+            .collect()
+        )
+        if not hits:
+            return None
+        max_score = max(float(h["score"]) for h in hits)
+        agg: dict = {}
+        for h in hits:
+            q = math.floor(float(h["score"]) / max_score * Q_SCALE)
+            agg[h["cls"]] = agg.get(h["cls"], 0) + q
+        return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
+
 
 class BooleanPerceptronClassifier:
     """Binary perceptron over term occurrences with all-integer weights —

@@ -1635,11 +1635,18 @@ class IndexSearcher:
         row = self.corpus.filter(F.col(id_col) == int(doc_id)).select(text_col).collect()
         if not row:
             return MatchNoDocsQuery()
-        toks = self.index.config.analyzer.tokens(row[0][0])
+        return self.more_like_this_from_text(row[0][0], max_query_terms)
+
+    def more_like_this_from_text(self, text: str, max_query_terms: int = 5) -> Query:
+        """The MLT query for an already-fetched text (same top-tf selection;
+        lets callers batch many targets behind ONE corpus fetch)."""
+        toks = self.index.config.analyzer.tokens(text)
         counts: dict[str, int] = {}
         for t in toks:
             counts[t] = counts.get(t, 0) + 1
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_query_terms]
+        if not top:
+            return MatchNoDocsQuery()
         return BooleanQuery.build(should=[TermQuery(t) for t, _ in top])
 
     def more_like_this_query(

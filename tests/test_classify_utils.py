@@ -82,6 +82,14 @@ def test_knn_quantized_matches_float_argmax(searcher):
             assert isinstance(q[1], int)
 
 
+def test_knn_batched_matches_single(searcher):
+    knn = KNearestNeighborClassifier(searcher, "role")
+    targets = (3, 17, 40, 55)
+    batched = knn.classify_docs_quantized(targets)
+    for d in targets:
+        assert batched[d] == knn.classify_doc_quantized(d)
+
+
 def test_shard_assign_brute_and_invariance(spark_corpus):
     out = shard_assign(spark_corpus.select("doc_id"), 7, n_partitions=8).toPandas()
     # brute replay: rank in (hash, id) order, floor-divided into shards
@@ -177,6 +185,71 @@ def test_perceptron_mixing_deterministic(spark_corpus, index8):
     wb = {r["term"]: int(r["weight"]) for r in b.train(n_partitions=4).collect()}
     assert wa == wb
     assert wa  # non-trivial vocabulary
+
+
+def test_nearest_fuzzy_leaves_brute(searcher, spark_corpus):
+    """Independent replay of NearestFuzzyQuery.rewrite: expansion set, f32
+    boost/score chain, per-term and global caps, df fallback."""
+    import numpy as np
+
+    from lucene_solr_spark.functions import bm25
+    from lucene_solr_spark.functions.editdist import levenshtein
+    from lucene_solr_spark.operators.classify import nearest_fuzzy_leaves
+
+    analyzer = searcher.index.config.analyzer
+    pdf = spark_corpus.select("text").toPandas()
+    df_map = {}
+    for text in pdf["text"]:
+        for t in set(analyzer.tokens(text)):
+            df_map[t] = df_map.get(t, 0) + 1
+    n_docs = spark_corpus.count()
+
+    text = "vecodu numma qzqzq"  # exact + misspelled + no-expansion tokens
+    cands = []
+    for src in ["vecodu", "numma", "qzqzq"]:
+        pre, suf = src[:2], src[2:]
+        vs, n_var, tot, df_src = [], 0, 0, 0
+        for term, df in df_map.items():
+            if not term.startswith(pre) or levenshtein(term[2:], suf) > 1:
+                continue
+            n_var += 1
+            tot += df
+            if term == src:
+                df_src = df
+                b = np.float32(1.0)
+            else:
+                b = np.float32(1.0) - np.float32(1) / np.float32(min(len(term), len(src)))
+            vs.append((float(b), term))
+        if not n_var:
+            continue
+        dfu = df_src if df_src > 0 else tot // n_var
+        idf_src = np.float32(np.log((n_docs + 1) / (dfu + 1.0)) + 1.0)
+        vs.sort(key=lambda x: (-x[0], x[1]))
+        for b, term in vs[:50]:
+            b32 = np.float32(b)
+            cands.append((float(np.float32(np.float32(b32 * b32) * idf_src)), term, src))
+    cands.sort(key=lambda x: (-x[0], x[1]))
+    idf1 = bm25.idf(1, n_docs)
+    want = [
+        (src, term, float(np.float32(np.float32(st) * idf1)))
+        for st, term, src in cands[:300]
+    ]
+    got = nearest_fuzzy_leaves(searcher, text)
+    assert got == want
+    assert any(t == "vecodu" for _, t, _ in got)  # exact source survives
+    assert all(t[:2] in ("ve", "nu") for _, t, _ in got)  # qzqzq expands to nothing
+
+
+def test_knn_fuzzy_classifier_deterministic(searcher):
+    from lucene_solr_spark.operators.classify import KNearestFuzzyClassifier
+
+    knn = KNearestFuzzyClassifier(searcher, "role", k=5)
+    r1 = knn.classify_text_quantized("vecodu numma")
+    r2 = knn.classify_text_quantized("vecodu numma")
+    assert r1 == r2 and r1 is not None
+    cls, vote = r1
+    assert isinstance(vote, int) and vote > 0
+    assert knn.classify_text_quantized("qzqzq") is None
 
 
 def test_temperature_mixture_brute_and_flattening(spark_corpus):
