@@ -825,6 +825,19 @@ def ft_queries() -> dict:
 
     q["cls_knn_fuzzy"] = cls_knn_fuzzy
 
+    def cls_bm25nb(spark, sf_dir):
+        """BM25NBClassifier (``reference BM25NBClassifier.java``): NB over
+        BM25 top-1 search scores, class field as a 1-token BM25 field;
+        2^-20 fixed-point posterior (quantize-before-sum contract path)."""
+        from lucene_solr_spark.operators.classify import BM25NBClassifier
+
+        s = doc_searcher(spark, sf_dir)
+        nb = BM25NBClassifier(s, "lang")
+        rows = nb.classify(KNN_TARGETS[:3])
+        return spark.createDataFrame(rows, "doc_id long, cls string, score_q long")
+
+    q["cls_bm25nb"] = cls_bm25nb
+
     def _itv(terms, ordered, max_gaps):
         def fn(spark, sf_dir):
             """IntervalQuery (Intervals.ordered/unordered + maxgaps): rank by
@@ -2690,6 +2703,38 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
         "SELECT CAST(query_id AS BIGINT) AS query_id, cls, CAST(vote AS BIGINT) AS vote FROM ("
         + " UNION ALL ".join(_nf_parts)
         + ") ORDER BY query_id",
+    )
+
+    # BM25-NB classifier: class-field leaf is a per-class constant
+    # (dl = avgdl = tf = 1 -> cache 1.2f); termProb(c, w) = f32(cl_c +
+    # max class-doc word leaf); posterior = q20(ln(cl)) + sum tf*q20(ln(tp))
+    _bm_t1 = _R("1.0 / (1.0 + CAST(CAST(1.2 AS REAL) AS DOUBLE))")
+    _bm_targets = ", ".join(str(t) for t in KNN_TARGETS[:3])
+    _bm_leaf = _R(f"{_idf('dfreq.df')} * " + _R(f"tf.tf / (tf.tf + {_D(_CACHE)})"))
+    o["cls_bm25nb"] = _with(
+        [
+            "ccl AS (SELECT cls, "
+            + _R(f"{_idf('df_c')} * {_bm_t1}")
+            + " AS cl FROM (SELECT lang AS cls, count(*) AS df_c FROM documents GROUP BY lang))",
+            f"btw AS (SELECT doc_id, term, tf FROM tf WHERE doc_id IN ({_bm_targets}))",
+            "bwords AS (SELECT DISTINCT term FROM btw)",
+            f"bwm AS (SELECT d.lang AS cls, tf.term AS term, max({_bm_leaf}) AS mx "
+            "FROM tf JOIN bwords USING (term) JOIN dfreq USING (term) "
+            "JOIN dlq ON tf.doc_id = dlq.doc_id JOIN documents d ON tf.doc_id = d.doc_id "
+            "GROUP BY d.lang, tf.term)",
+            "bgrid AS (SELECT ccl.cls AS cls, bwords.term AS term, "
+            + _R("ccl.cl + coalesce(bwm.mx, CAST(0.0 AS REAL))")
+            + " AS tp FROM ccl CROSS JOIN bwords "
+            "LEFT JOIN bwm ON bwm.cls = ccl.cls AND bwm.term = bwords.term)",
+            f"bsc AS (SELECT t.doc_id AS doc_id, g.cls AS cls, "
+            f"sum(t.tf * {_q20('ln(g.tp)')}) AS ll_q "
+            "FROM btw t JOIN bgrid g ON t.term = g.term GROUP BY t.doc_id, g.cls)",
+            f"btot AS (SELECT bsc.doc_id AS doc_id, bsc.cls AS cls, p.prior_q + bsc.ll_q AS score "
+            f"FROM bsc JOIN (SELECT cls, {_q20('ln(cl)')} AS prior_q FROM ccl) p USING (cls))",
+        ],
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score_q FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM btot) "
+        "WHERE rn = 1 ORDER BY doc_id",
     )
 
     # interval queries: minimal-interval candidates + strict-containment

@@ -308,6 +308,105 @@ class KNearestNeighborClassifier:
         return out
 
 
+class BM25NBClassifier:
+    """Naive Bayes over BM25 search scores — ``reference lucene/
+    classification/src/java/org/apache/lucene/classification/
+    BM25NBClassifier.java``.
+
+    The reference's per-(class, word) "probability" is the TOP-1 score of
+    ``MUST(TermQuery(class_field:c)) SHOULD(TermQuery(text:w))`` (:177-196):
+    with BM25 the class-field leaf is a per-class constant (every class
+    field holds one token, so dl = 1, avgdl = 1, tf = 1) and the float sum
+    is monotone in the word leaf, so
+
+        termProb(c, w) = f32(cl_c + max_{doc ∈ c} f32(idf(df_w) · t32(doc)))
+
+    with ``cl_c = f32(idf(df_c) · f32(1/(1 + double(cache[1]))))`` and the
+    max taken over the engine's own exact float32 leaf scores (absent word →
+    the class-only score, i.e. max term 0).  The log prior is ``ln(cl_c)``
+    (:198-210), the per-class total ``prior + Σ_occurrences ln(termProb)``.
+    The contract path quantizes each log to the engine's 2^-20 fixed point
+    before the tf-weighted integer sum, so results replay bit-exactly.
+
+    Scale shape: ONE postings scan scores every target-doc word with
+    ``_scored_postings`` (the exact single-query scorer), one id join to the
+    class label, one (class, word) max aggregate — corpus never shuffles.
+    The final |C|·|target words| grid is driver-side, like the reference's
+    per-class loop.
+    """
+
+    def __init__(self, searcher, class_col: str):
+        self.searcher = searcher
+        self.class_col = class_col
+
+    def classify(self, target_ids) -> list:
+        """[(target_id, cls, score_q)] — argmax class per target (ties →
+        cls asc) with the quantized posterior."""
+        import math
+
+        import numpy as np
+
+        from ..functions import bm25 as _bm25
+        from ..functions.smallfloat import int_to_byte4
+
+        s = self.searcher
+        id_col = s.index.config.id_col
+        targets = [int(t) for t in target_ids]
+        # target docs' term/tf rows (k docs — driver-scale, like the
+        # reference's tokenize() of the input text)
+        dt = _doc_terms(s.corpus.filter(F.col(id_col).isin(targets)), s.index.config)
+        target_tf = [(int(r["doc_id"]), r["term"], int(r["tf"])) for r in dt.collect()]
+        words = sorted({w for _, w, _ in target_tf})
+        # class stats + the constant class-field leaf (dl = avgdl = tf = 1)
+        cls_rows = (
+            s.corpus.groupBy(F.col(self.class_col).alias("cls"))
+            .agg(F.count("*").alias("df_c"))
+            .collect()
+        )
+        cache1 = _bm25.norm_cache(np.float32(1.0))[int_to_byte4(1) & 0xFF]
+        t1 = np.float32(np.float64(1.0) / (1.0 + np.float64(cache1)))
+        cl = {
+            r["cls"]: float(np.float32(_bm25.idf(int(r["df_c"]), s.index.doc_count) * t1))
+            for r in cls_rows
+        }
+        # ONE scan: exact f32 word leaves, max per (class, word)
+        stats = s._term_stats(set(words))
+        weights = {w: s._leaf_w(1.0, w, stats) for w in words if w in stats}
+        wmax: dict = {}
+        if weights:
+            rows = (
+                s._scored_postings(weights)
+                .join(
+                    s.corpus.select(
+                        F.col(id_col).alias("doc_id"), F.col(self.class_col).alias("cls")
+                    ),
+                    "doc_id",
+                )
+                .groupBy("cls", "term")
+                .agg(F.max("score").alias("mx"))
+                .collect()
+            )
+            wmax = {(r["cls"], r["term"]): float(r["mx"]) for r in rows}
+
+        def q20(x: float) -> int:
+            return math.floor(float(np.float32(x)) * float(Q_SCALE))
+
+        out = []
+        for t in targets:
+            best = None
+            for c in sorted(cl):
+                score = q20(math.log(cl[c]))  # prior
+                for tid, w, tf in target_tf:
+                    if tid != t:
+                        continue
+                    tp = float(np.float32(cl[c] + wmax.get((c, w), 0.0)))
+                    score += tf * q20(math.log(tp))
+                if best is None or score > best[1]:
+                    best = (c, score)
+            out.append((t, best[0], best[1]))
+        return out
+
+
 # NearestFuzzyQuery constants (``reference lucene/classification/src/java/
 # org/apache/lucene/classification/utils/NearestFuzzyQuery.java:36-39``)
 _NF_MAX_VARIANTS = 50

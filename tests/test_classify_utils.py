@@ -252,6 +252,57 @@ def test_knn_fuzzy_classifier_deterministic(searcher):
     assert knn.classify_text_quantized("qzqzq") is None
 
 
+def test_bm25nb_brute(searcher, spark_corpus, oracle):
+    """BM25NBClassifier vs an independent replay that literally takes the
+    per-(class, word) max over the control engine's exact term scores."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_spark.functions import bm25
+    from lucene_solr_spark.functions.smallfloat import int_to_byte4
+    from lucene_solr_spark.operators.classify import BM25NBClassifier, Q_SCALE
+
+    targets = (3, 17)
+    got = BM25NBClassifier(searcher, "role").classify(targets)
+
+    roles = {int(r["doc_id"]): r["role"] for r in spark_corpus.select("doc_id", "role").collect()}
+    classes = sorted(set(roles.values()))
+    n_docs = len(roles)
+    analyzer = searcher.index.config.analyzer
+    texts = {
+        int(r["doc_id"]): r["text"] for r in spark_corpus.select("doc_id", "text").collect()
+    }
+    cache1 = bm25.norm_cache(np.float32(1.0))[int_to_byte4(1) & 0xFF]
+    t1 = np.float32(np.float64(1.0) / (1.0 + np.float64(cache1)))
+    df_c = {c: sum(1 for v in roles.values() if v == c) for c in classes}
+    cl = {c: float(np.float32(bm25.idf(df_c[c], n_docs) * t1)) for c in classes}
+
+    def q20(x):
+        return math.floor(float(np.float32(x)) * float(Q_SCALE))
+
+    want = []
+    for t in targets:
+        counts: dict = {}
+        for w in analyzer.tokens(texts[t]):
+            counts[w] = counts.get(w, 0) + 1
+        best = None
+        for c in classes:
+            score = q20(math.log(cl[c]))
+            for w, tf in counts.items():
+                # control engine: exact f32 term scores per doc
+                scores = oracle._term_scores(w, 1.0)
+                mx = max(
+                    (s for d, s in scores.items() if roles[d] == c), default=0.0
+                )
+                tp = float(np.float32(cl[c] + mx))
+                score += tf * q20(math.log(tp))
+            if best is None or score > best[1]:
+                best = (c, score)
+        want.append((t, best[0], best[1]))
+    assert got == want
+
+
 def test_temperature_mixture_brute_and_flattening(spark_corpus):
     import math
 
