@@ -46,12 +46,14 @@ def _build_from_parquet(spark, path: str, n_partitions: int):
     return idx, n_turns
 
 
-def bench_index_build(spark, path: str, n_partitions: int):
+def bench_index_build(spark, path: str, n_partitions: int, keep: bool = False):
     t0 = time.monotonic()
     idx, n_turns = _build_from_parquet(spark, path, n_partitions)
     dt = time.monotonic() - t0
-    spark.catalog.clearCache()
-    return dt, n_turns
+    if not keep:
+        spark.catalog.clearCache()
+        idx = None
+    return dt, n_turns, idx
 
 
 def main() -> None:
@@ -73,6 +75,7 @@ def main() -> None:
     # ---- workload 1: index build throughput (turns/sec), warm JVM first
     # (never let a build failure kill the bench — the driver needs the JSON line)
     build_s, n_turns, turns_per_sec = -1.0, 0, -1.0
+    build_scale: dict = {}
     try:
         corpus_path = "/tmp/bench_corpus_r.parquet"
         _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
@@ -80,10 +83,38 @@ def main() -> None:
         # best of 3: this box shows 2-7x run-to-run wall variance (hypervisor
         # steal + sys-time storms under co-tenant load) — the minimum is the
         # stable capability number, the mean is a lottery
-        runs = sorted(bench_index_build(spark, corpus_path, cpus) for _ in range(3))
+        results = [bench_index_build(spark, corpus_path, cpus) for _ in range(2)]
+        last = bench_index_build(spark, corpus_path, cpus, keep=True)
+        runs = sorted((r[0], r[1]) for r in results + [last])
         build_s, n_turns = runs[0]
         queries["index_build"] = round(build_s, 3)
         turns_per_sec = n_turns / build_s
+        # decode+score work rate at build-corpus scale (millions of postings
+        # for the head term — NOT floor-dominated like the tiny sf corpus)
+        try:
+            from pyspark.sql import functions as F
+
+            from lucene_solr_spark.operators.searcher import IndexSearcher
+            from lucene_solr_spark.plans.query import TermQuery as _TQ
+
+            big_idx = last[2]
+            head = (
+                big_idx.terms.orderBy(F.desc("df"), F.asc("term")).limit(1).collect()
+            )
+            if head:
+                h_term, h_df = head[0]["term"], int(head[0]["df"])
+                bs = IndexSearcher(big_idx, None, prune_min_postings=0)
+                t_runs = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    bs.search(_TQ(h_term), 10, prune=False).df.collect()
+                    t_runs.append(time.monotonic() - t0)
+                build_scale["build_head_postings"] = h_df
+                build_scale["build_postings_scored_per_sec"] = round(
+                    h_df / min(t_runs), 1
+                )
+        finally:
+            spark.catalog.clearCache()
     except Exception as e:
         print(f"BENCH_ERROR index_build: {e}", file=sys.stderr)
         queries["index_build"] = -1.0
@@ -198,6 +229,7 @@ def main() -> None:
             scale["postings_scored_per_sec"] = round(n_post / min(runs_d), 1)
     except Exception as e:
         print(f"BENCH_ERROR scale_metrics: {e}", file=sys.stderr)
+    scale.update(build_scale)
 
     total = round(sum(v for v in queries.values() if v > 0), 3)
     # headline latency stats (BASELINE.json metric: BM25 top-k query p95)
