@@ -90,8 +90,9 @@ def main() -> None:
         queries["index_build"] = round(build_s, 3)
         turns_per_sec = n_turns / build_s
         # decode+score work rate at build-corpus scale (millions of postings
-        # for the head term — NOT floor-dominated like the tiny sf corpus)
-        try:
+        # for the head term — NOT floor-dominated like the tiny sf corpus).
+        # Errors here must not clobber the valid index_build number above.
+        try:  # noqa: SIM105
             from pyspark.sql import functions as F
 
             from lucene_solr_spark.operators.searcher import IndexSearcher
@@ -113,6 +114,8 @@ def main() -> None:
                 build_scale["build_postings_scored_per_sec"] = round(
                     h_df / min(t_runs), 1
                 )
+        except Exception as e:
+            print(f"BENCH_ERROR build_scale_metrics: {e}", file=sys.stderr)
         finally:
             spark.catalog.clearCache()
     except Exception as e:

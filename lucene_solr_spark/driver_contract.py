@@ -782,7 +782,9 @@ def ft_queries() -> dict:
         # batched path: all four MLT queries share ONE postings scan
         # (bit-identical to per-target classify_doc_quantized — tested)
         res = knn.classify_docs_quantized(KNN_TARGETS)
-        rows = [(t, res[t][0], int(res[t][1])) for t in KNN_TARGETS]
+        rows = [
+            (t, res[t][0], int(res[t][1])) for t in KNN_TARGETS if res.get(t) is not None
+        ]
         return spark.createDataFrame(rows, "target_id long, cls string, vote long")
 
     q["cls_knn"] = cls_knn
@@ -819,8 +821,9 @@ def ft_queries() -> dict:
         knn = KNearestFuzzyClassifier(s, "lang")
         rows = []
         for i, text in enumerate(KNN_FUZZY_TEXTS):
-            cls, vote = knn.classify_text_quantized(text)
-            rows.append((i, cls, int(vote)))
+            res = knn.classify_text_quantized(text)
+            if res is not None:
+                rows.append((i, res[0], int(res[1])))
         return spark.createDataFrame(rows, "query_id long, cls string, vote long")
 
     q["cls_knn_fuzzy"] = cls_knn_fuzzy

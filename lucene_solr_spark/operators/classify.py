@@ -270,14 +270,19 @@ class KNearestNeighborClassifier:
             .select(F.col(id_col).alias("doc_id"), text_col)
             .collect()
         }
-        queries = {
-            t: s.more_like_this_from_text(texts[t], self.max_query_terms)
-            for t in targets
-            if t in texts
-        }
+        from ..plans.query import MatchNoDocsQuery
+
+        queries = {}
+        for t in targets:
+            if t not in texts:
+                continue
+            q = s.more_like_this_from_text(texts[t], self.max_query_terms)
+            if isinstance(q, MatchNoDocsQuery):
+                continue  # empty text: the single path returns None too
+            queries[t] = q
         if not queries:
             return {t: None for t in targets}
-        ranked = s.batch_search(queries, self.k + 1)
+        ranked = s.batch_search(queries, self.k + 1)  # deletes filtered inside
         hits = (
             ranked.join(
                 s.corpus.select(F.col(id_col).alias("doc_id"), F.col(self.class_col).alias("cls")),
@@ -359,7 +364,8 @@ class BM25NBClassifier:
         words = sorted({w for _, w, _ in target_tf})
         # class stats + the constant class-field leaf (dl = avgdl = tf = 1)
         cls_rows = (
-            s.corpus.groupBy(F.col(self.class_col).alias("cls"))
+            s.corpus.filter(F.col(self.class_col).isNotNull())
+            .groupBy(F.col(self.class_col).alias("cls"))
             .agg(F.count("*").alias("df_c"))
             .collect()
         )
@@ -392,7 +398,10 @@ class BM25NBClassifier:
             return math.floor(float(np.float32(x)) * float(Q_SCALE))
 
         out = []
+        with_terms = {tid for tid, _, _ in target_tf}
         for t in targets:
+            if t not in with_terms or not cl:
+                continue  # absent/term-less target: no classification row
             best = None
             for c in sorted(cl):
                 score = q20(math.log(cl[c]))  # prior
@@ -519,6 +528,8 @@ def nearest_fuzzy_search(searcher, text: str, k: int = 10):
         scored.groupBy("doc_id")
         .agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
     )
+    if searcher.index.deletes is not None:  # live-docs filter, as in search()
+        agg = agg.join(searcher.index.deletes.select("doc_id"), "doc_id", "left_anti")
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -607,9 +618,12 @@ class BooleanPerceptronClassifier:
         labeled = self.corpus.select(
             F.col(id_col).alias("doc_id"), F.col(self.label_col).cast("boolean").alias("_lbl")
         ).filter(F.col("_lbl").isNotNull())
+        # LEFT join from the labeled docs: a doc whose text analyzes to zero
+        # terms still reaches the sequential loop (its batch ordinal counts
+        # toward the FST refresh timing, as in the reference's batchCount++)
         rows = (
-            dt.join(labeled, "doc_id")
-            .join(self.index.terms.select("term", F.col("ttf").alias("_w0")), "term")
+            labeled.join(dt, "doc_id", "left")
+            .join(self.index.terms.select("term", F.col("ttf").alias("_w0")), "term", "left")
             .repartitionByRange(int(n_partitions), "doc_id")
             .sortWithinPartitions("doc_id", "term")
         )
@@ -628,15 +642,19 @@ class BooleanPerceptronClassifier:
             for _, doc in pdf.groupby("doc_id", sort=True):
                 output = 0
                 for t, tf, w0 in zip(doc["term"], doc["tf"], doc["_w0"]):
+                    if not isinstance(t, str):
+                        continue  # term-less doc's null row
                     output += int(tf) * (int(w0) + fst.get(t, 0))
                 assigned = output >= bias
                 correct = bool(doc["_lbl"].iloc[0])
                 modifier = (correct > assigned) - (correct < assigned)
                 if modifier != 0:
                     for t, tf in zip(doc["term"], doc["tf"]):
+                        if not isinstance(t, str):
+                            continue
                         cur[t] = cur.get(t, 0) + modifier * int(tf)
                     if batch_count % batch_size == 0:
-                        fst = dict(cur)
+                        fst = dict(cur)  # refresh fires even term-less (ref)
                 batch_count += 1
             yield pd.DataFrame({"term": list(cur), "delta": list(cur.values())}).astype(
                 {"term": "string", "delta": "int64"}
@@ -663,17 +681,23 @@ class BooleanPerceptronClassifier:
         + one doc-keyed sum, fully distributed exact-integer scoring."""
         if self._weights is None:
             self.train()
+        id_col = self.index.config.id_col
         dt = _doc_terms(self.corpus, self.index.config)
+        base = self.corpus.select(F.col(id_col).alias("doc_id"))
         if docs is not None:
-            id_col = self.index.config.id_col
-            dt = dt.join(docs.select(F.col(id_col).alias("doc_id")), "doc_id")
-        return (
+            keys = docs.select(F.col(id_col).alias("doc_id"))
+            dt = dt.join(keys, "doc_id")
+            base = base.join(keys, "doc_id", "left_semi")
+        scored = (
             dt.join(self._weights, "term")
             .groupBy("doc_id")
             .agg(F.sum(F.col("tf") * F.col("weight")).cast("bigint").alias("output"))
-            .select(
-                "doc_id", "output", (F.col("output") >= F.lit(self.bias)).alias("assigned")
-            )
+        )
+        # term-less docs score output = 0 (the reference's empty token stream)
+        return base.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("output"), F.lit(0)).cast("bigint").alias("output"),
+            (F.coalesce(F.col("output"), F.lit(0)) >= F.lit(self.bias)).alias("assigned"),
         )
 
 

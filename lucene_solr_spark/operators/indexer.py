@@ -166,6 +166,22 @@ class InvertedIndex:
         )
 
 
+def partition_offsets(placed: DataFrame) -> dict:
+    """Per-partition cumulative row bases for an already-placed (range-
+    partitioned + locally sorted, persisted) DataFrame — the tiny collect of
+    the two-pass rank scheme, shared by :func:`assign_doc_ids` and
+    ``sampling.shard_assign`` so the cache-recompute/partition-id-stability
+    reasoning lives in one place."""
+    counts = (
+        placed.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
+    )
+    bases, acc = {}, 0
+    for row in counts:
+        bases[int(row["pid"])] = acc
+        acc += int(row["count"])
+    return bases
+
+
 def assign_doc_ids(df: DataFrame, order_cols=("conv_id", "turn_idx"), n_partitions: Optional[int] = None) -> DataFrame:
     """Assign globally stable dense doc_ids from the stable corpus order.
 
@@ -183,14 +199,7 @@ def assign_doc_ids(df: DataFrame, order_cols=("conv_id", "turn_idx"), n_partitio
     # the id-assignment pass (SQL plans do not reuse exchanges across actions)
     placed = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     placed = placed.persist()
-    counts = (
-        placed.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
-    )
-    bases = {}
-    acc = 0
-    for row in counts:
-        bases[row["pid"]] = acc
-        acc += row["count"]
+    bases = partition_offsets(placed)
 
     out_schema = "doc_id bigint, " + ", ".join(f"{f_.name} {f_.dataType.simpleString()}" for f_ in placed.schema.fields)
 

@@ -117,12 +117,14 @@ def temperature_mixture(
     partitioning and replays bit-exactly in SQL.
 
     Scale shape: ONE map-side-combinable ``groupBy(strata).count()`` collect
-    (|strata| rows — languages/hosts, never corpus-scale), thresholds become
-    literals in a pure Catalyst filter over the corpus — no shuffle, no RNG
-    state, pruning still reaches the scan.  Determinism note: thresholds are
-    computed driver-side in float64 with strata accumulated in sorted order,
-    so the only floating sum (``Σ n^tau``) has a pinned order on both sides
-    of the contract; ``tau=0.5`` uses IEEE-correctly-rounded sqrt.
+    (|strata| rows — the same driver footprint as a Lucene OrdinalMap), then
+    for few strata the thresholds become literals in a pure Catalyst filter
+    (zero exchanges, pruning reaches the scan); past 64 strata they ship as
+    a broadcast threshold table instead, keeping the Catalyst expression
+    flat for per-host corpora.  Determinism note: thresholds are computed
+    driver-side in float64 with strata accumulated in sorted order, so the
+    only floating sum (``Σ n^tau``) has a pinned order on both sides of the
+    contract; ``tau=0.5`` uses IEEE-correctly-rounded sqrt.
     """
     import math
 
@@ -148,10 +150,25 @@ def temperature_mixture(
         for s in sizes
     }
     h = sample_hash(F.col(id_col)) % F.lit(1_000_000)
-    cond = F.lit(False)
-    for s, p in ppm.items():
-        cond = cond | ((F.col(strata_col) == s) & (h < F.lit(p)))
-    return df.filter(cond)
+    if len(ppm) <= 64:
+        # few strata (languages, top-level sources): literal chained filter —
+        # zero exchanges, pruning reaches the scan (BENCH/PLANS.md §9)
+        cond = F.lit(False)
+        for s, p in ppm.items():
+            cond = cond | ((F.col(strata_col) == s) & (h < F.lit(p)))
+        return df.filter(cond)
+    # many strata (per-host corpora: millions of domains): a 10^6-deep Or
+    # chain would blow up Catalyst — broadcast the (stratum, ppm) threshold
+    # table instead; the semi-shaped inner join also drops unknown strata
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        list(ppm.items()), f"`{strata_col}` string, `_ppm` int"
+    )
+    return (
+        df.join(F.broadcast(th), strata_col)
+        .filter(h < F.col("_ppm"))
+        .drop("_ppm")
+    )
 
 
 def shard_assign(
@@ -176,17 +193,15 @@ def shard_assign(
         raise ValueError("shard_size must be >= 1")
     shard_size = int(shard_size)
     n = n_partitions or df.rdd.getNumPartitions() or 8
+    from .indexer import partition_offsets
+
     placed = (
         df.withColumn("_h", sample_hash(F.col(id_col)))
         .repartitionByRange(n, "_h", id_col)
         .sortWithinPartitions("_h", id_col)
         .persist()
     )
-    counts = placed.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
-    bases, acc = {}, 0
-    for row in counts:
-        bases[int(row["pid"])] = acc
-        acc += int(row["count"])
+    bases = partition_offsets(placed)
 
     out_schema = ", ".join(
         f"`{f_.name}` {f_.dataType.simpleString()}" for f_ in df.schema.fields

@@ -2854,6 +2854,8 @@ class IndexSearcher:
             & ((F.col("mm") <= 0) | (F.col("ns") >= F.col("mm")))
         )
         matched = agg.join(F.broadcast(meta), "query_id").filter(cond)
+        if self.index.deletes is not None:  # live-docs filter, as in search()
+            matched = matched.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             # dscore is NULL for FILTER-only matches — score 0.0, like the

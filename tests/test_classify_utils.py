@@ -187,6 +187,110 @@ def test_perceptron_mixing_deterministic(spark_corpus, index8):
     assert wa  # non-trivial vocabulary
 
 
+def test_perceptron_empty_doc_and_batch_timing(spark):
+    """A doc with no indexed terms must still advance the batch ordinal
+    (reference batchCount++), and classify() must emit output=0 for it."""
+    import pandas as pd
+
+    from lucene_solr_spark.operators.classify import BooleanPerceptronClassifier
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+
+    rows = [
+        ("c0", 0, "alpha alpha beta", True),
+        ("c1", 0, "...", False),  # tokenizes to nothing
+        ("c2", 0, "beta gamma", False),
+        ("c3", 0, "alpha gamma gamma", True),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "lbl"])
+    corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
+    idx = build_index(corpus, IndexConfig(n_partitions=2)).persist()
+    for bs in (1, 2):
+        p = BooleanPerceptronClassifier(idx, corpus, "lbl", batch_size=bs)
+        weights = {r["term"]: int(r["weight"]) for r in p.train(n_partitions=1).collect()}
+        brute_w, brute_bias, brute_out = _brute_perceptron(
+            corpus, idx, lambda did, _m={int(r["doc_id"]): r["lbl"] for r in corpus.collect()}: _m[did],
+            batch_size=bs,
+        )
+        assert weights == brute_w, f"batch_size={bs}"
+        got = {int(r["doc_id"]): int(r["output"]) for r in p.classify().collect()}
+        assert got == brute_out  # includes the empty doc at output 0
+
+
+def test_knn_batched_empty_text_target(spark):
+    """A target whose text tokenizes to nothing gets None from the batched
+    path, same as the single path (MatchNoDocsQuery short-circuit)."""
+    import pandas as pd
+
+    from lucene_solr_spark.operators.classify import KNearestNeighborClassifier
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    rows = [
+        ("c0", 0, "alpha beta", "x"),
+        ("c1", 0, "???", "y"),
+        ("c2", 0, "alpha gamma", "x"),
+        ("c3", 0, "beta gamma", "y"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "role"])
+    corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
+    s = IndexSearcher(build_index(corpus, IndexConfig(n_partitions=2)), corpus, prune_min_postings=0)
+    empty_id = next(int(r["doc_id"]) for r in corpus.collect() if r["text"] == "???")
+    other_id = next(int(r["doc_id"]) for r in corpus.collect() if r["text"] == "alpha beta")
+    knn = KNearestNeighborClassifier(s, "role", k=3)
+    res = knn.classify_docs_quantized([empty_id, other_id])
+    assert res[empty_id] is None
+    assert res[other_id] == knn.classify_doc_quantized(other_id)
+
+
+def test_bm25nb_null_class_and_missing_target(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.operators.classify import BM25NBClassifier
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    rows = [
+        ("c0", 0, "alpha beta", "x"),
+        ("c1", 0, "beta gamma", None),  # unlabeled row must not crash
+        ("c2", 0, "alpha gamma", "y"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "role"])
+    corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
+    s = IndexSearcher(build_index(corpus, IndexConfig(n_partitions=2)), corpus, prune_min_postings=0)
+    out = BM25NBClassifier(s, "role").classify([0, 999])  # 999 absent -> no row
+    assert [t for t, _, _ in out] == [0]
+    assert out[0][1] in ("x", "y")
+
+
+def test_temperature_mixture_many_strata_path(spark_corpus):
+    """>64 strata takes the broadcast-threshold join; results must equal the
+    literal-filter replay."""
+    import math
+
+    from lucene_solr_spark.operators.sampling import temperature_mixture
+
+    df = spark_corpus.withColumn("stratum", (F.col("doc_id") % 70).cast("string"))
+    kept = temperature_mixture(df, "stratum", tau=0.5, target_fraction=0.5)
+    got = set(r["doc_id"] for r in kept.select("doc_id").collect())
+    pdf = df.select("doc_id", "stratum").toPandas()
+    sizes = pdf.groupby("stratum").size().to_dict()
+    w = {s: math.sqrt(float(n)) for s, n in sizes.items()}
+    wt = 0.0
+    for s in sorted(w):
+        wt += w[s]
+    target = 0.5 * float(len(pdf))
+    ppm = {
+        s: int(math.floor(min(1.0, target * w[s] / (wt * sizes[s])) * 1_000_000))
+        for s in sizes
+    }
+    want = {
+        int(r.doc_id)
+        for r in pdf.itertuples()
+        if ((r.doc_id % P) * K) % P % 1_000_000 < ppm[r.stratum]
+    }
+    assert got == want
+
+
 def test_nearest_fuzzy_leaves_brute(searcher, spark_corpus):
     """Independent replay of NearestFuzzyQuery.rewrite: expansion set, f32
     boost/score chain, per-term and global caps, df fallback."""
