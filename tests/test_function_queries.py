@@ -91,6 +91,59 @@ def test_unsupported_function_raises(searcher):
         compile_function("geodist(1,2,3,4)", FunctionContext(searcher))
 
 
+def test_math_and_date_functions(spark, searcher):
+    import math
+
+    ctx = FunctionContext(searcher)
+    row = (
+        spark.range(1)
+        .select(
+            compile_function("sin(0.5)", ctx).alias("s"),
+            compile_function("atan2(1, 1)", ctx).alias("a2"),
+            compile_function("hypot(3, 4)", ctx).alias("h"),
+            compile_function("ceil(1.2)", ctx).alias("ce"),
+            compile_function("floor(1.8)", ctx).alias("fl"),
+            compile_function("rint(2.5)", ctx).alias("ri"),
+            compile_function("deg(pi())", ctx).alias("dg"),
+            compile_function("cbrt(27)", ctx).alias("cb"),
+            compile_function("tanh(0.25)", ctx).alias("th"),
+            compile_function("ms('2020-01-02', '2020-01-01')", ctx).alias("ms2"),
+        )
+        .collect()[0]
+    )
+    assert row["s"] == math.sin(0.5)
+    assert row["a2"] == math.atan2(1, 1)
+    assert row["h"] == 5.0 and row["ce"] == 2.0 and row["fl"] == 1.0
+    assert row["ri"] == 2.0  # Math.rint half-to-even
+    assert abs(row["dg"] - 180.0) < 1e-9 and abs(row["cb"] - 3.0) < 1e-12
+    assert row["th"] == math.tanh(0.25)
+    assert row["ms2"] == 86_400_000  # one day, timezone-independent
+    with pytest.raises(ValueError):
+        compile_function("ms()", ctx)  # NOW is nondeterministic
+
+
+def test_maxdoc_vs_numdocs(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.operators.indexer import IndexConfig, assign_doc_ids, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+    from lucene_solr_spark.plans.query import TermQuery
+
+    rows = [("c0", 0, "alpha beta"), ("c1", 0, "beta gamma"), ("c2", 0, "alpha gamma")]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
+    s = IndexSearcher(build_index(corpus, IndexConfig(n_partitions=2)), corpus, prune_min_postings=0)
+    ctx = FunctionContext(s)
+
+    def scalar(src):
+        return spark.range(1).select(compile_function(src, ctx).alias("v")).collect()[0]["v"]
+
+    assert scalar("maxdoc()") == 3 and scalar("numdocs()") == 3
+    s.delete_by_query(TermQuery("gamma"))
+    # maxDoc keeps counting deleted docs until merge reclaims them
+    assert scalar("maxdoc()") == 3 and scalar("numdocs()") == 1
+
+
 def test_search_after_pagination(searcher):
     hot = _hot(searcher)
     full = searcher.search(TermQuery(hot), 30).collect()
