@@ -2732,8 +2732,13 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
             f"bsc AS (SELECT t.doc_id AS doc_id, g.cls AS cls, "
             f"sum(t.tf * {_q20('ln(g.tp)')}) AS ll_q "
             "FROM btw t JOIN bgrid g ON t.term = g.term GROUP BY t.doc_id, g.cls)",
-            f"btot AS (SELECT bsc.doc_id AS doc_id, bsc.cls AS cls, p.prior_q + bsc.ll_q AS score "
-            f"FROM bsc JOIN (SELECT cls, {_q20('ln(cl)')} AS prior_q FROM ccl) p USING (cls))",
+            # present targets with no tokens keep the reference's prior-only
+            # row (empty token stream -> log-likelihood 0)
+            f"btgt AS (SELECT doc_id FROM documents WHERE doc_id IN ({_bm_targets}))",
+            f"bprior AS (SELECT cls, {_q20('ln(cl)')} AS prior_q FROM ccl)",
+            "btot AS (SELECT t.doc_id AS doc_id, p.cls AS cls, "
+            "p.prior_q + coalesce(b.ll_q, 0) AS score FROM btgt t CROSS JOIN bprior p "
+            "LEFT JOIN bsc b ON b.doc_id = t.doc_id AND b.cls = p.cls)",
         ],
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, cls, CAST(score AS BIGINT) AS score_q FROM "
         "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn FROM btot) "

@@ -358,8 +358,14 @@ class BM25NBClassifier:
         id_col = s.index.config.id_col
         targets = [int(t) for t in target_ids]
         # target docs' term/tf rows (k docs — driver-scale, like the
-        # reference's tokenize() of the input text)
-        dt = _doc_terms(s.corpus.filter(F.col(id_col).isin(targets)), s.index.config)
+        # reference's tokenize() of the input text); present ids fetched so
+        # a term-less doc still gets the reference's prior-only row
+        target_rows = s.corpus.filter(F.col(id_col).isin(targets)).persist()
+        present = {
+            int(r["doc_id"])
+            for r in target_rows.select(F.col(id_col).alias("doc_id")).collect()
+        }
+        dt = _doc_terms(target_rows, s.index.config)
         target_tf = [(int(r["doc_id"]), r["term"], int(r["tf"])) for r in dt.collect()]
         words = sorted({w for _, w, _ in target_tf})
         # class stats + the constant class-field leaf (dl = avgdl = tf = 1)
@@ -398,10 +404,11 @@ class BM25NBClassifier:
             return math.floor(float(np.float32(x)) * float(Q_SCALE))
 
         out = []
-        with_terms = {tid for tid, _, _ in target_tf}
         for t in targets:
-            if t not in with_terms or not cl:
-                continue  # absent/term-less target: no classification row
+            if t not in present or not cl:
+                continue  # absent target / unlabeled corpus: no row
+            # a term-less target falls through with prior-only scores, like
+            # the reference's empty token stream (assignClassNormalizedList)
             best = None
             for c in sorted(cl):
                 score = q20(math.log(cl[c]))  # prior
@@ -641,16 +648,19 @@ class BooleanPerceptronClassifier:
             batch_count = 0
             for _, doc in pdf.groupby("doc_id", sort=True):
                 output = 0
+                # skip the term-less doc's null row AND out-of-vocabulary
+                # terms (null _w0 from the left join — a corpus newer than
+                # the index); the doc itself still advances batch_count
                 for t, tf, w0 in zip(doc["term"], doc["tf"], doc["_w0"]):
-                    if not isinstance(t, str):
-                        continue  # term-less doc's null row
+                    if not isinstance(t, str) or pd.isna(w0):
+                        continue
                     output += int(tf) * (int(w0) + fst.get(t, 0))
                 assigned = output >= bias
                 correct = bool(doc["_lbl"].iloc[0])
                 modifier = (correct > assigned) - (correct < assigned)
                 if modifier != 0:
-                    for t, tf in zip(doc["term"], doc["tf"]):
-                        if not isinstance(t, str):
+                    for t, tf, w0 in zip(doc["term"], doc["tf"], doc["_w0"]):
+                        if not isinstance(t, str) or pd.isna(w0):
                             continue
                         cur[t] = cur.get(t, 0) + modifier * int(tf)
                     if batch_count % batch_size == 0:

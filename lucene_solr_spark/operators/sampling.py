@@ -159,15 +159,25 @@ def temperature_mixture(
         return df.filter(cond)
     # many strata (per-host corpora: millions of domains): a 10^6-deep Or
     # chain would blow up Catalyst — broadcast the (stratum, ppm) threshold
-    # table instead; the semi-shaped inner join also drops unknown strata
+    # table instead; the semi-shaped inner join also drops unknown strata.
+    # The threshold table carries the strata column's OWN type, and the
+    # output re-selects df's columns so both paths return the same shape.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     spark = df.sparkSession
     th = spark.createDataFrame(
-        list(ppm.items()), f"`{strata_col}` string, `_ppm` int"
+        list(ppm.items()),
+        StructType(
+            [
+                StructField(strata_col, df.schema[strata_col].dataType),
+                StructField("__tm_ppm", IntegerType()),
+            ]
+        ),
     )
     return (
         df.join(F.broadcast(th), strata_col)
-        .filter(h < F.col("_ppm"))
-        .drop("_ppm")
+        .filter(h < F.col("__tm_ppm"))
+        .select(*df.columns)
     )
 
 

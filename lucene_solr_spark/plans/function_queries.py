@@ -338,11 +338,16 @@ def _compile(node, ctx: FunctionContext) -> Column:
             return F.unix_millis(c(0).cast("timestamp"))
         if len(a) == 2:
             return F.unix_millis(c(0).cast("timestamp")) - F.unix_millis(c(1).cast("timestamp"))
-        raise ValueError("ms() without arguments is nondeterministic (NOW)")
+        if len(a) == 0:
+            raise ValueError("ms() without arguments is nondeterministic (NOW)")
+        raise ValueError(f"ms() takes 1 or 2 arguments, got {len(a)}")
     if name == "maxdoc":
         # maxDoc counts deleted docs until merge reclaims them, like Lucene
         return F.lit(int(sr.index.doc_count))
     if name == "numdocs":
+        # stats bind at compile time, like every index-coupled constant here
+        # (docfreq/idf collect during compile too — the Weight-construction
+        # step); recompile after deletes to observe them
         live = int(sr.index.doc_count)
         if sr.index.deletes is not None:
             live -= int(sr.index.deletes.count())

@@ -253,13 +253,18 @@ def test_bm25nb_null_class_and_missing_target(spark):
         ("c0", 0, "alpha beta", "x"),
         ("c1", 0, "beta gamma", None),  # unlabeled row must not crash
         ("c2", 0, "alpha gamma", "y"),
+        ("c3", 0, "...", "x"),  # term-less doc -> reference's prior-only row
     ]
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "role"])
     corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
     s = IndexSearcher(build_index(corpus, IndexConfig(n_partitions=2)), corpus, prune_min_postings=0)
-    out = BM25NBClassifier(s, "role").classify([0, 999])  # 999 absent -> no row
-    assert [t for t, _, _ in out] == [0]
-    assert out[0][1] in ("x", "y")
+    empty_id = next(int(r["doc_id"]) for r in corpus.collect() if r["text"] == "...")
+    out = BM25NBClassifier(s, "role").classify([0, empty_id, 999])  # 999 absent -> no row
+    assert [t for t, _, _ in out] == sorted([0, empty_id])
+    by_id = {t: (c, sc) for t, c, sc in out}
+    assert by_id[0][0] in ("x", "y")
+    # the term-less doc classifies by prior alone: argmax_c q20(ln(cl_c))
+    assert by_id[empty_id][0] in ("x", "y")
 
 
 def test_temperature_mixture_many_strata_path(spark_corpus):
