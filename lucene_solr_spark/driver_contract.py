@@ -235,6 +235,9 @@ KNN_TARGETS = (7, 11, 23, 42)
 # dictionary terms, plus one exact term to exercise the df_src > 0 path)
 KNN_FUZZY_TEXTS = ("scann merg", "keey stream", "sortt dupp")
 
+# FuzzyLikeThisQuery contract input (maxEdits=2 suffix distances)
+FLT_TEXT = "scann keey"
+
 # concave pentagon + rectangular hole for the polygon contract query —
 # vertices shared verbatim by the Spark predicate and the SQL oracle
 POLY_LATS = [-50.0, 60.0, -10.0, 60.0, -50.0]
@@ -840,6 +843,21 @@ def ft_queries() -> dict:
         return spark.createDataFrame(rows, "doc_id long, cls string, score_q long")
 
     q["cls_bm25nb"] = cls_bm25nb
+
+    def ft_flt(spark, sf_dir):
+        """FuzzyLikeThisQuery (``reference lucene/sandbox/.../queries/
+        FuzzyLikeThisQuery.java``) with ignoreTF: variants of two misspelled
+        terms at maxEdits=2/prefix=2, each clause a constant-score TermQuery
+        boosted by f32(boost² · classic_idf) — top-10."""
+        from lucene_solr_spark.operators.classify import fuzzy_like_this_search
+
+        s = doc_searcher(spark, sf_dir)
+        top = fuzzy_like_this_search(
+            s, FLT_TEXT, 10, max_edits=2, prefix_length=2, ignore_tf=True
+        )
+        return _ranked(top)
+
+    q["ft_flt"] = ft_flt
 
     def _itv(terms, ordered, max_gaps):
         def fn(spark, sf_dir):
@@ -2707,6 +2725,42 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
         + " UNION ALL ".join(_nf_parts)
         + ") ORDER BY query_id",
     )
+
+    # FuzzyLikeThisQuery (ignoreTF): NearestFuzzy variant selection at
+    # maxEdits=2, then constant-score presence sum of the f32 st boosts
+    _flt_ctes, _flt_parts = [], []
+    for _i, _t in enumerate(_re.findall("[a-z0-9]+", FLT_TEXT.lower())):
+        _pre, _suf, _n = _t[:2], _t[2:], len(_t)
+        _lev = f"levenshtein(substring(term, 3), '{_suf}')"
+        _div = _R(f"CAST({_lev} AS REAL) / CAST(least(length(term), {_n}) AS REAL)")
+        _b = (
+            f"CASE WHEN term = '{_t}' THEN CAST(1.0 AS REAL) ELSE "
+            + _R(f"1.0 - {_div}")
+            + " END"
+        )
+        _flt_ctes += [
+            f"flc{_i} AS (SELECT term, df, {_b} AS b FROM dfreq "
+            f"WHERE substring(term, 1, 2) = '{_pre}' AND {_lev} <= 2)",
+            f"fld{_i} AS (SELECT CASE WHEN max(CASE WHEN term = '{_t}' THEN df END) > 0 "
+            f"THEN max(CASE WHEN term = '{_t}' THEN df END) "
+            f"ELSE CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT) END AS dfu FROM flc{_i})",
+            f"fls{_i} AS (SELECT term, "
+            + _R(
+                _R("b * b")
+                + " * "
+                + _R(f"ln(((SELECT n FROM st) + 1) / ((SELECT dfu FROM fld{_i}) + 1.0)) + 1.0")
+            )
+            + f" AS stv FROM (SELECT term, b FROM flc{_i} ORDER BY b DESC, term ASC LIMIT 50))",
+        ]
+        _flt_parts.append(f"SELECT term, stv FROM fls{_i}")
+    _flt_ctes += [
+        "fll AS (SELECT term, stv FROM (" + " UNION ALL ".join(_flt_parts) + ") "
+        "ORDER BY stv DESC, term ASC LIMIT 300)",
+        "flsc AS (SELECT tf.doc_id AS doc_id, "
+        "CAST(sum(CAST(lv.stv AS DOUBLE)) AS REAL) AS score "
+        "FROM tf JOIN fll lv USING (term) GROUP BY tf.doc_id)",
+    ]
+    o["ft_flt"] = _with(_flt_ctes, _topk_sql("SELECT doc_id, score FROM flsc"))
 
     # BM25-NB classifier: class-field leaf is a per-class constant
     # (dl = avgdl = tf = 1 -> cache 1.2f); termProb(c, w) = f32(cl_c +

@@ -431,7 +431,14 @@ _NF_PREFIX = 2
 _NF_MAX_EDITS = 1
 
 
-def nearest_fuzzy_leaves(searcher, text: str) -> list:
+def nearest_fuzzy_leaves(
+    searcher,
+    text: str,
+    max_edits: int = _NF_MAX_EDITS,
+    prefix_length: int = _NF_PREFIX,
+    max_num_terms: int = _NF_MAX_TERMS,
+    df_one_weight: bool = True,
+) -> list:
     """NearestFuzzyQuery.rewrite (``reference .../classification/utils/
     NearestFuzzyQuery.java:120-210``): analyze ``text``; per distinct token,
     fuzzy-expand against the term dictionary (maxEdits=1 beyond an exact
@@ -461,10 +468,11 @@ def nearest_fuzzy_leaves(searcher, text: str) -> list:
             tokens.append(t)
     if not tokens:
         return []
-    prefixes = sorted({t[:_NF_PREFIX] for t in tokens})
+    prefix_length, max_edits = int(prefix_length), int(max_edits)
+    prefixes = sorted({t[:prefix_length] for t in tokens})
     rows = (
         searcher.index.terms.filter(
-            F.substring("term", 1, _NF_PREFIX).isin(prefixes)
+            F.substring("term", 1, prefix_length).isin(prefixes)
         )
         .select("term", "df")
         .collect()
@@ -474,7 +482,7 @@ def nearest_fuzzy_leaves(searcher, text: str) -> list:
 
     global_cands = []
     for src in tokens:
-        pre = src[:_NF_PREFIX]
+        pre = src[:prefix_length]
         suffix = src[len(pre):]
         variants, df_src, total_df, n_var = [], 0, 0, 0
         for r in rows:
@@ -482,7 +490,7 @@ def nearest_fuzzy_leaves(searcher, text: str) -> list:
             if not term.startswith(pre):
                 continue
             ed = levenshtein(term[len(pre):], suffix)
-            if ed > _NF_MAX_EDITS:
+            if ed > max_edits:
                 continue
             n_var += 1
             total_df += int(r["df"])
@@ -504,11 +512,39 @@ def nearest_fuzzy_leaves(searcher, text: str) -> list:
             st = float(np.float32(np.float32(b32 * b32) * idf_src))
             global_cands.append((st, term, src))
     global_cands.sort(key=lambda x: (-x[0], x[1]))
+    if not df_one_weight:
+        # ignoreTF path (FuzzyLikeThisQuery): the clause boost IS the score
+        return [(src, term, st) for st, term, src in global_cands[:max_num_terms]]
     idf1 = _bm25.idf(1, n_docs)  # newTermQuery's forced df=ttf=1 stats
     return [
         (src, term, float(np.float32(np.float32(st) * idf1)))
-        for st, term, src in global_cands[:_NF_MAX_TERMS]
+        for st, term, src in global_cands[:max_num_terms]
     ]
+
+
+def _leaf_slots(leaves) -> list:
+    """Pack (src, term, w) leaves into weight dicts with unique terms per
+    slot, so duplicate variant terms stay separate SHOULD clauses."""
+    slots: list = []
+    for _, term, w in leaves:
+        for slot in slots:
+            if term not in slot:
+                slot[term] = w
+                break
+        else:
+            slots.append({term: w})
+    return slots
+
+
+def _sum_leaf_scores(searcher, scored, k: int):
+    """Double-sum per doc (DisjunctionSumScorer), live-docs filter, top-k."""
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+    )
+    if searcher.index.deletes is not None:  # live-docs filter, as in search()
+        agg = agg.join(searcher.index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def nearest_fuzzy_search(searcher, text: str, k: int = 10):
@@ -519,25 +555,53 @@ def nearest_fuzzy_search(searcher, text: str, k: int = 10):
     leaves = nearest_fuzzy_leaves(searcher, text)
     if not leaves:
         return searcher._empty().orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    slots: list = []
-    for _, term, w in leaves:
-        for slot in slots:
-            if term not in slot:
-                slot[term] = w
-                break
-        else:
-            slots.append({term: w})
     scored = None
-    for slot in slots:
+    for slot in _leaf_slots(leaves):
         part = searcher._scored_postings(slot).select("doc_id", "score")
         scored = part if scored is None else scored.unionByName(part)
-    agg = (
-        scored.groupBy("doc_id")
-        .agg(F.sum(F.col("score").cast("double")).cast("float").alias("score"))
+    return _sum_leaf_scores(searcher, scored, k)
+
+
+def fuzzy_like_this_search(
+    searcher,
+    text: str,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 2,
+    max_num_terms: int = 300,
+    ignore_tf: bool = False,
+):
+    """FuzzyLikeThisQuery — ``reference lucene/sandbox/src/java/org/apache/
+    lucene/sandbox/queries/FuzzyLikeThisQuery.java`` (NearestFuzzyQuery's
+    ancestor, with per-call fuzzy parameters and the ``ignoreTF`` option).
+
+    Variant selection and scoring are NearestFuzzyQuery's (:195-205 — the
+    shared ``st = f32(boost² · classic_idf(df_src))``).  With ``ignore_tf``
+    each rewritten clause is ``ConstantScoreQuery(TermQuery)`` boosted by
+    ``st`` (:214-217), so a doc scores the float sum of its matched leaves'
+    ``st`` regardless of tf/norm; otherwise the df=1 BM25 leaves apply, as
+    in :func:`nearest_fuzzy_search`."""
+    leaves = nearest_fuzzy_leaves(
+        searcher, text, max_edits, prefix_length, max_num_terms,
+        df_one_weight=not ignore_tf,
     )
-    if searcher.index.deletes is not None:  # live-docs filter, as in search()
-        agg = agg.join(searcher.index.deletes.select("doc_id"), "doc_id", "left_anti")
-    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if not leaves:
+        return searcher._empty().orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    spark = searcher.index.postings.sparkSession
+    scored = None
+    for slot in _leaf_slots(leaves):
+        if ignore_tf:
+            base = searcher._scored_postings({t: 1.0 for t in slot}).select("doc_id", "term")
+            wdf = spark.createDataFrame(
+                [(t, float(w)) for t, w in slot.items()], "term string, _w float"
+            )
+            part = base.join(F.broadcast(wdf), "term").select(
+                "doc_id", F.col("_w").alias("score")
+            )
+        else:
+            part = searcher._scored_postings(slot).select("doc_id", "score")
+        scored = part if scored is None else scored.unionByName(part)
+    return _sum_leaf_scores(searcher, scored, k)
 
 
 class KNearestFuzzyClassifier:

@@ -349,6 +349,36 @@ def test_nearest_fuzzy_leaves_brute(searcher, spark_corpus):
     assert all(t[:2] in ("ve", "nu") for _, t, _ in got)  # qzqzq expands to nothing
 
 
+def test_fuzzy_like_this_ignore_tf_brute(searcher, spark_corpus):
+    """FLT ignoreTF: doc score == float sum of matched constant-score leaf
+    boosts, independent of tf/norm; parameterized leaves at maxEdits=2."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.classify import (
+        fuzzy_like_this_search,
+        nearest_fuzzy_leaves,
+    )
+
+    text = "vecodu numma"
+    leaves = nearest_fuzzy_leaves(
+        searcher, text, max_edits=2, prefix_length=2, df_one_weight=False
+    )
+    assert leaves and all(w > 0 for _, _, w in leaves)
+    top = fuzzy_like_this_search(
+        searcher, text, 10, max_edits=2, prefix_length=2, ignore_tf=True
+    ).collect()
+    assert top
+    analyzer = searcher.index.config.analyzer
+    texts = {int(r["doc_id"]): r["text"] for r in spark_corpus.select("doc_id", "text").collect()}
+    for r in top:
+        toks = set(analyzer.tokens(texts[int(r["doc_id"])]))
+        want = float(np.float32(sum(float(w) for _, t, w in leaves if t in toks)))
+        assert r["score"] == want
+    # maxEdits=2 admits suffix-distance-2 variants a maxEdits=1 pass rejects
+    l1 = nearest_fuzzy_leaves(searcher, text, max_edits=1, df_one_weight=False)
+    assert {t for _, t, _ in l1} <= {t for _, t, _ in leaves}
+
+
 def test_knn_fuzzy_classifier_deterministic(searcher):
     from lucene_solr_spark.operators.classify import KNearestFuzzyClassifier
 
