@@ -2679,7 +2679,9 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
     for _j, _text in enumerate(KNN_FUZZY_TEXTS):
         _tok_parts = []
         for _i, _t in enumerate(_re.findall("[a-z0-9]+", _text.lower())):
-            _pre, _suf, _n = _t[:2], _t[2:], len(_t)
+            # effective prefix min(2, |token|), as FuzzyTermsEnum realPrefixLength
+            _pl = min(2, len(_t))
+            _pre, _suf, _n = _t[:_pl], _t[_pl:], len(_t)
             _b = (
                 f"CASE WHEN term = '{_t}' THEN CAST(1.0 AS REAL) ELSE "
                 + _R(f"1.0 - {_R(f'CAST(1 AS REAL) / CAST(least(length(term), {_n}) AS REAL)')}")
@@ -2687,8 +2689,8 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
             )
             _nf_ctes += [
                 f"nfc{_j}_{_i} AS (SELECT term, df, {_b} AS b FROM dfreq "
-                f"WHERE substring(term, 1, 2) = '{_pre}' "
-                f"AND levenshtein(substring(term, 3), '{_suf}') <= 1)",
+                f"WHERE substring(term, 1, {_pl}) = '{_pre}' "
+                f"AND levenshtein(substring(term, {_pl + 1}), '{_suf}') <= 1)",
                 # df_src > 0 wins; else integer mean of ALL variant dfs (:185-193)
                 f"nfd{_j}_{_i} AS (SELECT CASE WHEN max(CASE WHEN term = '{_t}' THEN df END) > 0 "
                 f"THEN max(CASE WHEN term = '{_t}' THEN df END) "
@@ -2730,8 +2732,9 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
     # maxEdits=2, then constant-score presence sum of the f32 st boosts
     _flt_ctes, _flt_parts = [], []
     for _i, _t in enumerate(_re.findall("[a-z0-9]+", FLT_TEXT.lower())):
-        _pre, _suf, _n = _t[:2], _t[2:], len(_t)
-        _lev = f"levenshtein(substring(term, 3), '{_suf}')"
+        _pl = min(2, len(_t))
+        _pre, _suf, _n = _t[:_pl], _t[_pl:], len(_t)
+        _lev = f"levenshtein(substring(term, {_pl + 1}), '{_suf}')"
         _div = _R(f"CAST({_lev} AS REAL) / CAST(least(length(term), {_n}) AS REAL)")
         _b = (
             f"CASE WHEN term = '{_t}' THEN CAST(1.0 AS REAL) ELSE "
@@ -2740,7 +2743,7 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
         )
         _flt_ctes += [
             f"flc{_i} AS (SELECT term, df, {_b} AS b FROM dfreq "
-            f"WHERE substring(term, 1, 2) = '{_pre}' AND {_lev} <= 2)",
+            f"WHERE substring(term, 1, {_pl}) = '{_pre}' AND {_lev} <= 2)",
             f"fld{_i} AS (SELECT CASE WHEN max(CASE WHEN term = '{_t}' THEN df END) > 0 "
             f"THEN max(CASE WHEN term = '{_t}' THEN df END) "
             f"ELSE CAST(floor(sum(df) * 1.0 / count(*)) AS BIGINT) END AS dfu FROM flc{_i})",

@@ -247,8 +247,12 @@ class KNearestNeighborClassifier:
         max_score = max(float(h["score"]) for h in hits)
         agg: dict = {}
         for h in hits:
+            if h["cls"] is None:
+                continue  # ref skips hits without a class field (storableField != null)
             q = math.floor(float(h["score"]) / max_score * Q_SCALE)
             agg[h["cls"]] = agg.get(h["cls"], 0) + q
+        if not agg:
+            return None
         return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
 
     def classify_docs_quantized(self, doc_ids) -> dict:
@@ -307,9 +311,11 @@ class KNearestNeighborClassifier:
             max_score = max(float(h["score"]) for h in rows)
             agg: dict = {}
             for h in rows:
+                if h["cls"] is None:
+                    continue  # ref skips hits without a class field
                 q = math.floor(float(h["score"]) / max_score * Q_SCALE)
                 agg[h["cls"]] = agg.get(h["cls"], 0) + q
-            out[t] = max(agg.items(), key=lambda kv: (kv[1], kv[0]))
+            out[t] = max(agg.items(), key=lambda kv: (kv[1], kv[0])) if agg else None
         return out
 
 
@@ -446,10 +452,16 @@ def nearest_fuzzy_leaves(
     boost ``1 − ed/min(|t|,|q|)`` (f32, exact match → 1.0); score each kept
     variant ``f32(f32(boost²) · classic_idf(df_src))`` where ``df_src`` is
     the source token's df, or the integer mean of the variants' dfs when the
-    source is unindexed (:185-193); keep the global top-300 by score.  The
-    rewritten query is a flat SHOULD of BoostQuery(TermQuery(variant)) whose
-    term states force ``df = ttf = 1`` (:159-172 newTermQuery), so each
-    leaf's BM25 weight is ``f32(score · idf(df=1))``.
+    source is unindexed (:185-193); keep the global top-300 by score.  Each
+    leaf is a BoostQuery(TermQuery(variant)) whose term states force
+    ``df = ttf = 1`` (:159-172 newTermQuery), so each leaf's BM25 weight is
+    ``f32(score · idf(df=1))``.  Accepted deviation: the reference nests
+    multi-variant sources in per-source BooleanQueries (:205-209), whose
+    inner float32-rounded sums can differ by ulps from this engine's single
+    per-doc double-sum when one source contributes several matching variants
+    to the same doc; idf uses the live-doc count (numDocs), matching the
+    reference, so the paths agree exactly on delete-free indexes with
+    single-variant matches — the contract corpus's case.
 
     Returns [(source_token, variant_term, leaf_weight_f32)] — one row per
     SHOULD clause (the same variant reached from two sources stays two
@@ -469,20 +481,31 @@ def nearest_fuzzy_leaves(
     if not tokens:
         return []
     prefix_length, max_edits = int(prefix_length), int(max_edits)
-    prefixes = sorted({t[:prefix_length] for t in tokens})
+    # per-token effective prefix min(prefix_length, |token|), as in
+    # FuzzyTermsEnum.java:129 realPrefixLength — a token shorter than the
+    # configured prefix still reaches longer terms sharing its full text
+    by_len: dict = {}
+    for t in tokens:
+        pre = t[: min(prefix_length, len(t))]
+        by_len.setdefault(len(pre), set()).add(pre)
+    cond = None
+    for plen, pres in sorted(by_len.items()):
+        c = F.substring("term", 1, plen).isin(sorted(pres))
+        cond = c if cond is None else (cond | c)
     rows = (
-        searcher.index.terms.filter(
-            F.substring("term", 1, prefix_length).isin(prefixes)
-        )
+        searcher.index.terms.filter(cond)
         .select("term", "df")
         .collect()
     )
+    # live-doc count, as NearestFuzzyQuery.java:150 reader.numDocs()
     n_docs = searcher.index.doc_count
+    if searcher.index.deletes is not None:
+        n_docs -= int(searcher.index.deletes.count())
     import numpy as np
 
     global_cands = []
     for src in tokens:
-        pre = src[:prefix_length]
+        pre = src[: min(prefix_length, len(src))]
         suffix = src[len(pre):]
         variants, df_src, total_df, n_var = [], 0, 0, 0
         for r in rows:
@@ -636,8 +659,12 @@ class KNearestFuzzyClassifier:
         max_score = max(float(h["score"]) for h in hits)
         agg: dict = {}
         for h in hits:
+            if h["cls"] is None:
+                continue  # ref skips hits without a class field (storableField != null)
             q = math.floor(float(h["score"]) / max_score * Q_SCALE)
             agg[h["cls"]] = agg.get(h["cls"], 0) + q
+        if not agg:
+            return None
         return max(agg.items(), key=lambda kv: (kv[1], kv[0]))
 
 
@@ -655,8 +682,15 @@ class BooleanPerceptronClassifier:
       only on a misclassified doc whose ordinal hits the batch boundary
       (``batchCount % batchSize == 0``, :135-160) — weight updates land in
       the live map immediately but scoring lags until the next refresh;
-    - on misclassification every distinct doc term gets ``w[t] += modifier ·
-      tf(t, doc)`` with ``modifier = correct.compareTo(assigned)`` (:151-199).
+    - on misclassification every distinct doc term is OVERWRITTEN with
+      ``w[t] = max(0, fst[t] + modifier · tf(t, doc))`` where ``fst[t]`` is
+      the *stale snapshot* value and ``modifier = correct.compareTo(assigned)``
+      (:174-180 ``weights.put(term, max(0, previousValue + modifier*tf))``) —
+      so within a batch window, later updates to the same term replace
+      earlier ones (both derive from the same snapshot) and weights clamp
+      at zero.  With ``batch_size=1`` the snapshot refreshes after every
+      misclassified doc, making overwrite equivalent to accumulation except
+      for the zero clamp, which applies at every batch size.
 
     All arithmetic is integer (the reference stores longs in the FST), so
     the loop replays bit-exactly — pinned by a brute-force pytest.
@@ -726,7 +760,10 @@ class BooleanPerceptronClassifier:
                     for t, tf, w0 in zip(doc["term"], doc["tf"], doc["_w0"]):
                         if not isinstance(t, str) or pd.isna(w0):
                             continue
-                        cur[t] = cur.get(t, 0) + modifier * int(tf)
+                        # snapshot-read + overwrite + clamp (ref :174-180):
+                        # absolute new = max(0, (w0 + fst_delta) + m*tf);
+                        # in delta space that is max(-w0, fst_delta + m*tf)
+                        cur[t] = max(-int(w0), fst.get(t, 0) + modifier * int(tf))
                     if batch_count % batch_size == 0:
                         fst = dict(cur)  # refresh fires even term-less (ref)
                 batch_count += 1

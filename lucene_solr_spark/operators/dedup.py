@@ -313,6 +313,7 @@ def simhash_near_pairs(
     bits: int = 64,
     n_blocks: int = 6,
     key_blocks: int = 3,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Manku-style block-combination SimHash probing
     (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
@@ -332,9 +333,20 @@ def simhash_near_pairs(
     the within-bucket self-join stays linear until corpora far beyond 10^9
     docs — unlike half-fingerprint banding whose 2^16 buckets go quadratic at
     ~10^8.  The shuffle carries C(6,3)=20 rows per doc, each ~24 bytes.
-    """
-    from itertools import combinations
 
+    Oversized-bucket guard (``collapse_identical=True``, default): the one
+    way a ~2^32-key bucket still goes quadratic is a flood of IDENTICAL
+    fingerprints (boilerplate/exact dupes land on every probe key together).
+    The guard runs the banded join over DISTINCT fingerprints only (one
+    min-representative per fingerprint), then expands fingerprint-level
+    pairs back to doc pairs and emits identical-fingerprint pairs (hamming
+    0) from a fingerprint-keyed equi-join.  Candidate volume becomes
+    O(distinct_fps per bucket)², independent of duplication skew; the
+    remaining per-fingerprint work is proportional to the OUTPUT pair count,
+    which no pair-emitting operator can beat (collapse such groups with
+    :func:`duplicate_components` downstream).  Output is row-identical to
+    the direct path (pinned by a pytest).
+    """
     blocks = simhash_blocks(bits, n_blocks)
     if max_hamming > n_blocks - key_blocks:
         raise ValueError(
@@ -342,25 +354,9 @@ def simhash_near_pairs(
             f"= {n_blocks - key_blocks}; raise n_blocks or lower max_hamming"
         )
     sh = simhash(docs, bits)
-    # all C(n_blocks, key_blocks) probe keys in ONE projection + explode —
-    # a 20-way union of selects over a persisted df costs 20 cached reads
-    # (and leaks the cache); the explode is a single scan and pure codegen
-    entries = []
-    for t, combo in enumerate(combinations(range(n_blocks), key_blocks)):
-        key = F.lit(0).cast("long")
-        for bi in combo:
-            off, size = blocks[bi]
-            val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
-            key = F.shiftleft(key, size).bitwiseOR(val)
-        entries.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
-    all_bands = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*entries)).alias("bk")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-    )
+    if collapse_identical:
+        return _simhash_pairs_collapsed(sh, max_hamming, blocks, n_blocks, key_blocks)
+    all_bands = _simhash_band_keys(sh, blocks, n_blocks, key_blocks)
     a = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     b = all_bands.select("band", "band_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     cand = a.join(b, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))
@@ -371,6 +367,76 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def _simhash_band_keys(sh: DataFrame, blocks, n_blocks: int, key_blocks: int) -> DataFrame:
+    """All C(n_blocks, key_blocks) probe keys in ONE projection + explode —
+    a 20-way union of selects over a persisted df costs 20 cached reads
+    (and leaks the cache); the explode is a single scan and pure codegen."""
+    from itertools import combinations
+
+    entries = []
+    for t, combo in enumerate(combinations(range(n_blocks), key_blocks)):
+        key = F.lit(0).cast("long")
+        for bi in combo:
+            off, size = blocks[bi]
+            val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << size) - 1))
+            key = F.shiftleft(key, size).bitwiseOR(val)
+        entries.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
+    return sh.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def _simhash_pairs_collapsed(
+    sh: DataFrame, max_hamming: int, blocks, n_blocks: int, key_blocks: int
+) -> DataFrame:
+    """Oversized-bucket-guarded pair generation: banded join over one
+    representative per DISTINCT fingerprint, fingerprint-level pairs
+    expanded back to doc pairs, identical-fingerprint (hamming 0) pairs
+    from a fingerprint-keyed equi-join.  Row-identical to the direct path;
+    candidate volume is quadratic only in distinct fingerprints per bucket,
+    never in duplication skew."""
+    reps = sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs")
+    )
+    rep_bands = _simhash_band_keys(reps.select("doc_id", "simhash"), blocks, n_blocks, key_blocks)
+    a = rep_bands.select("band", "band_key", F.col("doc_id").alias("rep_a"), F.col("simhash").alias("fp_a"))
+    b = rep_bands.select("band", "band_key", F.col("doc_id").alias("rep_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    fp_pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("fp_a", "fp_b", "hamming")
+        .distinct()
+    )
+    # cross-fingerprint expansion: each doc belongs to exactly one
+    # fingerprint, so expanding a distinct fp pair yields unique doc pairs
+    cross = (
+        fp_pairs.join(sh.select(F.col("simhash").alias("fp_a"), F.col("doc_id").alias("da")), "fp_a")
+        .join(sh.select(F.col("simhash").alias("fp_b"), F.col("doc_id").alias("db")), "fp_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    dup_fps = reps.filter(F.col("n_docs") > 1).select("simhash")
+    dup_docs = sh.join(dup_fps, "simhash")
+    identical = (
+        dup_docs.select("simhash", F.col("doc_id").alias("doc_a"))
+        .join(dup_docs.select("simhash", F.col("doc_id").alias("doc_b")), "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(identical)
 
 
 def duplicate_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:

@@ -141,7 +141,10 @@ def _brute_perceptron(spark_corpus, index8, label_of, batch_size=1):
         modifier = (correct > assigned) - (correct < assigned)
         if modifier != 0:
             for t, tf in counts.items():
-                w[t] = w.get(t, 0) + modifier * tf
+                # reference :174-180: read the STALE fst snapshot, overwrite
+                # the live map with max(0, snapshot + modifier*tf) — later
+                # same-term updates within a batch window replace, not add
+                w[t] = max(0, fst.get(t, 0) + modifier * tf)
             if batch_count % batch_size == 0:
                 fst = dict(w)
         batch_count += 1

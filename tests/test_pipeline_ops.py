@@ -135,6 +135,39 @@ def test_simhash_near_pairs_no_missed_pair(spark):
     assert got == want
 
 
+def test_simhash_oversized_bucket_guard_identical_output(spark):
+    """The collapse_identical guard (banded join over distinct fingerprints,
+    expanded back) must be row-identical to the direct path — including on a
+    corpus with heavy exact-duplicate skew, the case the guard exists for."""
+    from lucene_solr_spark.operators.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(40)]
+    base = list(rng.choice(words, size=25))
+    rows = [(i, " ".join(base)) for i in range(30)]  # 30 exact dupes: one fp floods
+    did = 30
+    for _ in range(8):  # near copies at small mutation counts
+        t = list(base)
+        for _ in range(int(rng.integers(1, 3))):
+            t[int(rng.integers(0, len(t)))] = str(rng.choice(words))
+        rows.append((did, " ".join(t)))
+        did += 1
+    for _ in range(10):  # unrelated docs
+        rows.append((did, " ".join(rng.choice(words, size=25))))
+        did += 1
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    direct = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=3, collapse_identical=False).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=3, collapse_identical=True).collect()
+    }
+    assert 30 * 29 // 2 <= len(direct)  # the flood really is in the answer set
+    assert guarded == direct
+
+
 @pytest.fixture(scope="module")
 def embs(spark):
     rng = np.random.default_rng(7)
