@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.hashing import MINHASH_A, MINHASH_B, N_MINHASH, P_MOD
+from .functions.hashing import LSH_BANDS, MINHASH_A, MINHASH_B, N_MINHASH, P_MOD
 
 # --------------------------------------------------------------------------
 # shared oracle SQL fragments
@@ -328,7 +328,7 @@ def pipeline_queries() -> dict:
         """Dedup survivor selection: min-label components of the MinHash-LSH
         candidate graph, survivor = highest n_chars (ties -> lowest id)."""
         docs = _docs(spark, sf_dir)
-        pairs = dedup.minhash_lsh_pairs(docs)
+        pairs = dedup.minhash_lsh_pairs(docs, n_bands=LSH_BANDS, n_perms=N_MINHASH)
         comp = dedup.duplicate_components(pairs)
         quality = docs.select("doc_id", F.length("text").cast("long").alias("nch"))
         out = dedup.select_survivors(comp, quality, "nch")
@@ -399,7 +399,7 @@ def pipeline_queries() -> dict:
     q["ta_redact"] = ta_redact
 
     def dd_minhash_sigs(spark, sf_dir):
-        sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
+        sigs = dedup.minhash_signatures(_docs(spark, sf_dir).filter(F.col("doc_id") < 50), n_perms=N_MINHASH)
         return sigs.select("doc_id", *[F.col(f"sig_{i}").cast("long") for i in range(N_MINHASH)]).orderBy(
             "doc_id"
         )
@@ -407,7 +407,7 @@ def pipeline_queries() -> dict:
     q["dd_minhash_sigs"] = dd_minhash_sigs
 
     def dd_minhash_lsh(spark, sf_dir):
-        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_bands=LSH_BANDS, n_perms=N_MINHASH)
         return pairs.select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "first_band").orderBy(
             "doc_a", "doc_b"
         )
@@ -418,7 +418,7 @@ def pipeline_queries() -> dict:
         """Duplicate-cluster formation: connected components of the MinHash-LSH
         candidate graph (min-label propagation + pointer jumping); component
         id = canonical survivor doc_id."""
-        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n_bands=LSH_BANDS, n_perms=N_MINHASH)
         comp = dedup.duplicate_components(pairs)
         return comp.select(
             F.col("doc_id").cast("long").alias("doc_id"),

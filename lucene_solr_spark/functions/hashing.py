@@ -33,8 +33,13 @@ MINHASH_B = np.array(
     [577, 1279, 2017, 2707, 3413, 4139, 4871, 5573, 6301, 7027, 7759, 8501, 9241, 9973, 683, 1453],
     dtype=np.int64,
 )
-N_MINHASH = 16
+N_MINHASH = 16  # contract-scale lane count (the oracle literals pin these 16)
 LSH_BANDS = 4  # 4 bands x 4 rows
+# production profile: 128 prefix-compatible lanes in 16 8-row bands — the
+# S-curve midpoint sits at Jaccard ~ (1/16)^(1/8) ~ 0.71 with a far sharper
+# cliff than 16/4, so boilerplate-scale corpora keep candidate volume tight
+N_MINHASH_PROD = 128
+LSH_BANDS_PROD = 16
 
 
 def minhash_perm_constants(n_perms: int) -> tuple[np.ndarray, np.ndarray]:

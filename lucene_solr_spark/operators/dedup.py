@@ -9,9 +9,11 @@ Spark-first and shuffle-conscious, over ``documents(doc_id, text, ...)``:
   the shingle key is the shuffle axis, so frequent shingles are the skew
   hazard: a DF cap drops stop-shingles (standard practice, keeps the join
   linear).
-- **MinHash + LSH**: 16 permutations folded into 4 bands; only docs sharing
-  a band bucket ever meet in the join — the scalable path (candidate count
-  ~ O(n·dup_rate), not O(n²)).
+- **MinHash + LSH**: 128 permutations folded into 16 8-row bands by default
+  (the production profile; the 16-perm/4-band contract scale stays available
+  as explicit ``n_perms=16, n_bands=4`` and its lanes are a prefix of the
+  128); only docs sharing a band bucket ever meet in the join — the scalable
+  path (candidate count ~ O(n·dup_rate), not O(n²)).
 - **SimHash**: 64-bit weighted fingerprint; candidates = equal 3-of-6 block
   combination keys (Manku et al. WWW'07 — complete recall through hamming 3,
   ~2^32 buckets per table) verified by full-fingerprint distance.
@@ -28,7 +30,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import LSH_BANDS, N_MINHASH, minhash_sigs, poly31
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_BANDS_PROD,
+    N_MINHASH,
+    N_MINHASH_PROD,
+    minhash_sigs,
+    poly31,
+)
 
 SHINGLE_K = 3  # tokens per shingle
 
@@ -170,7 +179,7 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
 
 
-def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, n_perms: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, n_perms: int = N_MINHASH_PROD) -> DataFrame:
     """(doc_id, sig_0..sig_{n_perms-1}): per-doc MinHash signature.
 
     min over the doc's shingle hashes under each fixed permutation — a single
@@ -198,7 +207,7 @@ def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, n_perms: int = N_MIN
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BANDS, n_perms: int = N_MINHASH
+    docs: DataFrame, k: int = SHINGLE_K, n_bands: int = LSH_BANDS_PROD, n_perms: int = N_MINHASH_PROD
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >=1 band.
 

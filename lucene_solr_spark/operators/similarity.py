@@ -46,6 +46,47 @@ from pyspark.sql import DataFrame, functions as F
 QUANT = 1000
 N_PLANES = 16  # planes per LSH table (bucket occupancy ~ n / 2^N_PLANES)
 N_TABLES = 8  # OR-ed tables (recall amplification)
+LSH_MARGIN_BITS = 4  # auto-sizing: 2^planes >= 2^margin * n -> candidates/table <= n/2^margin
+LSH_MAX_TABLES = 64  # auto-sizing cap on the OR fan-out
+
+
+def lsh_params_for(
+    n: int,
+    target_cos: float = 0.99,
+    recall_target: float = 0.9,
+    margin_bits: int = LSH_MARGIN_BITS,
+    max_tables: int = LSH_MAX_TABLES,
+) -> tuple[int, int]:
+    """Size (n_planes, n_tables) from the corpus count so the candidate join
+    stays LINEAR in n at any scale, with recall restored through the table OR.
+
+    Planes: ``P = max(N_PLANES, ceil(log2 n) + margin_bits)`` puts
+    ``2^P >= 2^margin_bits · n`` buckets per table, so the expected
+    within-bucket self-join volume is ``n²/2^P <= n/2^margin_bits`` — o(n²)
+    with P growing with n, the scaling the fixed 2^16 default lacked (at
+    n=10^9: P=34, candidates/table ≈ n/16).
+
+    Tables: a pair at cosine ``c`` shares one table's bucket w.p.
+    ``(1 − acos(c)/π)^P`` (random-hyperplane collision), so the miss
+    probability over L OR-ed tables is ``(1 − p_table)^L``; L is the
+    smallest count with miss ≤ 1 − recall_target, capped at ``max_tables``
+    (the cap binds only when target_cos is far below near-dup territory —
+    raise margin_bits' complement or pre-block by a trained codebook there,
+    e.g. :func:`semdedup`).  Predicted recall is for the WORST pair exactly
+    at target_cos; closer pairs collide strictly more often.
+    """
+    import math
+
+    n = max(int(n), 2)
+    p = max(N_PLANES, math.ceil(math.log2(n)) + int(margin_bits))
+    theta = math.acos(min(max(float(target_cos), -1.0), 1.0))
+    p_plane = max(1e-12, 1.0 - theta / math.pi)
+    p_table = p_plane**p
+    if p_table >= 1.0:
+        return p, 1
+    miss_budget = max(1e-12, 1.0 - float(recall_target))
+    tables = math.ceil(math.log(miss_budget) / math.log(1.0 - p_table))
+    return p, max(1, min(int(max_tables), tables))
 LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
 
 
@@ -134,8 +175,10 @@ def lsh_buckets(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     min_dot: int,
-    n_planes: int = N_PLANES,
-    n_tables: int = N_TABLES,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    target_cos: float | None = None,
+    recall_target: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same LSH bucket in ANY table
     AND quantized dot >= min_dot (vec_a < vec_b).
@@ -143,11 +186,30 @@ def embedding_neardup_pairs(
     The dedup variant of the ANN path: per-table candidates are bounded
     ~n²/2^n_planes and the OR over tables restores recall for genuinely-close
     pairs (a pair at cosine c collides in one table w.p. (1-acos(c)/π)^P and
-    is missed by all L tables w.p. (1-that)^L — e.g. c=0.99, P=16, L=8 →
-    ~99.9 % recall).  The integer dot verify is exact.  At 100 TB this is the
-    embedding-dedup plan: (tbl, bucket) is the shuffle key, verify map-side.
+    is missed by all L tables w.p. (1-that)^L).  The integer dot verify is
+    exact.  At 100 TB this is the embedding-dedup plan: (tbl, bucket) is the
+    shuffle key, verify map-side.
+
+    By default (``n_planes=None``) the parameters are SIZED FROM THE CORPUS
+    via :func:`lsh_params_for` — planes ≈ log2(n) + 4, tables from the
+    recall budget at ``target_cos`` — so candidates/table stays ≤ n/16 at
+    any n (the fixed 2^16-bucket default went quadratic past ~10^8 vectors).
+    ``target_cos`` defaults to the caller's own threshold, ``min_dot`` read
+    back on the unit-vector quantization scale (floor-1000 components →
+    dot ≈ 10^6·cos), so the ≥ ``recall_target`` budget holds for EVERY pair
+    the operator is asked to find, not just comfortable ones.  The one-time
+    ``count()`` auto-sizing costs is a single columnless scan; pass both
+    parameters explicitly to skip it.
     """
     dim = len(embeddings.select("embedding").first()["embedding"])
+    if n_planes is None or n_tables is None:
+        if target_cos is None:
+            target_cos = min(0.999, max(0.3, float(min_dot) / 1_000_000.0))
+        auto_p, auto_l = lsh_params_for(
+            embeddings.count(), target_cos=target_cos, recall_target=recall_target
+        )
+        n_planes = auto_p if n_planes is None else int(n_planes)
+        n_tables = auto_l if n_tables is None else int(n_tables)
     q = quantize(embeddings).select("vec_id", "qvec")
     bk = lsh_buckets(q, dim, n_planes, n_tables)
     withb = q.join(bk, "vec_id")
@@ -179,6 +241,11 @@ def lsh_topk(
     replaces the brute-force cross product — this is the 100 TB plan shape
     (shuffle keyed by (tbl, bucket), ~n_tables/2^n_planes of the corpus per
     query, with table-OR recall amplification a single table cannot give).
+    For corpora far beyond 2^N_PLANES vectors, pass parameters from
+    :func:`lsh_params_for` (here per-QUERY cost is bucket occupancy
+    n/2^n_planes per table, so the fixed default degrades gracefully rather
+    than quadratically — the hard auto-sizing lives on the pair-join path,
+    :func:`embedding_neardup_pairs`).
     """
     dim = len(embeddings.select("embedding").first()["embedding"])
     q = quantize(embeddings).select("vec_id", "qvec")

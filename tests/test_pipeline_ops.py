@@ -135,6 +135,32 @@ def test_simhash_near_pairs_no_missed_pair(spark):
     assert got == want
 
 
+def test_lsh_params_autosizing():
+    """lsh_params_for grows planes with log2(n) (candidates/table stays
+    linear in n), restores recall through tables, and caps the fan-out."""
+    import math
+
+    from lucene_solr_spark.operators.similarity import (
+        LSH_MAX_TABLES,
+        lsh_params_for,
+    )
+
+    for n in (10**3, 10**6, 10**8, 10**9, 10**10):
+        p, tables = lsh_params_for(n, target_cos=0.99, recall_target=0.9)
+        assert p >= math.ceil(math.log2(n)) + 4
+        assert n * n / 2**p <= n / 16 + 1  # candidate join linear in n
+        # the recall budget really is met at the target cosine
+        p_plane = 1 - math.acos(0.99) / math.pi
+        assert (1 - p_plane**p) ** tables <= 0.1 + 1e-12 or tables == LSH_MAX_TABLES
+    p9, l9 = lsh_params_for(10**9)
+    p3, l3 = lsh_params_for(10**3)
+    assert p9 > p3  # planes actually grow
+    assert l9 >= l3  # harder plane count -> at least as many tables
+    # low-cosine targets hit the declared cap instead of exploding
+    _, l_low = lsh_params_for(10**9, target_cos=0.3)
+    assert l_low == LSH_MAX_TABLES
+
+
 def test_simhash_oversized_bucket_guard_identical_output(spark):
     """The collapse_identical guard (banded join over distinct fingerprints,
     expanded back) must be row-identical to the direct path — including on a
@@ -204,8 +230,9 @@ def _unit_rows(rng, n, dim):
 
 
 def test_embedding_neardup_recall_multitable(spark):
-    """Verdict criterion: >= 0.9 pair recall vs brute force at the contract
-    threshold under the production LSH defaults (16 planes x 8 OR-ed tables).
+    """Verdict criterion: >= 0.9 pair recall vs brute force at the caller's
+    own threshold under the AUTO-SIZED production defaults (planes from the
+    corpus count, tables from the recall budget at cos = min_dot/1e6).
     Also exactness: every returned pair is a true >=min_dot pair."""
     from lucene_solr_spark.operators.similarity import embedding_neardup_pairs, quantize
     from pyspark.sql import functions as F  # noqa: F811
