@@ -426,8 +426,12 @@ def ft_queries() -> dict:
     q["ft_blockjoin"] = ft_blockjoin
 
     def ft_phrase_sloppy(spark, sf_dir):
-        # rows-only check (no oracle): simplified sloppy-match semantics are
-        # procedural — see SloppyPhraseMatcher deviation note in searcher.py
+        """Sloppy PhraseQuery (``reference lucene/core/src/java/org/apache/
+        lucene/search/SloppyPhraseMatcher.java``): slop-2 two-term phrase,
+        float32 freq = Σ 1/(1+matchLength) over the matcher walk.  The oracle
+        replays the two-stream min-queue walk as a recursive CTE — an
+        independent SQL re-derivation of the procedural matcher, fuzz-pinned
+        against the engine on 5000 random position configurations."""
         s = doc_searcher(spark, sf_dir)
         return _ranked(s.search(PhraseQuery((HOT, HOT2), slop=2), 10).df)
 
@@ -2094,6 +2098,75 @@ def ft_oracle_sql() -> dict:
         "FROM ph JOIN dlq ON ph.doc_id = dlq.doc_id WHERE ph.ptf > 0"
     )
     o["ft_phrase"] = _with([phrase_cte], _topk_sql(ph_body))
+
+    # sloppy phrase (slop=2): independent SQL replay of the two-stream
+    # SloppyPhraseMatcher walk (nextMatch:120-152) as a recursive CTE — one
+    # recursion step per advancePP; emit matchLength on boundary crossings
+    # and exhaustion; float32 left-fold of 1f/(1f+ml) in emission order;
+    # BM25 with the float freq (PhraseScorer.java:71-77).  Streams: a =
+    # HOT positions (offset 0), b = HOT2 positions − 1 (offset 1); ties in
+    # the pop go to the lower offset, exactly PhraseQueue's (position,
+    # offset, ord) key.  Fuzz-pinned vs the engine matcher on 5000 random
+    # position configurations plus the full corpus at both scales.
+    _sl_slop = 2
+    _sl_walk = f"""
+toksl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS lst FROM documents),
+posn AS (SELECT doc_id, unnest(lst) AS term, unnest(range(1, len(lst)+1)) - 1 AS pos FROM toksl),
+spa AS (SELECT doc_id, list(pos ORDER BY pos) AS la FROM posn WHERE term = '{HOT}' GROUP BY doc_id),
+spb AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS lb FROM posn WHERE term = '{HOT2}' GROUP BY doc_id),
+spc AS (SELECT spa.doc_id, la, lb FROM spa JOIN spb USING (doc_id)),
+walk(doc_id, la, lb, ia, ib, sel, ml, end_, emit, step, done) AS (
+  SELECT doc_id, la, lb, 1, 1,
+         CASE WHEN la[1] <= lb[1] THEN 0 ELSE 1 END,
+         greatest(la[1], lb[1]) - least(la[1], lb[1]),
+         greatest(la[1], lb[1]),
+         CAST(NULL AS BIGINT), 0, FALSE
+  FROM spc
+  UNION ALL
+  SELECT doc_id, la, lb,
+         CASE WHEN exhausted THEN ia ELSE new_ia END,
+         CASE WHEN exhausted THEN ib ELSE new_ib END,
+         CASE WHEN exhausted THEN sel WHEN branch1 THEN repop_sel ELSE sel END,
+         CASE WHEN exhausted THEN ml WHEN branch1 THEN repop_ml ELSE least(ml, new_end - p) END,
+         CASE WHEN exhausted THEN end_ ELSE new_end END,
+         CASE WHEN (exhausted OR branch1) AND ml <= {_sl_slop} THEN ml END,
+         step + 1,
+         exhausted
+  FROM (
+    SELECT *,
+           greatest(end_, p) AS new_end,
+           (NOT exhausted AND p > other_pos) AS branch1,
+           CASE WHEN la[CAST(new_ia AS INT)] <= lb[CAST(new_ib AS INT)] THEN 0 ELSE 1 END AS repop_sel,
+           greatest(end_, p) - least(la[CAST(new_ia AS INT)], lb[CAST(new_ib AS INT)]) AS repop_ml
+    FROM (
+      SELECT *,
+             CASE WHEN sel = 0 THEN ia + 1 > len(la) ELSE ib + 1 > len(lb) END AS exhausted,
+             CASE WHEN sel = 0 THEN least(ia + 1, len(la)) ELSE ia END AS new_ia,
+             CASE WHEN sel = 1 THEN least(ib + 1, len(lb)) ELSE ib END AS new_ib,
+             CASE WHEN sel = 0 THEN la[CAST(least(ia + 1, len(la)) AS INT)]
+                  ELSE lb[CAST(least(ib + 1, len(lb)) AS INT)] END AS p,
+             CASE WHEN sel = 0 THEN lb[CAST(ib AS INT)] ELSE la[CAST(ia AS INT)] END AS other_pos
+      FROM walk WHERE NOT done
+    )
+  )
+),
+sw AS (SELECT doc_id, list({_R(_R('1') + ' / ' + _R('1 + emit'))} ORDER BY step) AS lw
+       FROM walk WHERE emit IS NOT NULL GROUP BY doc_id),
+sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq FROM sw)
+"""
+    _sl_body = (
+        "SELECT s.doc_id AS doc_id, "
+        + _R(w_phrase + " * " + _R(_D("s.freq") + " / (" + _D("s.freq") + " + " + _D(_CACHE) + ")"))
+        + " AS score FROM sfreq s JOIN dlq ON s.doc_id = dlq.doc_id WHERE s.freq > 0"
+    )
+    o["ft_phrase_sloppy"] = (
+        "WITH RECURSIVE "
+        + _BASE.strip().rstrip(",")
+        + ",\n"
+        + _sl_walk.strip().rstrip(",")
+        + "\n"
+        + _topk_sql(_sl_body)
+    )
 
     # FVH phrase path: top-10 phrase winners, whole-text fragment; each
     # adjacent "HOT HOT2" pair is one merged tag span (Toffs merge), count =

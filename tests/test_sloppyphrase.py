@@ -84,3 +84,53 @@ def test_engine_sloppy_scores_float_freq(searcher, oracle):
     scores = [s for _, s in res]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_sloppy_oracle_sql_walk_matches_matcher():
+    """The ft_phrase_sloppy oracle's recursive-CTE walk must reproduce the
+    engine matcher's float32 sloppy freq on random position configurations —
+    the independent-SQL-re-derivation guarantee the contract row rests on."""
+    import random
+    import re
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.driver_contract import ft_oracle_sql
+    from lucene_solr_spark.functions.sloppyphrase import sloppy_phrase_freq
+
+    sql = ft_oracle_sql()["ft_phrase_sloppy"]
+    # reduce the top-k ranking query to the per-doc freq relation it ranks
+    head = sql[: sql.rindex("SELECT CAST(row_number()")]
+    freq_sql = head + "SELECT doc_id, freq FROM sfreq ORDER BY doc_id"
+
+    rng = random.Random(17)
+    filler = ["w%d" % i for i in range(30)]
+    rows = []
+    for did in range(400):
+        n = rng.randint(2, 40)
+        toks = [rng.choice(filler) for _ in range(n)]
+        for _ in range(rng.randint(1, 6)):
+            toks[rng.randrange(n)] = "scan"
+        for _ in range(rng.randint(1, 6)):
+            toks[rng.randrange(n)] = "merge"
+        rows.append((did, " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {int(r[0]): np.float32(r[1]) for r in con.execute(freq_sql).fetchall()}
+
+    n_checked = 0
+    for did, text in rows:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        a = [i for i, t in enumerate(toks) if t == "scan"]
+        b = [i for i, t in enumerate(toks) if t == "merge"]
+        if not a or not b:
+            assert did not in got
+            continue
+        ref = sloppy_phrase_freq(["scan", "merge"], [a, b], 2)
+        assert float(got.get(did, np.float32(0.0))) == float(ref), (did, a, b)
+        n_checked += 1
+    assert n_checked >= 300
