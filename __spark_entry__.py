@@ -33,6 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # counts once it was checked at all — green or rows-only — so each round's
 # 50 slots go to genuinely new names); the literal round-1 set below is the
 # fallback if the files are absent in the driver's checkout.
+# Names whose only existing driver rows are rows-only checks that have since
+# gained a full oracle: keep re-surfacing them until a hash-green row lands.
+_RECHECK_FOR_UPGRADE = {"ft_phrase_sloppy"}
+
+
 def _driver_checked() -> set:
     import glob
     import json
@@ -43,10 +48,15 @@ def _driver_checked() -> set:
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                checked.update(json.load(f).keys())
+                for name, row in json.load(f).items():
+                    if name in _RECHECK_FOR_UPGRADE and not (
+                        isinstance(row, dict) and row.get("hash_match")
+                    ):
+                        continue
+                    checked.add(name)
         except Exception:
             continue
-    return checked or set(_R1_DRIVER_GREEN)
+    return checked or set(_R1_DRIVER_GREEN) - _RECHECK_FOR_UPGRADE
 
 
 _R1_DRIVER_GREEN = {
@@ -72,6 +82,9 @@ _R1_DRIVER_GREEN = {
 # parsers, FVH, shape indexing), (c) every §2.4 similarity — then the
 # never-checked families in the order VERDICT names them.
 _PRIORITY = [
+    # round-3 new rows first: the judge's explicit "Done =" proofs (the
+    # TieredMergePolicy cascade row and the now-full-oracle sloppy phrase)
+    "ft_tiered_cascade_topk", "ft_phrase_sloppy",
     # (a) weak-fix proofs
     "dd_simhash", "dd_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
     "dd_embedding_neardup", "sim_ann_brute",

@@ -1906,6 +1906,66 @@ def ft_queries() -> dict:
 
     q["ft_merged_topk"] = ft_merged_topk
 
+    def ft_tiered_cascade_topk(spark, sf_dir):
+        """TieredMergePolicy CASCADE end-to-end (``reference lucene/core/src/
+        java/org/apache/lucene/index/TieredMergePolicy.java:380-401``
+        allowed-segment budget, ``:566-623`` skew scoring): the index is
+        re-sharded into geometrically-halving doc-range runs, then
+        ``maybe_merge`` runs the policy loop (segsPerTier=2, maxMergeAtOnce=4,
+        floor = total/16, postings-count sizes) until within budget — a
+        multi-round cascade whose second merge consumes the first's output.
+        Output pins BOTH the search rank identity (merging is
+        stats-invariant) and the final run manifest (n_runs + size list);
+        the oracle independently replays boundary computation, per-run
+        sizes, the floored tier budget, and the skew-scored candidate
+        selection as recursive SQL."""
+        key = ("tiered_cascade", sf_dir)
+        if key not in _INDEX_CACHE:
+            from dataclasses import replace as _replace
+
+            from .operators.merge import (
+                TieredMergePolicy,
+                maybe_merge,
+                run_manifest,
+                split_index,
+            )
+
+            s = doc_searcher(spark, sf_dir)
+            n = s.index.doc_count
+            bounds, lo = [], 0
+            while len(bounds) < 11 and (n - lo) > 3:
+                lo += max(1, (n - lo) // 2)
+                bounds.append(lo)
+            parts = split_index(s.index, bounds)
+            post = None
+            for i, p in enumerate(parts):
+                pi = p.postings.withColumn("run_id", F.lit(i).cast("long"))
+                post = pi if post is None else post.unionByName(pi)
+            idx = _replace(s.index, postings=post)
+            total = sum(r.n_postings for r in run_manifest(idx))
+            policy = TieredMergePolicy(
+                max_merge_at_once=4,
+                segs_per_tier=2.0,
+                floor_segment_bytes=max(1, total // 16),
+                max_merged_segment_bytes=1 << 60,
+            )
+            merged = maybe_merge(idx, policy, size_by="postings")
+            man = run_manifest(merged)
+            _INDEX_CACHE[key] = (
+                IndexSearcher(_replace(merged, postings=merged.postings.persist()), s.corpus),
+                len(man),
+                ",".join(str(v) for v in sorted((r.n_postings for r in man), reverse=True)),
+            )
+        ms, n_runs, sizes = _INDEX_CACHE[key]
+        top = _ranked(
+            ms.search(BooleanQuery.build(should=[TermQuery(HOT2), TermQuery(MID2)]), 10).df
+        )
+        return top.withColumn("n_runs", F.lit(n_runs).cast("long")).withColumn(
+            "sizes", F.lit(sizes)
+        )
+
+    q["ft_tiered_cascade_topk"] = ft_tiered_cascade_topk
+
     def ft_shard_local_topk(spark, sf_dir):
         """Index split + LOCAL statistics (``reference lucene/misc/.../index/
         PKIndexSplitter.java``; contrast ft_distributed_topk, which splits
@@ -4446,6 +4506,104 @@ FROM allr ORDER BY score DESC, gram ASC LIMIT 8
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
         f"CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_runs FROM ({merged_body}) "
         "ORDER BY score DESC, doc_id ASC LIMIT 10",
+    )
+
+    # TieredMergePolicy cascade: independent recursive-SQL replay of the
+    # ENTIRE policy loop (TieredMergePolicy.java:380-401 floored tier
+    # budget; :566-623 skew scoring skew = floored(largest)/flooredTot *
+    # tot^0.05 over consecutive windows of the size-desc run list, first
+    # minimal window wins) against the engine's maybe_merge(size_by=
+    # 'postings') — run sizes are postings counts, derivable from tf;
+    # boundaries replay the query's geometric halving; new run ids replay
+    # next_id = maxrid + 1e9 + round.  Search scores are merge-invariant,
+    # so the rank block reuses merged_body's global-stats scoring.
+    _cascade_ctes = """
+nn AS (SELECT count(*) AS n FROM documents),
+bnd(k, lo) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT k + 1, lo + greatest(1, ((SELECT n FROM nn) - lo) // 2)
+  FROM bnd WHERE k < 11 AND (SELECT n FROM nn) - lo > 3
+),
+psz AS (SELECT part, count(*) AS s FROM
+        (SELECT (SELECT count(*) FROM bnd b WHERE b.k > 0 AND b.lo <= t.doc_id) AS part FROM tf t)
+        GROUP BY part),
+consts AS (SELECT greatest(1, (SELECT sum(s) FROM psz) // 16) AS flr,
+                  (SELECT max(part) FROM psz) AS maxrid),
+cinit AS (SELECT list(struct_pack(s := CAST(s AS BIGINT), rid := CAST(part AS BIGINT)) ORDER BY part) AS st
+          FROM psz),
+casc(rnd, st, done) AS (
+  SELECT 0, (SELECT st FROM cinit), FALSE
+  UNION ALL
+  SELECT rnd + 1,
+         CASE WHEN stop THEN st ELSE
+           list_append(
+             list_filter(st, x -> NOT list_contains(win_rids, x.rid)),
+             struct_pack(s := win_sum, rid := maxrid + 1000000000 + rnd))
+         END,
+         stop
+  FROM (
+    SELECT rnd, st, flr, maxrid,
+           len(st) <= alw AS stop,
+           list_transform(list_slice(elig, best_st, best_st + 3), x -> x.rid) AS win_rids,
+           list_sum(list_transform(list_slice(elig, best_st, best_st + 3), x -> x.s)) AS win_sum
+    FROM (
+      SELECT rnd, st, alw, elig, flr, maxrid,
+             CAST(list_reduce(
+               list_filter(
+                 list_transform(range(1, len(elig) + 1), st_i -> struct_pack(
+                   sc := CAST(greatest(list_extract(elig, CAST(st_i AS INT)).s, flr) AS DOUBLE)
+                         / list_sum(list_transform(list_slice(elig, st_i, st_i + 3),
+                                                   x -> CAST(greatest(x.s, flr) AS DOUBLE)))
+                         * pow(CAST(list_sum(list_transform(list_slice(elig, st_i, st_i + 3),
+                                                            x -> CAST(x.s AS DOUBLE))) AS DOUBLE), 0.05),
+                   st_i := st_i)),
+                 w -> len(st) - w.st_i + 1 >= 2),
+               (a, b) -> CASE WHEN b.sc < a.sc OR (b.sc = a.sc AND b.st_i < a.st_i) THEN b ELSE a END
+             ).st_i AS BIGINT) AS best_st
+      FROM (
+        SELECT rnd, st, flr, maxrid,
+               CAST(list_reduce(
+                 list_prepend(struct_pack(
+                     t := CAST(list_sum(list_transform(st, x -> greatest(x.s, flr))) AS DOUBLE),
+                     l := CAST(flr AS DOUBLE), a := CAST(0 AS DOUBLE), fin := FALSE),
+                   list_transform(range(1, 30), i -> struct_pack(
+                     t := CAST(0 AS DOUBLE), l := CAST(0 AS DOUBLE), a := CAST(0 AS DOUBLE), fin := FALSE))),
+                 (acc, ign) -> CASE
+                    WHEN acc.fin THEN acc
+                    WHEN acc.t / acc.l < 2.0
+                      THEN struct_pack(t := acc.t, l := acc.l, a := acc.a + ceil(acc.t / acc.l), fin := TRUE)
+                    ELSE struct_pack(t := acc.t - 2.0 * acc.l, l := acc.l * 4, a := acc.a + 2.0, fin := FALSE)
+                 END).a AS BIGINT) AS alw,
+               list_transform(
+                 list_sort(list_transform(st, x -> struct_pack(negs := -x.s, rid := x.rid))),
+                 y -> struct_pack(s := -y.negs, rid := y.rid)) AS elig
+        FROM casc CROSS JOIN consts WHERE NOT done AND rnd < 20
+      )
+    )
+  )
+),
+cfinal AS (SELECT st FROM casc ORDER BY rnd DESC LIMIT 1),
+cman AS (
+  SELECT CAST(len(st) AS BIGINT) AS n_runs,
+         array_to_string(list_transform(
+           list_transform(list_sort(list_transform(st, x -> struct_pack(negs := -x.s, rid := x.rid))),
+                          y -> -y.negs), z -> CAST(z AS VARCHAR)), ',') AS sizes
+  FROM cfinal)
+"""
+    o["ft_tiered_cascade_topk"] = (
+        "WITH RECURSIVE "
+        + _BASE.strip().rstrip(",")
+        + ",\n"
+        + _term_cte("sa", HOT2)
+        + ",\n"
+        + _term_cte("sb", MID2)
+        + ",\n"
+        + _cascade_ctes.strip().rstrip(",")
+        + "\n"
+        + "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"CAST(doc_id AS BIGINT) AS doc_id, n_runs, sizes FROM ({merged_body}) CROSS JOIN cman "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10"
     )
 
     # shard 0 searched standalone: every statistic local to doc_id < N/2

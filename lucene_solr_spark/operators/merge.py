@@ -120,7 +120,9 @@ class TieredMergePolicy:
         mergeable = [r for r in runs if r.size_bytes <= self.max_merged_segment_bytes // 2]
         if len(mergeable) <= self.allowed_seg_count([r.size_bytes for r in mergeable]):
             return None
-        eligible = sorted(mergeable, key=lambda r: -r.size_bytes)
+        # run_id tie-break: equal-size runs otherwise sort in manifest order,
+        # which is a collect() order — nondeterministic across clusters
+        eligible = sorted(mergeable, key=lambda r: (-r.size_bytes, r.run_id))
         best, best_score = None, None
         for start in range(len(eligible)):
             cand: list[RunInfo] = []
@@ -462,15 +464,29 @@ def merge_runs(
     )
 
 
-def maybe_merge(index: InvertedIndex, policy: Optional[TieredMergePolicy] = None, max_rounds: int = 20) -> InvertedIndex:
+def maybe_merge(
+    index: InvertedIndex,
+    policy: Optional[TieredMergePolicy] = None,
+    max_rounds: int = 20,
+    size_by: str = "bytes",
+) -> InvertedIndex:
     """Run the merge loop to budget (findMerges → merge → re-manifest).
 
     Returns a new InvertedIndex sharing docs/terms/stats (merge is
     statistics-invariant because doc_ids are global — no remap).
+
+    ``size_by="postings"`` feeds the policy postings counts instead of byte
+    sizes — the policy geometry is unit-agnostic (Lucene's byte sizes are
+    estimates to begin with), and postings counts are derivable by an
+    independent SQL oracle, making the cascade end-to-end checkable.
     """
     policy = policy or TieredMergePolicy()
     postings = index.postings
     runs = run_manifest(index)
+    if size_by == "postings":
+        runs = [RunInfo(r.run_id, r.n_postings, r.n_postings) for r in runs]
+    elif size_by != "bytes":
+        raise ValueError("size_by must be 'bytes' or 'postings'")
     next_id = max((r.run_id for r in runs), default=0) + 1_000_000_000
     for _ in range(max_rounds):
         cand = policy.find_merges(runs)
