@@ -575,9 +575,12 @@ def pipeline_queries() -> dict:
         """Full EnglishAnalyzer chain (possessive → lower → stop → Porter,
         ``reference analysis/common/.../en/EnglishAnalyzer.java:103-110``)
         over the documents corpus: top stems by collection frequency.
-        Rows-only contract check (no SQL-expressible Porter oracle); the
-        stemmer itself is verified against the reference's 23,531-word test
-        vocabulary in tests/test_porter.py."""
+        FULL oracle: the corpus vocabulary is fixed (31 words at every sf),
+        so the oracle stems by a literal mapping derived independently of
+        the engine — reference porterTestData.zip golden vectors for the 21
+        covered words, hand-applied Porter 1980 for the rest; the stemmer
+        itself is additionally pinned against the reference's 23,531-word
+        test vocabulary in tests/test_porter.py."""
         from .functions.analysis import english_analyzer_porter
 
         an = english_analyzer_porter()
@@ -690,6 +693,37 @@ def pipeline_queries() -> dict:
 # --------------------------------------------------------------------------
 def pipeline_oracle_sql() -> dict:
     o: dict = {}
+
+    # EnglishAnalyzer chain over the corpus's FIXED 31-word vocabulary
+    # (identical at every sf of the deterministic generator): drop the two
+    # ENGLISH_STOP_WORDS_SET members present ('a', 'the'), stem the rest by
+    # a literal mapping derived INDEPENDENTLY of the engine — 21 words from
+    # the reference's own porterTestData.zip golden vectors, the 10 absent
+    # ones (agg column data dup filter group hash merge query vector)
+    # hand-derived from Porter 1980 (merge→merg by step 5a m=1 ∧ ¬*o;
+    # query→queri by step 1c; the rest are fixed points).  A token outside
+    # the mapping surfaces as '<token>!unmapped' and hash-mismatches loudly
+    # instead of passing silently.
+    _stem_map = {
+        "agg": "agg", "batch": "batch", "big": "big", "column": "column",
+        "customer": "custom", "data": "data", "dup": "dup", "fast": "fast",
+        "filter": "filter", "group": "group", "hash": "hash", "join": "join",
+        "key": "kei", "line": "line", "merge": "merg", "order": "order",
+        "part": "part", "query": "queri", "row": "row", "scan": "scan",
+        "slow": "slow", "small": "small", "sort": "sort", "spark": "spark",
+        "stream": "stream", "table": "tabl", "value": "valu",
+        "vector": "vector", "window": "window",
+    }
+    _stem_vals = ", ".join(f"('{w}', '{s}')" for w, s in sorted(_stem_map.items()))
+    o["ta_porter_stem"] = f"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+sm(word, stem) AS (VALUES {_stem_vals}),
+mapped AS (SELECT coalesce(sm.stem, term || '!unmapped') AS stem
+           FROM tok LEFT JOIN sm ON tok.term = sm.word
+           WHERE term NOT IN ('a', 'the'))
+SELECT stem, CAST(count(*) AS BIGINT) AS n FROM mapped
+GROUP BY stem ORDER BY n DESC, stem ASC LIMIT 40
+"""
 
     o["dd_exact_stats"] = """
 WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
