@@ -799,9 +799,12 @@ def ft_queries() -> dict:
     def cls_perceptron(spark, sf_dir):
         """BooleanPerceptronClassifier (``reference
         BooleanPerceptronClassifier.java``): all-integer perceptron, label =
-        (lang == 'en'), single-shard reference-exact training.  Sequential
-        iterative algorithm — declared non-SQL-expressible (rows-only
-        driver check); the training loop is pinned bit-exactly by
+        (lang == 'en'), single-shard reference-exact training.  FULL oracle:
+        at batch_size=1 the FST snapshot refreshes after every misclassified
+        doc, so the sequential loop is a pure state machine over the fixed
+        corpus vocabulary — the oracle replays it doc-by-doc as a recursive
+        CTE on the integer weight list.  The training loop is additionally
+        pinned bit-exactly by
         ``test_classify_utils.py::test_perceptron_reference_parity``."""
         from lucene_solr_spark.operators.classify import BooleanPerceptronClassifier
 
@@ -2794,6 +2797,64 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY split, lang OR
             f"ORDER BY vote DESC, cls DESC LIMIT 1)",
         ]
         _knn_parts.append(f"SELECT * FROM kbest{_t}")
+    # BooleanPerceptronClassifier, batch_size=1: the FST snapshot refreshes
+    # after every misclassified doc, so snapshot == live weights throughout
+    # and the training loop is a pure sequential state machine over the
+    # corpus's fixed vocabulary — replayed here as a recursive CTE: state =
+    # the vocab-ordered integer weight list, one recursion step per doc in
+    # doc_id order (assign vs bias, modifier in {-1,0,1}, per-term overwrite
+    # max(0, w + m*tf)); classify() is the final-weight dot product.  All
+    # integer arithmetic; bias is the one double (sum_ttf/doc_count), exact.
+    o["cls_perceptron"] = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS ttf FROM tok GROUP BY term),
+vlist AS (SELECT list(ttf ORDER BY term) AS w0, list(term ORDER BY term) AS vt FROM vocab),
+nstat AS (SELECT CAST((SELECT sum(ttf) FROM vocab) AS DOUBLE) / (SELECT count(*) FROM documents) AS bias),
+dgrid AS (SELECT d.doc_id, v.term FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN vocab v),
+dtf AS (SELECT g.doc_id, g.term, coalesce(t.c, 0) AS tf
+        FROM dgrid g LEFT JOIN (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                                FROM tok GROUP BY doc_id, term) t
+        ON g.doc_id = t.doc_id AND g.term = t.term),
+dvec AS (SELECT d.doc_id, list(tf ORDER BY term) AS tfv,
+                row_number() OVER (ORDER BY d.doc_id) AS idx,
+                any_value(lbl) AS correct
+         FROM dtf d JOIN (SELECT doc_id, lang = 'en' AS lbl FROM documents) l ON d.doc_id = l.doc_id
+         GROUP BY d.doc_id),
+ndocs AS (SELECT count(*) AS n FROM dvec),
+train(step, w) AS (
+  SELECT 0, (SELECT w0 FROM vlist)
+  UNION ALL
+  SELECT step, CASE WHEN modifier = 0 THEN w
+               ELSE list_transform(range(1, len(w) + 1),
+                      i -> CASE WHEN tfv[CAST(i AS INT)] > 0
+                                THEN greatest(0, w[CAST(i AS INT)] + modifier * tfv[CAST(i AS INT)])
+                                ELSE w[CAST(i AS INT)] END)
+               END
+  FROM (
+    SELECT step, w, tfv,
+           CASE WHEN correct AND NOT assigned THEN 1
+                WHEN (NOT correct) AND assigned THEN -1 ELSE 0 END AS modifier
+    FROM (
+      SELECT t.step + 1 AS step, t.w, d.tfv, d.correct,
+             CAST(list_sum(list_transform(range(1, len(t.w) + 1),
+                    i -> t.w[CAST(i AS INT)] * d.tfv[CAST(i AS INT)])) AS DOUBLE)
+               >= (SELECT bias FROM nstat) AS assigned
+      FROM train t JOIN dvec d ON d.idx = t.step + 1
+      WHERE t.step < (SELECT n FROM ndocs)
+    )
+  )
+),
+wfinal AS (SELECT w FROM train ORDER BY step DESC LIMIT 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(list_sum(list_transform(range(1, len(f.w) + 1),
+              i -> f.w[CAST(i AS INT)] * d.tfv[CAST(i AS INT)])) AS BIGINT) AS output,
+       CAST(list_sum(list_transform(range(1, len(f.w) + 1),
+              i -> f.w[CAST(i AS INT)] * d.tfv[CAST(i AS INT)])) AS DOUBLE)
+         >= (SELECT bias FROM nstat) AS assigned
+FROM dvec d CROSS JOIN wfinal f ORDER BY doc_id
+"""
+
     o["cls_knn"] = _with(
         _knn_ctes,
         "SELECT CAST(target_id AS BIGINT) AS target_id, cls, CAST(vote AS BIGINT) AS vote FROM ("
