@@ -378,7 +378,9 @@ def simhash_near_pairs(
     )
 
 
-def _simhash_band_keys(sh: DataFrame, blocks, n_blocks: int, key_blocks: int) -> DataFrame:
+def _simhash_band_keys(
+    sh: DataFrame, blocks, n_blocks: int, key_blocks: int, extra_cols: tuple = ()
+) -> DataFrame:
     """All C(n_blocks, key_blocks) probe keys in ONE projection + explode —
     a 20-way union of selects over a persisted df costs 20 cached reads
     (and leaks the cache); the explode is a single scan and pure codegen."""
@@ -393,10 +395,11 @@ def _simhash_band_keys(sh: DataFrame, blocks, n_blocks: int, key_blocks: int) ->
             key = F.shiftleft(key, size).bitwiseOR(val)
         entries.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
     return sh.select(
-        "doc_id", "simhash", F.explode(F.array(*entries)).alias("bk")
+        "doc_id", "simhash", *extra_cols, F.explode(F.array(*entries)).alias("bk")
     ).select(
         "doc_id",
         "simhash",
+        *extra_cols,
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
@@ -408,40 +411,56 @@ def _simhash_pairs_collapsed(
     """Oversized-bucket-guarded pair generation: banded join over one
     representative per DISTINCT fingerprint, fingerprint-level pairs
     expanded back to doc pairs, identical-fingerprint (hamming 0) pairs
-    from a fingerprint-keyed equi-join.  Row-identical to the direct path;
+    generated per fingerprint group.  Row-identical to the direct path;
     candidate volume is quadratic only in distinct fingerprints per bucket,
-    never in duplication skew."""
+    never in duplication skew.
+
+    The per-fingerprint doc list rides THROUGH the band join (sorted array
+    from the one groupBy over the fingerprint pass), so the expansion is a
+    pure explode — no join back to the fingerprint relation.  The expensive
+    mapInPandas fingerprint scan appears 3x in the plan (a/b band sides +
+    the identical-pair branch) vs the direct path's 2x; array payloads are
+    bounded by the operator's own output size."""
     reps = sh.groupBy("simhash").agg(
-        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs")
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
     )
-    rep_bands = _simhash_band_keys(reps.select("doc_id", "simhash"), blocks, n_blocks, key_blocks)
-    a = rep_bands.select("band", "band_key", F.col("doc_id").alias("rep_a"), F.col("simhash").alias("fp_a"))
-    b = rep_bands.select("band", "band_key", F.col("doc_id").alias("rep_b"), F.col("simhash").alias("fp_b"))
+    rep_bands = _simhash_band_keys(reps, blocks, n_blocks, key_blocks, extra_cols=("docs",))
+    a = rep_bands.select(
+        "band", "band_key", F.col("doc_id").alias("rep_a"),
+        F.col("simhash").alias("fp_a"), F.col("docs").alias("docs_a"),
+    )
+    b = rep_bands.select(
+        "band", "band_key", F.col("doc_id").alias("rep_b"),
+        F.col("simhash").alias("fp_b"), F.col("docs").alias("docs_b"),
+    )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     fp_pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("rep_a") < F.col("rep_b"))
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("fp_a", "fp_b", "hamming")
-        .distinct()
+        # all duplicate rows of an fp pair carry identical arrays, so the
+        # subset-dedup is deterministic and never hashes the payloads
+        .dropDuplicates(["fp_a", "fp_b"])
+        .select("docs_a", "docs_b", "hamming")
     )
     # cross-fingerprint expansion: each doc belongs to exactly one
     # fingerprint, so expanding a distinct fp pair yields unique doc pairs
     cross = (
-        fp_pairs.join(sh.select(F.col("simhash").alias("fp_a"), F.col("doc_id").alias("da")), "fp_a")
-        .join(sh.select(F.col("simhash").alias("fp_b"), F.col("doc_id").alias("db")), "fp_b")
+        fp_pairs.select(F.explode("docs_a").alias("da"), "docs_b", "hamming")
+        .select("da", F.explode("docs_b").alias("db"), "hamming")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             "hamming",
         )
     )
-    dup_fps = reps.filter(F.col("n_docs") > 1).select("simhash")
-    dup_docs = sh.join(dup_fps, "simhash")
     identical = (
-        dup_docs.select("simhash", F.col("doc_id").alias("doc_a"))
-        .join(dup_docs.select("simhash", F.col("doc_id").alias("doc_b")), "simhash")
+        reps.filter(F.col("n_docs") > 1)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
     )
