@@ -203,11 +203,20 @@ def test_perceptron_empty_doc_and_batch_timing(spark):
         ("c1", 0, "...", False),  # tokenizes to nothing
         ("c2", 0, "beta gamma", False),
         ("c3", 0, "alpha gamma gamma", True),
+        # repeated-term False docs drive a weight to exactly zero through
+        # successive -1 overwrites.  (The reference's max(0, ...) clamp at
+        # BooleanPerceptronClassifier.java:176 is provably a defensive
+        # no-op under totalTermFreq init: every doc updates a term at most
+        # once by at most its own tf, so fst[t] >= the sum of unprocessed
+        # tfs and never goes negative; the port mirrors the clamp anyway.)
+        ("c4", 0, "delta delta delta delta", False),
+        ("c5", 0, "delta delta beta beta beta", False),
+        ("c6", 0, "beta beta beta delta", False),
     ]
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "lbl"])
     corpus = assign_doc_ids(spark.createDataFrame(pdf), ("conv_id", "turn_idx"), 2).persist()
     idx = build_index(corpus, IndexConfig(n_partitions=2)).persist()
-    for bs in (1, 2):
+    for bs in (1, 2, 3):
         p = BooleanPerceptronClassifier(idx, corpus, "lbl", batch_size=bs)
         weights = {r["term"]: int(r["weight"]) for r in p.train(n_partitions=1).collect()}
         brute_w, brute_bias, brute_out = _brute_perceptron(

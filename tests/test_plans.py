@@ -158,14 +158,22 @@ def test_bigram_logprob_pure_catalyst(spark):
 
 def test_simhash_pairs_single_generate_no_cache(spark):
     """The 20 Manku probe keys come from ONE explode over one scan — not a
-    20-way union over a persisted df."""
+    20-way union over a persisted df — on both the direct path and the
+    oversized-bucket-guarded default."""
     from lucene_solr_spark.operators.dedup import simhash_near_pairs
 
     df = spark.createDataFrame(
         [(i, f"tok{i} alpha beta gamma delta") for i in range(6)],
         "doc_id long, text string",
     )
-    p = _plan(simhash_near_pairs(df))
+    p = _plan(simhash_near_pairs(df, collapse_identical=False))
     assert "InMemoryTableScan" not in p
     assert p.count("Generate explode") == 2  # one per self-join side
     assert "Union" not in p
+    # guarded default: band keys 2 (a/b sides over distinct fingerprints) +
+    # doc-list expansion 2 (docs_a, docs_b) + identical-pair branch 2, and
+    # exactly the one cross∪identical Union — still no persisted cache
+    pg = _plan(simhash_near_pairs(df, collapse_identical=True))
+    assert "InMemoryTableScan" not in pg
+    assert pg.count("Generate explode") == 6
+    assert pg.count("Union") == 1
