@@ -30,14 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import (
-    LSH_BANDS,
-    LSH_BANDS_PROD,
-    N_MINHASH,
-    N_MINHASH_PROD,
-    minhash_sigs,
-    poly31,
-)
+from ..functions.hashing import LSH_BANDS_PROD, N_MINHASH_PROD, minhash_sigs, poly31
 
 SHINGLE_K = 3  # tokens per shingle
 
@@ -184,11 +177,12 @@ def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, n_perms: int = N_MIN
 
     min over the doc's shingle hashes under each fixed permutation — a single
     groupBy(doc_id) with ``n_perms`` min() aggregates (map-side combinable;
-    the shuffle carries ``n_perms`` ints per doc).  The 16-lane default is
-    demo-scale; production near-dup thresholds use ``n_perms=128`` over 16
-    bands (the extra lanes come from the closed-form LCG rule in
-    ``functions.hashing.minhash_perm_constants`` — the first 16 stay the
-    contract literals, so signatures are prefix-compatible)."""
+    the shuffle carries ``n_perms`` ints per doc).  The default is the
+    PRODUCTION 128-lane profile (16 8-row bands downstream); the 16-lane
+    contract scale stays available as explicit ``n_perms=16`` and its lanes
+    are a prefix of the 128 (closed-form LCG rule in
+    ``functions.hashing.minhash_perm_constants``), so signatures computed at
+    either width agree on the shared lanes."""
     sh = shingles(docs, k)
 
     def add_sigs(iterator):

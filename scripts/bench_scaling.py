@@ -114,6 +114,15 @@ def main() -> None:
     print(json.dumps(out))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve hand-written sections (e.g. the A/B attribution tables) —
+    # everything except the regenerated scaling block and the Notes tail
+    keep = []
+    if os.path.exists("BENCH/BASELINE.md"):
+        cur = open("BENCH/BASELINE.md").read()
+        for sec in cur.split("\n## ")[1:]:
+            title = sec.split("\n", 1)[0]
+            if not title.startswith(("Scaling efficiency", "Notes")):
+                keep.append("## " + sec.rstrip() + "\n")
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — measured baselines
@@ -148,6 +157,8 @@ spark.sql.shuffle.partitions = cores, AQE on, Arrow batch 65536.
   `bench.py`).
 """
         )
+        for sec in keep:
+            f.write("\n" + sec)
 
 
 if __name__ == "__main__":
