@@ -1954,8 +1954,15 @@ def ft_queries() -> dict:
             )
             merged = maybe_merge(idx, policy, size_by="postings")
             man = run_manifest(merged)
+            # the 12-way part union multiplies partition counts (12 parts x
+            # input partitions -> 224 at sf0.1); coalesce the cached result
+            # so warm searches pay one task wave, not seven
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
             _INDEX_CACHE[key] = (
-                IndexSearcher(_replace(merged, postings=merged.postings.persist()), s.corpus),
+                IndexSearcher(
+                    _replace(merged, postings=merged.postings.coalesce(n_part).persist()),
+                    s.corpus,
+                ),
                 len(man),
                 ",".join(str(v) for v in sorted((r.n_postings for r in man), reverse=True)),
             )
