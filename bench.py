@@ -31,16 +31,12 @@ def _stage_corpus(spark, n_convs: int, n_partitions: int, path: str) -> None:
 def _build_from_parquet(spark, path: str, n_partitions: int):
     """The measured job: scan -> stable doc_ids -> analysis -> posting runs
     -> stats. Returns (index, n_turns)."""
-    from lucene_solr_spark.operators.indexer import (
-        IndexConfig,
-        assign_doc_ids_sorted_source,
-        build_index,
-    )
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index_sorted_source
 
-    # sorted-table fast path (production layout: Iceberg sortedBy) —
-    # doc ids from per-file counts, zero corpus shuffles end-to-end
-    with_ids = assign_doc_ids_sorted_source(spark, path)
-    idx = build_index(with_ids, IndexConfig(n_partitions=None))
+    # fused sorted-table fast path (production layout: Iceberg sortedBy):
+    # doc ids from per-file counts + analysis + packing in ONE Python pass,
+    # zero corpus shuffles end-to-end (bit-identical to the two-step path)
+    idx = build_index_sorted_source(spark, path, IndexConfig(n_partitions=None))
     n_turns = idx.doc_count
     idx.postings.count()  # materialize the full build
     return idx, n_turns

@@ -238,6 +238,26 @@ def assign_doc_ids_sorted_source(
     file), so in-file positions are well-defined.  Produces bit-identical
     doc_ids to :func:`assign_doc_ids` on the same (sorted) data — tested.
     """
+    df, bases = _sorted_source_scan(spark, path, order_cols)
+    src = df.withColumn("_file", F.input_file_name())
+    out_schema = "doc_id bigint, " + ", ".join(
+        f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema.fields
+    )
+
+    def add_ids(iterator):
+        seen: dict = {}
+        for pdf in iterator:
+            ids = _ids_for_batch(pdf["_file"].to_numpy(dtype=object), bases, seen)
+            out = pdf.drop(columns=["_file"])
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    return src.mapInPandas(add_ids, schema=out_schema)
+
+
+def _sorted_source_scan(spark: SparkSession, path: str, order_cols) -> tuple:
+    """(df, file->base dict) for a sorted, range-disjoint parquet table —
+    the shared metadata pass of the sorted-source fast paths."""
     cols = list(order_cols)
     # one task per file: no splitting (maxPartitionBytes >> file size) and no
     # packing (openCost == bin size). Session-level on purpose — the setting
@@ -269,33 +289,117 @@ def assign_doc_ids_sorted_source(
     for r in meta:
         bases[r["file"]] = acc
         acc += int(r["cnt"])
+    return df, bases
 
-    src = df.withColumn("_file", F.input_file_name())
-    out_schema = "doc_id bigint, " + ", ".join(
-        f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema.fields
+
+def _ids_for_batch(files: np.ndarray, bases: dict, seen: dict) -> np.ndarray:
+    """Global doc ids for one Arrow batch of a whole-files-per-task scan:
+    ``base[file] + running offset within file`` (files appear in contiguous
+    runs because a task never sees a partial file)."""
+    ids = np.empty(len(files), dtype=np.int64)
+    start = 0
+    while start < len(files):
+        f_name = files[start]
+        end = start
+        while end < len(files) and files[end] == f_name:
+            end += 1
+        off = seen.get(f_name, 0)
+        ids[start:end] = bases[f_name] + off + np.arange(end - start, dtype=np.int64)
+        seen[f_name] = off + (end - start)
+        start = end
+    return ids
+
+
+def _flush_run_frames(doc_ids_batch: np.ndarray, texts, run_id: np.int64, config: IndexConfig):
+    """One DWPT flush: yield the doc-metadata frame and (when any term
+    exists) the packed postings frame for one Arrow batch — the shared body
+    of :func:`build_index` and :func:`build_index_sorted_source`."""
+    analyzer = config.analyzer
+    encoded_analysis = config.analysis_mode == "encoded"
+    if encoded_analysis:
+        term_codes, uniques, rows, dl, tok_pos = analyzer.analyze_batch_encoded(texts)
+    else:
+        flat, rows, dl, tok_pos = analyzer.analyze_batch_with_positions(texts)
+        term_codes, uniq_idx = (
+            pd.factorize(pd.Series(flat), sort=True) if flat.size else (np.empty(0, np.int64), pd.Index([]))
+        )
+        uniques = uniq_idx.to_numpy(dtype=object)
+    norm_bytes = int_to_byte4(dl)
+
+    # doc metadata rows (norms column-stride analog)
+    yield pd.DataFrame(
+        {
+            "row_type": np.int32(1),
+            "term": None,
+            "run_id": run_id,
+            "block_id": np.int32(0),
+            "doc_id_base": doc_ids_batch,
+            "doc_id_max": doc_ids_batch,
+            "count": dl.astype(np.int32),
+            "doc_ids": None,
+            "tfs": None,
+            "norms": None,
+            "max_tf": norm_bytes.astype(np.int32),
+            "min_norm": np.int32(0),
+            "sum_tf": np.int64(0),
+            "positions": None,
+            "payloads": None,
+        }
     )
 
-    def add_ids(iterator):
-        seen: dict = {}
-        for pdf in iterator:
-            files = pdf["_file"].to_numpy(dtype=object)
-            ids = np.empty(len(pdf), dtype=np.int64)
-            # per-batch: files appear in contiguous runs (whole files per task)
-            start = 0
-            while start < len(pdf):
-                f_name = files[start]
-                end = start
-                while end < len(pdf) and files[end] == f_name:
-                    end += 1
-                off = seen.get(f_name, 0)
-                ids[start:end] = bases[f_name] + off + np.arange(end - start, dtype=np.int64)
-                seen[f_name] = off + (end - start)
-                start = end
-            out = pdf.drop(columns=["_file"])
-            out.insert(0, "doc_id", ids)
-            yield out
-
-    return src.mapInPandas(add_ids, schema=out_schema)
+    if term_codes.size == 0:
+        return
+    # in-memory postings + sorted flush (TermsHashPerField /
+    # FreqProxTermsWriter analog, all vectorized)
+    order = np.lexsort((rows, term_codes))
+    tc, rr = term_codes[order], rows[order]
+    new = np.empty(tc.size, dtype=bool)
+    new[0] = True
+    new[1:] = (tc[1:] != tc[:-1]) | (rr[1:] != rr[:-1])
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.append(starts, tc.size)).astype(np.int64)
+    u_tc, u_rr = tc[starts], rr[starts]
+    pay_flat = None
+    if config.payload_mode == "pos_mod8":
+        pay_flat = (tok_pos & 7)[order]
+    elif config.payload_mode == "token_length":
+        if encoded_analysis:
+            term_lens = np.fromiter((len(t) for t in uniques), dtype=np.int64, count=len(uniques))
+            pay_flat = term_lens[term_codes][order]
+        else:
+            pay_flat = np.fromiter((len(t) for t in flat), dtype=np.int64, count=flat.size)[order]
+    elif config.payload_mode is not None:
+        raise ValueError(f"unknown payload_mode {config.payload_mode!r}")
+    packed = pack_postings_blocks(
+        u_tc,
+        doc_ids_batch[u_rr],
+        tfs,
+        norm_bytes[u_rr],
+        block_size=config.block_size,
+        positions=tok_pos[order] if config.index_positions else None,
+        codec=config.codec,
+        payloads=pay_flat,
+    )
+    terms_arr = np.asarray(uniques, dtype=object)[packed["term_code"]]
+    yield pd.DataFrame(
+        {
+            "row_type": np.int32(0),
+            "term": terms_arr,
+            "run_id": run_id,
+            "block_id": packed["block_id"],
+            "doc_id_base": packed["doc_id_base"],
+            "doc_id_max": packed["doc_id_max"],
+            "count": packed["count"],
+            "doc_ids": packed["doc_bytes"],
+            "tfs": packed["tf_bytes"],
+            "norms": packed["norm_bytes"],
+            "max_tf": packed["max_tf"],
+            "min_norm": packed["min_norm"],
+            "sum_tf": packed["sum_tf"],
+            "positions": packed["pos_bytes"],
+            "payloads": packed["pay_bytes"],
+        }
+    )
 
 
 def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> InvertedIndex:
@@ -305,10 +409,8 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
     :func:`assign_doc_ids` first for raw transcripts.
     """
     config = config or IndexConfig()
-    analyzer = config.analyzer
-    text_col, id_col, block_size = config.text_col, config.id_col, config.block_size
+    text_col, id_col = config.text_col, config.id_col
 
-    encoded_analysis = config.analysis_mode == "encoded"
     src = corpus.select(id_col, text_col)
     if config.n_partitions:
         # contiguous doc_id ranges per run keep deltas small and runs balanced
@@ -324,90 +426,7 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
             run_id = np.int64(pid) * 1_000_000 + seq
             seq += 1
             doc_ids_batch = pdf[id_col].to_numpy(dtype=np.int64)
-            if encoded_analysis:
-                term_codes, uniques, rows, dl, tok_pos = analyzer.analyze_batch_encoded(pdf[text_col])
-            else:
-                flat, rows, dl, tok_pos = analyzer.analyze_batch_with_positions(pdf[text_col])
-                term_codes, uniq_idx = (
-                    pd.factorize(pd.Series(flat), sort=True) if flat.size else (np.empty(0, np.int64), pd.Index([]))
-                )
-                uniques = uniq_idx.to_numpy(dtype=object)
-            norm_bytes = int_to_byte4(dl)
-
-            # doc metadata rows (norms column-stride analog)
-            yield pd.DataFrame(
-                {
-                    "row_type": np.int32(1),
-                    "term": None,
-                    "run_id": run_id,
-                    "block_id": np.int32(0),
-                    "doc_id_base": doc_ids_batch,
-                    "doc_id_max": doc_ids_batch,
-                    "count": dl.astype(np.int32),
-                    "doc_ids": None,
-                    "tfs": None,
-                    "norms": None,
-                    "max_tf": norm_bytes.astype(np.int32),
-                    "min_norm": np.int32(0),
-                    "sum_tf": np.int64(0),
-                    "positions": None,
-                    "payloads": None,
-                }
-            )
-
-            if term_codes.size == 0:
-                continue
-            # in-memory postings + sorted flush (TermsHashPerField /
-            # FreqProxTermsWriter analog, all vectorized)
-            order = np.lexsort((rows, term_codes))
-            tc, rr = term_codes[order], rows[order]
-            new = np.empty(tc.size, dtype=bool)
-            new[0] = True
-            new[1:] = (tc[1:] != tc[:-1]) | (rr[1:] != rr[:-1])
-            starts = np.flatnonzero(new)
-            tfs = np.diff(np.append(starts, tc.size)).astype(np.int64)
-            u_tc, u_rr = tc[starts], rr[starts]
-            pay_flat = None
-            if config.payload_mode == "pos_mod8":
-                pay_flat = (tok_pos & 7)[order]
-            elif config.payload_mode == "token_length":
-                if encoded_analysis:
-                    term_lens = np.fromiter((len(t) for t in uniques), dtype=np.int64, count=len(uniques))
-                    pay_flat = term_lens[term_codes][order]
-                else:
-                    pay_flat = np.fromiter((len(t) for t in flat), dtype=np.int64, count=flat.size)[order]
-            elif config.payload_mode is not None:
-                raise ValueError(f"unknown payload_mode {config.payload_mode!r}")
-            packed = pack_postings_blocks(
-                u_tc,
-                doc_ids_batch[u_rr],
-                tfs,
-                norm_bytes[u_rr],
-                block_size=block_size,
-                positions=tok_pos[order] if config.index_positions else None,
-                codec=config.codec,
-                payloads=pay_flat,
-            )
-            terms_arr = np.asarray(uniques, dtype=object)[packed["term_code"]]
-            yield pd.DataFrame(
-                {
-                    "row_type": np.int32(0),
-                    "term": terms_arr,
-                    "run_id": run_id,
-                    "block_id": packed["block_id"],
-                    "doc_id_base": packed["doc_id_base"],
-                    "doc_id_max": packed["doc_id_max"],
-                    "count": packed["count"],
-                    "doc_ids": packed["doc_bytes"],
-                    "tfs": packed["tf_bytes"],
-                    "norms": packed["norm_bytes"],
-                    "max_tf": packed["max_tf"],
-                    "min_norm": packed["min_norm"],
-                    "sum_tf": packed["sum_tf"],
-                    "positions": packed["pos_bytes"],
-                    "payloads": packed["pay_bytes"],
-                }
-            )
+            yield from _flush_run_frames(doc_ids_batch, pdf[text_col], run_id, config)
         # reused workers keep the high-water-mark RSS of the biggest batch;
         # hand freed arena pages back so 32 concurrent workers don't ratchet
         # the host into the OOM killer over repeated builds
@@ -417,7 +436,11 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
 
     raw = src.mapInPandas(build, schema=_BUILD_SCHEMA)
     raw = raw.persist()
+    return _finalize_index(raw, config)
 
+
+def _finalize_index(raw: DataFrame, config: IndexConfig) -> InvertedIndex:
+    """Carve the persisted build output into postings/docs/terms + stats."""
     postings = raw.filter(F.col("row_type") == 0).select(*POSTINGS_COLUMNS)
     docs = raw.filter(F.col("row_type") == 1).select(
         F.col("doc_id_base").alias("doc_id"),
@@ -445,3 +468,50 @@ def build_index(corpus: DataFrame, config: Optional[IndexConfig] = None) -> Inve
         sum_ttf=int(stats_row["sum_ttf"]),
         config=config,
     )
+
+
+def build_index_sorted_source(
+    spark: SparkSession,
+    path: str,
+    config: Optional[IndexConfig] = None,
+    order_cols=("conv_id", "turn_idx"),
+) -> InvertedIndex:
+    """FUSED sorted-source build: doc-id assignment + analysis + posting-run
+    packing in ONE Python pass over the scan.
+
+    :func:`assign_doc_ids_sorted_source` + :func:`build_index` crosses the
+    JVM-Python Arrow boundary twice (once to stamp ids over every corpus
+    column, once to analyze), and the id pass carries the non-text columns
+    through Arrow both ways.  This path does the same metadata pass (per-file
+    counts + range-disjointness check), then a single ``mapInPandas`` that
+    computes each batch's global ids from the file bases and flushes the run
+    directly - reading ONLY the file name and text column from the scan
+    (column pruning reaches parquet).  Run/block layout, doc ids, norms, and
+    stats are bit-identical to the two-step path (pinned by
+    ``tests/test_indexer.py::test_fused_sorted_source_build_identical``).
+
+    ``config.n_partitions`` is ignored: the source files ARE the runs, as in
+    the two-step fast path with ``n_partitions=None``.
+    """
+    config = config or IndexConfig()
+    df, bases = _sorted_source_scan(spark, path, order_cols)
+    src = df.select(F.input_file_name().alias("_file"), F.col(config.text_col))
+    text_col = config.text_col
+
+    def build(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        seen: dict = {}
+        for pdf in iterator:
+            run_id = np.int64(pid) * 1_000_000 + seq
+            seq += 1
+            ids = _ids_for_batch(pdf["_file"].to_numpy(dtype=object), bases, seen)
+            yield from _flush_run_frames(ids, pdf[text_col], run_id, config)
+        from lucene_solr_spark.memutil import trim_task_memory
+
+        trim_task_memory()
+
+    raw = src.mapInPandas(build, schema=_BUILD_SCHEMA).persist()
+    return _finalize_index(raw, config)

@@ -41,11 +41,7 @@ def make_corpus(n_convs: int) -> int:
 
 
 def timed_build(cpus: int, runs: int) -> list[float]:
-    from lucene_solr_spark.operators.indexer import (
-        IndexConfig,
-        assign_doc_ids_sorted_source,
-        build_index,
-    )
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index_sorted_source
     from lucene_solr_spark.session import get_spark
 
     spark = get_spark(cpus=cpus, shuffle_partitions=cpus)
@@ -53,10 +49,10 @@ def timed_build(cpus: int, runs: int) -> list[float]:
     times = []
     for r in range(runs + 1):  # first run is the warm-up
         t0 = time.monotonic()
-        # sorted-table fast path (production layout: Iceberg sortedBy) —
-        # doc ids from per-file counts, zero corpus shuffles end-to-end
-        with_ids = assign_doc_ids_sorted_source(spark, CORPUS)
-        idx = build_index(with_ids, IndexConfig(n_partitions=None))
+        # fused sorted-table fast path (production layout: Iceberg sortedBy):
+        # ids from per-file counts + analysis + packing in ONE Python pass,
+        # zero corpus shuffles end-to-end
+        idx = build_index_sorted_source(spark, CORPUS, IndexConfig(n_partitions=None))
         idx.postings.count()  # materialize the whole build
         dt = time.monotonic() - t0
         spark.catalog.clearCache()  # drop this run's persisted runs/corpus

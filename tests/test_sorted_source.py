@@ -36,3 +36,43 @@ def test_sorted_source_rejects_overlapping_files(spark, tmp_path_factory, fixtur
     df.write.mode("overwrite").parquet(path)
     with pytest.raises(ValueError, match="overlap"):
         assign_doc_ids_sorted_source(spark, path).count()
+
+
+def test_fused_sorted_source_build_identical(spark, tmp_path_factory):
+    """build_index_sorted_source (one Python pass) must be bit-identical to
+    assign_doc_ids_sorted_source + build_index: same run/block layout, same
+    postings bytes, same docs/norms, same collection stats."""
+    from lucene_solr_spark.operators.indexer import (
+        IndexConfig,
+        assign_doc_ids_sorted_source,
+        build_index,
+        build_index_sorted_source,
+    )
+    from lucene_solr_spark.sources.transcripts import transcripts_df_dist
+
+    path = str(tmp_path_factory.mktemp("fusedsrc") / "corpus.parquet")
+    transcripts_df_dist(spark, 400, n_partitions=6).write.mode("overwrite").parquet(path)
+
+    two_step = build_index(
+        assign_doc_ids_sorted_source(spark, path), IndexConfig(n_partitions=None)
+    )
+    fused = build_index_sorted_source(spark, path, IndexConfig(n_partitions=None))
+
+    assert fused.doc_count == two_step.doc_count
+    assert fused.sum_ttf == two_step.sum_ttf
+
+    key = ["term", "run_id", "block_id"]
+    pa = two_step.postings.orderBy(*key).toPandas()
+    pb = fused.postings.orderBy(*key).toPandas()
+    assert len(pa) == len(pb)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        pa.reset_index(drop=True), pb.reset_index(drop=True)
+    )
+    da = two_step.docs.orderBy("doc_id").toPandas().reset_index(drop=True)
+    db = fused.docs.orderBy("doc_id").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(da, db)
+    ta = two_step.terms.orderBy("term").toPandas().reset_index(drop=True)
+    tb = fused.terms.orderBy("term").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(ta, tb)
