@@ -32,6 +32,7 @@ Scale notes (10^12 turns / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -255,9 +256,90 @@ def assign_doc_ids_sorted_source(
     return src.mapInPandas(add_ids, schema=out_schema)
 
 
+def _footer_file_meta(path: str, cols) -> Optional[list]:
+    """Per-file (name, count, min_tuple, max_tuple) from parquet FOOTERS —
+    no data scan at all.  Returns None when the layout or statistics make the
+    footer route unsafe (non-local path, partitioned subdirs, missing or
+    truncation-risky min/max), signalling the caller to fall back to the
+    Spark metadata scan.
+
+    Safe because it reproduces the Spark job's semantics exactly: the scan
+    aggregates INDEPENDENT per-column min/max per file, which is what footer
+    column statistics store, and both Spark (UTF8String) and parquet
+    (UNSIGNED byte order) compare strings by UTF-8 bytes — which matches
+    Python ``str`` code-point order for valid UTF-8.  String stats >= 60
+    bytes trigger the fallback: parquet writers may truncate long binary
+    min/max, and a truncated bound could mask a range overlap.
+
+    Scale note: one footer read per file on the driver is the same metadata
+    Iceberg keeps in its manifests; at 10^5+ files this loop becomes a tiny
+    Spark job over file names (or an Iceberg manifest scan), never a data
+    scan.
+    """
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local or any(ch in local for ch in "*?["):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(local):
+            names = sorted(os.listdir(local))
+            if any(
+                os.path.isdir(os.path.join(local, n)) for n in names
+            ):  # hive-partitioned layout: keys live in dir names, not footers
+                return None
+            files = [
+                os.path.join(local, n)
+                for n in names
+                if not n.startswith(("_", ".")) and not n.endswith(".crc")
+            ]
+        elif os.path.isfile(local):
+            files = [local]
+        else:
+            return None
+        if not files:
+            return None
+        meta = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            if any(c not in idx for c in cols):
+                return None
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                for c in cols:
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    if isinstance(lo, str) and (len(lo) >= 60 or len(hi) >= 60):
+                        return None  # possible writer-side truncation
+                    mins[c] = lo if c not in mins else min(mins[c], lo)
+                    maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+            if md.num_rows > 0 and md.num_row_groups == 0:
+                return None
+            key_min = tuple(mins[c] for c in cols) if md.num_row_groups else ()
+            key_max = tuple(maxs[c] for c in cols) if md.num_row_groups else ()
+            meta.append((os.path.basename(f), int(md.num_rows), key_min, key_max))
+        return [m for m in meta if m[1] > 0]
+    except Exception:
+        return None
+
+
 def _sorted_source_scan(spark: SparkSession, path: str, order_cols) -> tuple:
-    """(df, file->base dict) for a sorted, range-disjoint parquet table —
-    the shared metadata pass of the sorted-source fast paths."""
+    """(df, file->base dict keyed by file BASENAME) for a sorted,
+    range-disjoint parquet table — the shared metadata pass of the
+    sorted-source fast paths.
+
+    Fast route: per-file row counts and sort-key min/max come straight from
+    parquet footers (:func:`_footer_file_meta`) — zero Spark jobs, so the
+    build's only full pass over the corpus is the fused analyze+pack scan.
+    Fallback (non-local storage, partitioned dirs, absent statistics): a
+    2-column Spark aggregation keyed by ``input_file_name``.
+    """
     cols = list(order_cols)
     # one task per file: no splitting (maxPartitionBytes >> file size) and no
     # packing (openCost == bin size). Session-level on purpose — the setting
@@ -265,37 +347,49 @@ def _sorted_source_scan(spark: SparkSession, path: str, order_cols) -> tuple:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024**3))
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024**3))
     df = spark.read.parquet(path)
-    meta = (
-        df.groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.count("*").alias("cnt"),
-            *[F.min(c).alias(f"_min_{c}") for c in cols],
-            *[F.max(c).alias(f"_max_{c}") for c in cols],
+
+    meta = _footer_file_meta(path, cols)
+    if meta is None:
+        rows = (
+            df.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.min(c).alias(f"_min_{c}") for c in cols],
+                *[F.max(c).alias(f"_max_{c}") for c in cols],
+            )
+            .collect()
         )
-        .collect()
-    )
-    meta.sort(key=lambda r: tuple(r[f"_min_{c}"] for c in cols))
+        meta = [
+            (
+                r["file"].rsplit("/", 1)[-1],
+                int(r["cnt"]),
+                tuple(r[f"_min_{c}"] for c in cols),
+                tuple(r[f"_max_{c}"] for c in cols),
+            )
+            for r in rows
+        ]
+    meta.sort(key=lambda m: m[2])
     # files must be range-disjoint in the sort key, or doc ids would not
     # reproduce the global order — refuse and point at the shuffle path
-    for prev_r, r in zip(meta, meta[1:]):
-        prev_max = tuple(prev_r[f"_max_{c}"] for c in cols)
-        cur_min = tuple(r[f"_min_{c}"] for c in cols)
-        if cur_min < prev_max:
+    for prev_m, m in zip(meta, meta[1:]):
+        if m[2] < prev_m[3]:
             raise ValueError(
                 "source files overlap in the sort key — not a sorted table; "
                 "use assign_doc_ids (shuffle path) instead"
             )
     bases, acc = {}, 0
-    for r in meta:
-        bases[r["file"]] = acc
-        acc += int(r["cnt"])
+    for name, cnt, _lo, _hi in meta:
+        bases[name] = acc
+        acc += cnt
     return df, bases
 
 
 def _ids_for_batch(files: np.ndarray, bases: dict, seen: dict) -> np.ndarray:
     """Global doc ids for one Arrow batch of a whole-files-per-task scan:
     ``base[file] + running offset within file`` (files appear in contiguous
-    runs because a task never sees a partial file)."""
+    runs because a task never sees a partial file).  ``bases`` is keyed by
+    file basename — ``input_file_name()`` URIs are reduced at the group
+    boundary, so the lookup is scheme-agnostic."""
     ids = np.empty(len(files), dtype=np.int64)
     start = 0
     while start < len(files):
@@ -304,7 +398,8 @@ def _ids_for_batch(files: np.ndarray, bases: dict, seen: dict) -> np.ndarray:
         while end < len(files) and files[end] == f_name:
             end += 1
         off = seen.get(f_name, 0)
-        ids[start:end] = bases[f_name] + off + np.arange(end - start, dtype=np.int64)
+        base = bases[str(f_name).rsplit("/", 1)[-1]]
+        ids[start:end] = base + off + np.arange(end - start, dtype=np.int64)
         seen[f_name] = off + (end - start)
         start = end
     return ids

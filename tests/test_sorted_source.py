@@ -76,3 +76,53 @@ def test_fused_sorted_source_build_identical(spark, tmp_path_factory):
     ta = two_step.terms.orderBy("term").toPandas().reset_index(drop=True)
     tb = fused.terms.orderBy("term").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(ta, tb)
+
+
+def test_footer_meta_matches_spark_scan(spark, tmp_path_factory):
+    """The parquet-footer metadata route must produce the same file bases as
+    the Spark aggregation fallback — equivalence pin for the zero-job pass."""
+    from lucene_solr_spark.operators import indexer
+    from lucene_solr_spark.sources.transcripts import transcripts_df_dist
+
+    path = str(tmp_path_factory.mktemp("footermeta") / "corpus.parquet")
+    transcripts_df_dist(spark, 300, n_partitions=5).write.mode("overwrite").parquet(path)
+
+    _, bases_footer = indexer._sorted_source_scan(spark, path, ("conv_id", "turn_idx"))
+    assert indexer._footer_file_meta(path, ["conv_id", "turn_idx"]) is not None
+
+    orig = indexer._footer_file_meta
+    try:
+        indexer._footer_file_meta = lambda *_a, **_k: None  # force Spark fallback
+        _, bases_spark = indexer._sorted_source_scan(spark, path, ("conv_id", "turn_idx"))
+    finally:
+        indexer._footer_file_meta = orig
+    assert bases_footer == bases_spark
+
+
+def test_sorted_source_fallback_path_ids(spark, tmp_path_factory, monkeypatch):
+    """With the footer route disabled, the sorted-source id assignment still
+    matches the shuffle path end-to-end (covers the Spark-scan fallback)."""
+    from lucene_solr_spark.operators import indexer
+    from lucene_solr_spark.sources.transcripts import transcripts_df_dist
+
+    path = str(tmp_path_factory.mktemp("fallbacksrc") / "corpus.parquet")
+    transcripts_df_dist(spark, 200, n_partitions=4).write.mode("overwrite").parquet(path)
+
+    monkeypatch.setattr(indexer, "_footer_file_meta", lambda *_a, **_k: None)
+    a = (
+        indexer.assign_doc_ids(
+            spark.read.parquet(path), ("conv_id", "turn_idx"), n_partitions=4
+        )
+        .select("doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        indexer.assign_doc_ids_sorted_source(spark, path)
+        .select("doc_id", "conv_id", "turn_idx")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and a.equals(b)
