@@ -37,8 +37,10 @@ def _build_from_parquet(spark, path: str, n_partitions: int):
     # doc ids from per-file counts + analysis + packing in ONE Python pass,
     # zero corpus shuffles end-to-end (bit-identical to the two-step path)
     idx = build_index_sorted_source(spark, path, IndexConfig(n_partitions=None))
+    # the stats collect inside the build consumes every row of the persisted
+    # run output, so the whole index (postings blocks included) is already
+    # materialized in cache here — no second pass needed
     n_turns = idx.doc_count
-    idx.postings.count()  # materialize the full build
     return idx, n_turns
 
 

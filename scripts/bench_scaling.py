@@ -33,7 +33,10 @@ def make_corpus(n_convs: int) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if os.path.exists(CORPUS):
         shutil.rmtree(CORPUS)
-    df = transcripts_df_dist(spark, n_convs, n_partitions=64)
+    # 256 files: fine task granularity so wave quantization / stragglers
+    # don't distort the high-core arm (16 waves at local[16], 64 at local[4]);
+    # per-file metadata comes from footers, so file count is build-time free
+    df = transcripts_df_dist(spark, n_convs, n_partitions=256)
     df.write.mode("overwrite").parquet(CORPUS)
     n = spark.read.parquet(CORPUS).count()
     spark.stop()
@@ -53,7 +56,9 @@ def timed_build(cpus: int, runs: int) -> list[float]:
         # ids from per-file counts + analysis + packing in ONE Python pass,
         # zero corpus shuffles end-to-end
         idx = build_index_sorted_source(spark, CORPUS, IndexConfig(n_partitions=None))
-        idx.postings.count()  # materialize the whole build
+        # the stats collect inside the build consumes every row of the
+        # persisted run output — the whole index is materialized in cache
+        assert idx.doc_count > 0
         dt = time.monotonic() - t0
         spark.catalog.clearCache()  # drop this run's persisted runs/corpus
         if r > 0:
