@@ -146,7 +146,7 @@ number (same estimator as bench.py); all raw runs shown.
 BASELINE.json north_rule; efficiency = (tp@4N / tp@N) / 4).
 
 Measured {time.strftime('%Y-%m-%d %H:%M:%S')} on local mode,
-spark.sql.shuffle.partitions = cores, AQE on, Arrow batch 65536.
+spark.sql.shuffle.partitions = cores, AQE on, Arrow batch 4096.
 
 ## Notes
 
