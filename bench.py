@@ -76,7 +76,9 @@ def main() -> None:
     build_scale: dict = {}
     try:
         corpus_path = "/tmp/bench_corpus_r.parquet"
-        _stage_corpus(spark, n_convs, 2 * cpus, corpus_path)  # 2 task-waves/run
+        # 8 waves/run: fine task granularity so one straggler doesn't idle
+        # cpus-1 cores at the tail (footer metadata makes file count free)
+        _stage_corpus(spark, n_convs, 8 * cpus, corpus_path)
         bench_index_build(spark, corpus_path, cpus)  # warm-up run (cold cache/JIT)
         # best of 3: this box shows 2-7x run-to-run wall variance (hypervisor
         # steal + sys-time storms under co-tenant load) — the minimum is the
