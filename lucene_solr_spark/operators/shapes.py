@@ -325,7 +325,13 @@ def shape_triangles(
     """
     key_cols = list(key_cols)
     cols = key_cols + [lats_col, lons_col] + ([holes_col] if holes_col else [])
-    src = df.select(*cols)
+    # single-file sources arrive as ONE scan partition; tessellation is
+    # per-row Python and every downstream relate predicate inherits the
+    # mesh's partitioning through persist — widen to the session's
+    # parallelism first (no-op on well-partitioned production tables)
+    from ..session import spread_partitions
+
+    src = spread_partitions(df.select(*cols))
     schema = _tri_schema(df, key_cols)
 
     def gen(batches):
@@ -384,6 +390,9 @@ def line_triangles(
     to interpreted eval).
     """
     key_cols = list(key_cols)
+    from ..session import spread_partitions
+
+    df = spread_partitions(df)
     n = F.size(lats_col)
     seg = F.expr(
         f"transform(sequence(0, size({lats_col}) - 2), i -> "
