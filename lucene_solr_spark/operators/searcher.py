@@ -92,6 +92,10 @@ from .indexer import InvertedIndex
 
 _SCORED_SCHEMA = "term string, doc_id bigint, tf int, norm int, score float"
 
+# batch_search ships clause occurs as ints so the per-posting exchange rows
+# stay narrow; MUST/SHOULD sort below FILTER so "scoring clause" is occ <= 1
+_OCC_CODE = {"MUST": 0, "SHOULD": 1, "FILTER": 2, "MUST_NOT": 3}
+
 
 def _make_unpack_score(weights: dict, cache: np.ndarray, codec: str = "varint"):
     """mapInPandas fn: block rows -> (term, doc_id, tf, norm, score float32).
@@ -2771,9 +2775,11 @@ class IndexSearcher:
         its own float32 weight, clause scores accumulate in double per
         (query, doc), one float32 cast at the end — so every row is
         bit-identical to ``search(queries[qid], k)``.  Plan: one scan →
-        broadcast join on term → groupBy(query_id, doc_id) → per-query
-        window top-k (the only shuffles are the agg and the per-query sort
-        of surviving matches)."""
+        broadcast join on term → groupBy(query, doc) → salted two-stage
+        per-query top-k (stage 1 bounds every sort task at top-k per
+        (query, doc_id%32), so one head query can't serialize the batch).
+        Query ids travel the hot exchanges as dense ints; strings are
+        restored on the k·|queries| result rows."""
         if self.similarity is not None:
             raise NotImplementedError("batch_search is BM25-only")
         from pyspark.sql.window import Window
@@ -2817,55 +2823,82 @@ class IndexSearcher:
                 o in ("MUST", "SHOULD", "FILTER") and t in stats for o, t, _ in leaves
             ):
                 continue  # a required term is absent / nothing can match: no hits
+            qc = len(meta_rows)  # dense int code; strings restored at the end
             for occur, t, b in leaves:
                 if t not in stats:
                     continue
                 w = self._leaf_w(b, t, stats) if occur in ("MUST", "SHOULD") else 0.0
-                clause_rows.append((str(qid), t, occur, float(w)))
-            meta_rows.append((str(qid), n_req, int(mm)))
+                clause_rows.append((qc, t, _OCC_CODE[occur], float(w)))
+            meta_rows.append((qc, str(qid), n_req, int(mm)))
         out_schema = "query_id string, rank int, doc_id long, score float"
         if not clause_rows:
             return self.spark.createDataFrame([], out_schema)
 
         clauses = self.spark.createDataFrame(
-            clause_rows, "query_id string, term string, occur string, w float"
+            clause_rows, "qc int, term string, occ int, w float"
         )
-        meta = self.spark.createDataFrame(meta_rows, "query_id string, n_req int, mm int")
+        meta = self.spark.createDataFrame(
+            [(qc, n_req, mm) for qc, _, n_req, mm in meta_rows], "qc int, n_req int, mm int"
+        )
+        qid_map = self.spark.createDataFrame(
+            [(qc, qid) for qc, qid, _, _ in meta_rows], "qc int, query_id string"
+        )
         terms_needed = sorted({t for _, t, _, _ in clause_rows})
         # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting
         unit = {t: 1.0 for t in terms_needed}
         scored = self._scored_postings(unit).select("term", "doc_id", "score")
         joined = scored.join(F.broadcast(clauses), "term")
+        # narrow exchange rows: int query code + int occur (an Arrow-side
+        # partition-local combiner was tried here and measured SLOWER than
+        # the exchanges it saved — Python ser/de of the full match stream is
+        # bandwidth-bound; the JVM shuffle of int-keyed rows is not)
         per_clause = joined.select(
-            "query_id",
+            "qc",
             "doc_id",
-            "occur",
+            "occ",
             (F.col("w") * F.col("score")).cast("float").alias("cscore"),
         )
-        agg = per_clause.groupBy("query_id", "doc_id").agg(
-            F.sum(F.when(F.col("occur").isin("MUST", "SHOULD"), F.col("cscore").cast("double"))).alias("dscore"),
-            F.sum(F.when(F.col("occur").isin("MUST", "FILTER"), 1).otherwise(0)).alias("nr"),
-            F.sum(F.when(F.col("occur") == "SHOULD", 1).otherwise(0)).alias("ns"),
-            F.max(F.when(F.col("occur") == "MUST_NOT", 1).otherwise(0)).alias("nn"),
+        agg = per_clause.groupBy("qc", "doc_id").agg(
+            F.sum(F.when(F.col("occ") <= _OCC_CODE["SHOULD"], F.col("cscore").cast("double"))).alias("dscore"),
+            F.sum(F.when(F.col("occ").isin(_OCC_CODE["MUST"], _OCC_CODE["FILTER"]), 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("occ") == _OCC_CODE["SHOULD"], 1).otherwise(0)).alias("ns"),
+            F.max(F.when(F.col("occ") == _OCC_CODE["MUST_NOT"], 1).otherwise(0)).alias("nn"),
         )
+        # simple survivor groups pass this too: MUST ⇒ nr=1=n_req & mm<=0,
+        # SHOULD ⇒ nr=0=n_req & ns=1 >= mm (bypass required mm<=1)
         cond = (
             (F.col("nr") == F.col("n_req"))
             & (F.col("nn") == 0)
             & ((F.col("mm") <= 0) | (F.col("ns") >= F.col("mm")))
         )
-        matched = agg.join(F.broadcast(meta), "query_id").filter(cond)
-        if self.index.deletes is not None:  # live-docs filter, as in search()
-            matched = matched.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            # dscore is NULL for FILTER-only matches — score 0.0, like the
-            # single-query path's filter-only branch
-            matched.select(
-                "query_id", "doc_id",
+        # dscore is NULL for FILTER-only matches — score 0.0, like the
+        # single-query path's filter-only branch
+        matched = (
+            agg.join(F.broadcast(meta), "qc")
+            .filter(cond)
+            .select(
+                "qc", "doc_id",
                 F.coalesce(F.col("dscore"), F.lit(0.0)).cast("float").alias("score"),
             )
+        )
+        if self.index.deletes is not None:  # live-docs filter, as in search()
+            matched = matched.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+
+        # salted two-stage top-k: a head query can match a large fraction of
+        # the corpus, and a single per-query window would sort all its
+        # matches in ONE task (the straggler that caps batch scaling).
+        # Stage 1 takes top-k per (query, doc_id%32) — 32 bounded parallel
+        # sorts per query — stage 2 ranks the <= 32k survivors.  Output
+        # identical: every global top-k row is top-k in its salt group.
+        w_pre = Window.partitionBy("qc", "_salt").orderBy(F.desc("score"), F.asc("doc_id"))
+        w = Window.partitionBy("qc").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            matched.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(32)).cast("int"))
+            .withColumn("_pr", F.row_number().over(w_pre))
+            .filter(F.col("_pr") <= k)
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
+            .join(F.broadcast(qid_map), "qc")
             .select("query_id", "rank", "doc_id", "score")
         )
 
