@@ -65,3 +65,40 @@ def test_batch_single_scan_plan(spark, index8, tmp_path_factory):
     plan = s.batch_search(qs, 10)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas fn(term") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_batch_head_term_skew_identity(spark):
+    """Salted two-stage top-k under real skew: one term matches EVERY doc
+    (1,000 docs >> 32 salt groups x k), another is rare.  Batch results must
+    stay bit-identical to the single-query path for both."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    n = 1000
+    rows = []
+    for i in range(n):
+        text = "common " * (1 + i % 7) + (f"rare{i % 5} " if i % 97 == 0 else "") + f"u{i}"
+        rows.append(("c%04d" % i, 0, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("conv_id", "turn_idx")).cast("long") - 1,
+    )
+    idx = build_index(df, IndexConfig(n_partitions=8))
+    s = IndexSearcher(idx)
+    queries = {
+        "head": TermQuery("common"),
+        "rare": TermQuery("rare0"),
+        "mix": BooleanQuery.build(should=[TermQuery("common"), TermQuery("rare2")]),
+    }
+    out = s.batch_search(queries, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries.items():
+        expect = [(i + 1, d, sc) for i, (d, sc) in enumerate(s.search(q, 10).collect())]
+        assert sorted(by_q.get(qid, [])) == expect, qid
