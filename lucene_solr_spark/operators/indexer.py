@@ -368,6 +368,13 @@ def _sorted_source_scan(spark: SparkSession, path: str, order_cols) -> tuple:
             )
             for r in rows
         ]
+    if len({m[0] for m in meta}) != len(meta):
+        # basename keys assume one directory of files; a multi-dir glob can
+        # repeat part-file names and silently corrupt the id bases — refuse
+        raise ValueError(
+            "duplicate file basenames across the source — read a single "
+            "table directory, or use assign_doc_ids (shuffle path)"
+        )
     meta.sort(key=lambda m: m[2])
     # files must be range-disjoint in the sort key, or doc ids would not
     # reproduce the global order — refuse and point at the shuffle path
