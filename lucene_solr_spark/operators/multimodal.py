@@ -137,7 +137,13 @@ def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_bmp(px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(fn, "doc_id bigint, payload binary")
+    from ..session import spread_partitions
+
+    # single-file doc tables arrive as ONE partition; the codec chain
+    # downstream is per-row Python — widen first (no-op on partitioned input)
+    return spread_partitions(docs.select("doc_id")).mapInPandas(
+        fn, "doc_id bigint, payload binary"
+    )
 
 
 def decode_images(df: DataFrame) -> DataFrame:
@@ -178,7 +184,13 @@ def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_wav(s, rate))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(fn, "doc_id bigint, payload binary")
+    from ..session import spread_partitions
+
+    # single-file doc tables arrive as ONE partition; the codec chain
+    # downstream is per-row Python — widen first (no-op on partitioned input)
+    return spread_partitions(docs.select("doc_id")).mapInPandas(
+        fn, "doc_id bigint, payload binary"
+    )
 
 
 def decode_audio(df: DataFrame) -> DataFrame:

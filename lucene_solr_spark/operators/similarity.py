@@ -167,7 +167,9 @@ def lsh_buckets(
                 }
             )
 
-    return df.select("vec_id", "qvec").mapInPandas(
+    from ..session import spread_partitions
+
+    return spread_partitions(df.select("vec_id", "qvec")).mapInPandas(
         bucketize, schema="vec_id bigint, tbl int, bucket bigint"
     )
 
