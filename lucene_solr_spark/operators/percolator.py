@@ -198,4 +198,10 @@ class Percolator:
                             out_q.append(qid)
                 yield pd.DataFrame({"doc_id": out_doc, "query_id": out_q})
 
-        return docs.select(id_col, text_col).mapInPandas(run, schema="doc_id bigint, query_id string")
+        from ..session import spread_partitions
+
+        # per-row Python matching: widen single-file doc streams first
+        # (no-op on partitioned production input)
+        return spread_partitions(docs.select(id_col, text_col)).mapInPandas(
+            run, schema="doc_id bigint, query_id string"
+        )
