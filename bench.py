@@ -143,6 +143,7 @@ def main() -> None:
         if fn is not None:
             bench_qs.update(fn())
 
+    queries_raw: dict[str, list[float]] = {}
     for name, fn in bench_qs.items():
         try:
             # steady-state latency: best of two runs (first run pays Catalyst
@@ -154,6 +155,10 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 runs_q.append(time.monotonic() - t0)
             queries[name] = round(min(runs_q), 3)
+            # commit BOTH raw runs: a code regression shows every run slow,
+            # a hypervisor-steal window shows wild spread on unchanged code
+            # — the per-query analog of index_build_raw_runs_sec
+            queries_raw[name] = [round(t, 3) for t in runs_q]
         except Exception as e:  # never let one query kill the bench
             print(f"BENCH_ERROR {name}: {e}", file=sys.stderr)
             queries[name] = -1.0
@@ -258,6 +263,7 @@ def main() -> None:
         "query_p50_sec": _pq(all_lat, 0.5),
         "query_p95_sec": _pq(all_lat, 0.95),
         "cpus": cpus,
+        "queries_raw": queries_raw,
         **scale,
     }
     print(json.dumps(out))

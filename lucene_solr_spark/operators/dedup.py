@@ -411,15 +411,19 @@ def _simhash_pairs_collapsed(
 
     The per-fingerprint doc list rides THROUGH the band join (sorted array
     from the one groupBy over the fingerprint pass), so the expansion is a
-    pure explode — no join back to the fingerprint relation.  The expensive
-    mapInPandas fingerprint scan appears 3x in the plan (a/b band sides +
-    the identical-pair branch) vs the direct path's 2x; array payloads are
-    bounded by the operator's own output size."""
+    pure explode — no join back to the fingerprint relation.  ``reps`` is
+    persisted (manifest scale: ONE row per distinct fingerprint) so the
+    expensive corpus-scale mapInPandas fingerprint scan runs once, not 3x
+    (a/b band sides + the identical-pair branch); MEMORY_AND_DISK, so worst
+    case it spills rather than recomputes, and LRU eviction bounds the
+    footprint for callers that never unpersist the lazy result."""
+    from pyspark import StorageLevel
+
     reps = sh.groupBy("simhash").agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_docs"),
         F.sort_array(F.collect_list("doc_id")).alias("docs"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rep_bands = _simhash_band_keys(reps, blocks, n_blocks, key_blocks, extra_cols=("docs",))
     a = rep_bands.select(
         "band", "band_key", F.col("doc_id").alias("rep_a"),

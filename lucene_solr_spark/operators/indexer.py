@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 from typing import Optional
+from urllib.parse import unquote
 
 import numpy as np
 import pandas as pd
@@ -313,9 +314,16 @@ def _footer_file_meta(path: str, cols) -> Optional[list]:
                     if st is None or not st.has_min_max:
                         return None
                     lo, hi = st.min, st.max
+                    # writer-side stat truncation happens at a BYTE threshold
+                    # (~64), so the guard must measure bytes: a multibyte
+                    # UTF-8 stat truncated to 64 bytes can decode to <60 chars
                     if isinstance(lo, bytes):
+                        if len(lo) >= 60 or len(hi) >= 60:
+                            return None  # possible writer-side truncation
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    if isinstance(lo, str) and (len(lo) >= 60 or len(hi) >= 60):
+                    elif isinstance(lo, str) and (
+                        len(lo.encode("utf-8")) >= 60 or len(hi.encode("utf-8")) >= 60
+                    ):
                         return None  # possible writer-side truncation
                     mins[c] = lo if c not in mins else min(mins[c], lo)
                     maxs[c] = hi if c not in maxs else max(maxs[c], hi)
@@ -359,9 +367,12 @@ def _sorted_source_scan(spark: SparkSession, path: str, order_cols) -> tuple:
             )
             .collect()
         )
+        # input_file_name() yields a percent-encoded URI; unquote so both
+        # routes (footer = raw fs basename, scan = URI basename) key bases
+        # by the same raw name the executor-side lookup derives
         meta = [
             (
-                r["file"].rsplit("/", 1)[-1],
+                unquote(r["file"].rsplit("/", 1)[-1]),
                 int(r["cnt"]),
                 tuple(r[f"_min_{c}"] for c in cols),
                 tuple(r[f"_max_{c}"] for c in cols),
@@ -395,8 +406,8 @@ def _ids_for_batch(files: np.ndarray, bases: dict, seen: dict) -> np.ndarray:
     """Global doc ids for one Arrow batch of a whole-files-per-task scan:
     ``base[file] + running offset within file`` (files appear in contiguous
     runs because a task never sees a partial file).  ``bases`` is keyed by
-    file basename — ``input_file_name()`` URIs are reduced at the group
-    boundary, so the lookup is scheme-agnostic."""
+    RAW file basename — ``input_file_name()`` URIs are percent-encoded, so
+    the lookup unquotes the URI basename before indexing ``bases``."""
     ids = np.empty(len(files), dtype=np.int64)
     start = 0
     while start < len(files):
@@ -405,7 +416,7 @@ def _ids_for_batch(files: np.ndarray, bases: dict, seen: dict) -> np.ndarray:
         while end < len(files) and files[end] == f_name:
             end += 1
         off = seen.get(f_name, 0)
-        base = bases[str(f_name).rsplit("/", 1)[-1]]
+        base = bases[unquote(str(f_name).rsplit("/", 1)[-1])]
         ids[start:end] = base + off + np.arange(end - start, dtype=np.int64)
         seen[f_name] = off + (end - start)
         start = end
@@ -590,7 +601,7 @@ def build_index_sorted_source(
     directly - reading ONLY the file name and text column from the scan
     (column pruning reaches parquet).  Run/block layout, doc ids, norms, and
     stats are bit-identical to the two-step path (pinned by
-    ``tests/test_indexer.py::test_fused_sorted_source_build_identical``).
+    ``tests/test_sorted_source.py::test_fused_sorted_source_build_identical``).
 
     ``config.n_partitions`` is ignored: the source files ARE the runs, as in
     the two-step fast path with ``n_partitions=None``.

@@ -2858,7 +2858,20 @@ class IndexSearcher:
             "occ",
             (F.col("w") * F.col("score")).cast("float").alias("cscore"),
         )
-        agg = per_clause.groupBy("qc", "doc_id").agg(
+        # ONE exchange for agg + stage-1 top-k: salt is a pure function of
+        # doc_id, so hash-partitioning on (qc, _salt) co-locates every
+        # (qc, doc_id) group (HashPartitioning(qc,_salt) satisfies the
+        # agg's ClusteredDistribution over the superset key (qc,_salt,
+        # doc_id)) AND already matches the stage-1 window's partitioning —
+        # the groupBy and the salted row_number run in the same stage with
+        # no further exchange, where the previous plan shuffled the match
+        # rows twice (hash(qc,doc_id) for the agg, then hash(qc,_salt) for
+        # the window).  Skew stays bounded: a head query spreads over 32
+        # salt groups either way.
+        pre = per_clause.withColumn(
+            "_salt", F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
+        ).repartition("qc", "_salt")
+        agg = pre.groupBy("qc", "_salt", "doc_id").agg(
             F.sum(F.when(F.col("occ") <= _OCC_CODE["SHOULD"], F.col("cscore").cast("double"))).alias("dscore"),
             F.sum(F.when(F.col("occ").isin(_OCC_CODE["MUST"], _OCC_CODE["FILTER"]), 1).otherwise(0)).alias("nr"),
             F.sum(F.when(F.col("occ") == _OCC_CODE["SHOULD"], 1).otherwise(0)).alias("ns"),
@@ -2877,7 +2890,7 @@ class IndexSearcher:
             agg.join(F.broadcast(meta), "qc")
             .filter(cond)
             .select(
-                "qc", "doc_id",
+                "qc", "_salt", "doc_id",
                 F.coalesce(F.col("dscore"), F.lit(0.0)).cast("float").alias("score"),
             )
         )
@@ -2893,7 +2906,7 @@ class IndexSearcher:
         w_pre = Window.partitionBy("qc", "_salt").orderBy(F.desc("score"), F.asc("doc_id"))
         w = Window.partitionBy("qc").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
-            matched.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(32)).cast("int"))
+            matched
             .withColumn("_pr", F.row_number().over(w_pre))
             .filter(F.col("_pr") <= k)
             .withColumn("rank", F.row_number().over(w).cast("int"))

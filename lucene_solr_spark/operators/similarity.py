@@ -217,15 +217,19 @@ def embedding_neardup_pairs(
     withb = q.join(bk, "vec_id")
     a = withb.select(F.col("vec_id").alias("vec_a"), F.col("qvec").alias("qa"), "tbl", "bucket")
     b = withb.select(F.col("vec_id").alias("vec_b"), F.col("qvec").alias("qb"), "tbl", "bucket")
-    cand = (
+    # verify the dot MAP-SIDE, before the cross-table dedup: a pair that
+    # collides in k tables recomputes the dot k times, but the distinct()
+    # exchange then carries (id, id, dot) = 3 longs per row instead of two
+    # full dim-int quantized vectors (~100x smaller at dim 1024), and the
+    # min_dot filter lands before the shuffle too.  The dot is a pure
+    # function of the pair, so distinct over (vec_a, vec_b, dot) is
+    # row-identical to id-pair dedup + per-pair verify.
+    return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "qa", "qb")
-        .distinct()
-    )
-    return (
-        cand.select("vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot"))
+        .select("vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot"))
         .filter(F.col("dot") >= int(min_dot))
+        .distinct()
     )
 
 

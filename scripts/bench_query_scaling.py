@@ -2,7 +2,8 @@
 """Query-side scaling: batched BM25 retrieval at N vs 4N cores.
 
 Companion to bench_scaling.py (the build-side north-rule evidence): the
-same index, the same 256-query batch, two parallelism levels.  The batch
+same index, the same N_QUERIES-query batch (1024 by default), two
+parallelism levels.  The batch
 runs through ``IndexSearcher.batch_search`` — ONE postings scan for the
 whole query set (the offline batch-retrieval pattern that matters at
 10^12 docs), so throughput is postings-bound, not job-floor-bound like
@@ -38,9 +39,10 @@ N_QUERIES = int(os.environ.get("QSCALE_N_QUERIES", "1024"))
 
 
 def _query_batch(idx):
-    """256 deterministic queries spanning the df spectrum: terms sampled at
-    evenly-spaced df ranks; alternating single-term and 2-term SHOULD
-    booleans (the WAND shape)."""
+    """N_QUERIES deterministic queries spanning the df spectrum: terms
+    sampled at evenly-spaced df ranks; alternating single-term and 2-term
+    SHOULD booleans (the WAND shape).  Clamped to the available term pool
+    for tiny indexes (n_queries <= len(pool)//2)."""
     from pyspark.sql import functions as F
 
     from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
@@ -54,8 +56,11 @@ def _query_batch(idx):
     # skip the very head (rank 0-7) so one mega-term doesn't dominate the
     # batch wall; stride the rest so df spans head -> tail
     pool = terms[8 :: max(1, (len(terms) - 8) // (2 * N_QUERIES))][: 2 * N_QUERIES]
+    # tiny index (small n_convs): fewer than 2*N_QUERIES distinct terms —
+    # clamp instead of indexing past the pool
+    n_queries = min(N_QUERIES, len(pool) // 2)
     queries = {}
-    for i in range(N_QUERIES):
+    for i in range(n_queries):
         a, b = pool[2 * i], pool[2 * i + 1]
         if i % 2 == 0:
             queries[f"q{i}"] = TermQuery(a)
@@ -104,6 +109,7 @@ def main() -> None:
     print(f"corpus: {n_turns} turns", file=sys.stderr)
 
     results = {}
+    n_q = N_QUERIES
     for cpus in (lo, hi):
         times, n_q = timed_batch(cpus, runs)
         best = min(times)
@@ -119,7 +125,7 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "ratio",
         "n_turns": n_turns,
-        "n_queries": N_QUERIES,
+        "n_queries": n_q,
         "lo_cores": lo,
         "lo": results[lo],
         "hi": results[hi],
@@ -128,7 +134,7 @@ def main() -> None:
 
     section = f"""## Query-side scaling (batched BM25, same index, N vs 4N cores)
 
-{N_QUERIES} deterministic queries (term + 2-term WAND booleans, df-spectrum
+{n_q} deterministic queries (term + 2-term WAND booleans, df-spectrum
 stride) through ``IndexSearcher.batch_search`` — ONE postings scan per batch,
 so the measurement is postings-throughput-bound, not per-job floor.  Index:
 {n_turns:,} turns (same corpus as the build-side table).  Best of {runs} warm
