@@ -82,7 +82,10 @@ _R1_DRIVER_GREEN = {
 # parsers, FVH, shape indexing), (c) every §2.4 similarity — then the
 # never-checked families in the order VERDICT names them.
 _PRIORITY = [
-    # round-3 new rows first: the judge's explicit "Done =" proofs (the
+    # round-4 new rows first: reference-golden-vector oracles (TestBasics
+    # checkHits literals — the judge's round-3 ask #6 proofs)
+    "ft_golden_term_phrase_bool", "ft_golden_span_near", "ft_golden_span_pos",
+    # round-3 new rows: the judge's explicit "Done =" proofs (the
     # TieredMergePolicy cascade row and the now-full-oracle sloppy phrase)
     "ft_tiered_cascade_topk", "ft_phrase_sloppy",
     # (a) weak-fix proofs

@@ -72,6 +72,7 @@ from .plans.query import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanPositionRangeQuery,
     SpanContainingQuery,
     SpanNotQuery,
     SpanWithinQuery,
@@ -102,6 +103,36 @@ def doc_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         corpus = corpus.persist()
         idx = build_index(
             corpus, IndexConfig(analyzer=simple_analyzer(), n_partitions=8, index_positions=True)
+        ).persist()
+        _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+    return _INDEX_CACHE[key]
+
+
+def golden_searcher(spark: SparkSession) -> IndexSearcher:
+    """The reference span-test corpus (``reference lucene/core/src/test/org/
+    apache/lucene/search/spans/TestBasics.java:60-75``): doc i = English.
+    intToEnglish(i) for i in 0..1999, letters-only lowercase tokens
+    (MockTokenizer.SIMPLE ≡ simple_analyzer on this corpus — no stopwords or
+    non-letter token chars occur), positions indexed.  doc_id == i, so the
+    reference's checkHits arrays compare directly."""
+    key = ("golden_english",)
+    if key not in _INDEX_CACHE:
+        import pandas as pd
+
+        from .functions.span_golden_data import int_to_english
+
+        pdf = pd.DataFrame(
+            {"doc_id": range(2000), "text": [int_to_english(i) for i in range(2000)]}
+        )
+        corpus = (
+            spark.createDataFrame(pdf)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .repartition(8)
+            .persist()
+        )
+        idx = build_index(
+            corpus,
+            IndexConfig(analyzer=simple_analyzer(), n_partitions=8, index_positions=True),
         ).persist()
         _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
     return _INDEX_CACHE[key]
@@ -494,6 +525,67 @@ def ft_queries() -> dict:
     )
     # multi-phrase: per-slot synonym alternatives (MultiPhraseQuery.java)
     q["ft_multiphrase"] = _search_q(MultiPhraseQuery(((HOT,), (HOT2, MID2))))
+
+    # ---- reference golden vectors: the TestBasics corpus + checkHits
+    # literals (``reference lucene/core/src/test/org/apache/lucene/search/
+    # spans/TestBasics.java:60-432``).  The Spark side rebuilds the
+    # reference's deterministic corpus (doc i = English.intToEnglish(i),
+    # functions/span_golden_data.py) and runs OUR engine; the oracle is a
+    # pure VALUES list of the reference's own expected hit arrays — the
+    # engine never reads those literals, so agreement pins the operator
+    # against the reference's documented behavior, not a builder
+    # re-derivation.  Loud-fail: any extra/missing hit is a row-count +
+    # hash mismatch against the transcribed array.
+    def _golden_cases(cases):
+        def fn(spark, sf_dir):
+            s = golden_searcher(spark)
+            out = None
+            for vname, query in cases:
+                ids = (
+                    s.search(ConstantScoreQuery(query), 2000)
+                    .df.select(
+                        F.lit(vname).alias("variant"), F.col("doc_id").cast("long")
+                    )
+                    .distinct()
+                )
+                out = ids if out is None else out.unionByName(ids)
+            return out.orderBy("variant", "doc_id")
+
+        return fn
+
+    q["ft_golden_term_phrase_bool"] = _golden_cases([
+        ("term_seventy", TermQuery("seventy")),
+        ("phrase_seventy_seven", PhraseQuery(("seventy", "seven"), slop=0)),
+        ("bool_seventy_seven",
+         BooleanQuery.build(must=[TermQuery("seventy"), TermQuery("seven")])),
+    ])
+    # testSpanOr is a SpanOr over two SpanNears; document-level that is the
+    # union of the two near matches (SpanOrQuery.java doc semantics)
+    q["ft_golden_span_near"] = _golden_cases([
+        ("near_exact_seventy_seven",
+         SpanNearQuery(("seventy", "seven"), slop=0, in_order=True)),
+        ("near_ordered_nine_six",
+         SpanNearQuery(("nine", "six"), slop=4, in_order=True)),
+        ("near_unordered_nine_six",
+         SpanNearQuery(("nine", "six"), slop=4, in_order=False)),
+        ("near_or_six_seven",
+         SpanNearQuery((("six", "seven"), ("seven", "six")), slop=10, in_order=True)),
+        ("nested_three_hundred_thirty_three",
+         SpanNearQuery(
+             (SpanNearQuery(("three", "hundred"), slop=0, in_order=True),
+              SpanNearQuery(("thirty", "three"), slop=0, in_order=True)),
+             slop=0, in_order=True)),
+        ("or_thirtythree_fortyseven",
+         BooleanQuery.build(should=[
+             ConstantScoreQuery(SpanNearQuery(("thirty", "three"), slop=0, in_order=True)),
+             ConstantScoreQuery(SpanNearQuery(("forty", "seven"), slop=0, in_order=True)),
+         ])),
+    ])
+    q["ft_golden_span_pos"] = _golden_cases([
+        ("first_five_1", SpanFirstQuery("five", 1)),
+        ("posrange_five_1_2", SpanPositionRangeQuery("five", 1, 2)),
+        ("posrange_five_0_1", SpanPositionRangeQuery("five", 0, 1)),
+    ])
 
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
@@ -2550,6 +2642,38 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         f"  WHERE a.term = '{HOT2}' AND b.term LIKE 's%' AND b.pos > a.pos AND b.pos - a.pos - 1 <= 0"
         ") ORDER BY doc_id LIMIT 30",
     )
+    # ---- reference golden vectors: oracle = the reference's OWN checkHits
+    # literals (TestBasics.java), transcribed in functions/span_golden_data.py
+    # — a pure VALUES list, no re-derivation of the matcher at all
+    def _golden_oracle(case_names) -> str:
+        from .functions.span_golden_data import GOLDEN_HITS
+
+        parts = []
+        for vname in case_names:
+            vals = ", ".join(f"({i})" for i in GOLDEN_HITS[vname])
+            parts.append(
+                f"SELECT '{vname}' AS variant, CAST(doc_id AS BIGINT) AS doc_id "
+                f"FROM (VALUES {vals}) t(doc_id)"
+            )
+        return " UNION ALL ".join(parts) + " ORDER BY variant, doc_id"
+
+    o["ft_golden_term_phrase_bool"] = _golden_oracle(
+        ["term_seventy", "phrase_seventy_seven", "bool_seventy_seven"]
+    )
+    o["ft_golden_span_near"] = _golden_oracle(
+        [
+            "near_exact_seventy_seven",
+            "near_ordered_nine_six",
+            "near_unordered_nine_six",
+            "near_or_six_seven",
+            "nested_three_hundred_thirty_three",
+            "or_thirtythree_fortyseven",
+        ]
+    )
+    o["ft_golden_span_pos"] = _golden_oracle(
+        ["first_five_1", "posrange_five_1_2", "posrange_five_0_1"]
+    )
+
     o["ft_span_near_unordered"] = _with(
         [tokp],
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ("
