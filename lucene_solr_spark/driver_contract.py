@@ -587,6 +587,57 @@ def ft_queries() -> dict:
         ("posrange_five_0_1", SpanPositionRangeQuery("five", 0, 1)),
     ])
 
+    def ft_golden_fuzzy_suggest(spark, sf_dir):
+        """Reference golden vectors for FuzzySuggester (``reference lucene/
+        suggest/src/test/org/apache/lucene/search/suggest/analyzing/
+        FuzzySuggesterTest.java:103-181`` testKeyword): build the test's own
+        4-entry dictionary under KeywordAnalyzer and replay its 9 lookups
+        through the engine's suggester.  Emitted rows are only the positions
+        the reference test asserts (rank/surface/weight literals) plus each
+        lookup's asserted result size (rank -1, '#size'); the oracle is a
+        pure VALUES list of those assertions."""
+        import pandas as pd
+
+        from .operators.suggesters import FuzzySuggester, KeywordAnalyzer
+
+        entries = spark.createDataFrame(
+            pd.DataFrame(
+                {"surface": ["foo", "bar", "barbar", "barbara"], "weight": [50, 10, 12, 6]}
+            )
+        )
+        sugg = FuzzySuggester.build(entries, KeywordAnalyzer())
+        cases = [  # (variant, typed input, n, how many rows the test asserts)
+            ("fuzzy_bariar", "bariar", 2, 1),
+            ("fuzzy_barbr", "barbr", 2, 1),
+            ("exact_barbara", "barbara", 2, 1),
+            ("exact_barbar", "barbar", 2, 2),
+            ("fuzzy_barbaa", "barbaa", 2, 2),
+            ("prefix_f", "f", 2, 1),
+            ("exactfirst_bar_n1", "bar", 1, 1),
+            ("prefix_b", "b", 2, 2),
+            ("prefix_ba", "ba", 3, 3),
+        ]
+        rows = []
+        for vname, qstr, n, n_assert in cases:
+            got = sugg.lookup(qstr, n).toPandas()
+            rows.append((vname, -1, "#size", len(got)))
+            for r in range(min(n_assert, len(got))):
+                rows.append((vname, r + 1, str(got.iloc[r]["surface"]), int(got.iloc[r]["weight"])))
+        return (
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["variant", "rank", "surface", "weight"])
+            )
+            .select(
+                "variant",
+                F.col("rank").cast("int").alias("rank"),
+                "surface",
+                F.col("weight").cast("long").alias("weight"),
+            )
+            .orderBy("variant", "rank")
+        )
+
+    q["ft_golden_fuzzy_suggest"] = ft_golden_fuzzy_suggest
+
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
         (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
@@ -2672,6 +2723,27 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
     )
     o["ft_golden_span_pos"] = _golden_oracle(
         ["first_five_1", "posrange_five_1_2", "posrange_five_0_1"]
+    )
+    # FuzzySuggesterTest.java:103-181 testKeyword assertion literals: each
+    # lookup's asserted result size (rank -1) and asserted (rank, surface,
+    # weight) rows — nothing re-derived
+    o["ft_golden_fuzzy_suggest"] = (
+        "SELECT variant, CAST(rank AS INT) AS rank, surface, "
+        "CAST(weight AS BIGINT) AS weight FROM (VALUES "
+        "('fuzzy_bariar', -1, '#size', 2), ('fuzzy_bariar', 1, 'barbar', 12), "
+        "('fuzzy_barbr', -1, '#size', 2), ('fuzzy_barbr', 1, 'barbar', 12), "
+        "('exact_barbara', -1, '#size', 2), ('exact_barbara', 1, 'barbara', 6), "
+        "('exact_barbar', -1, '#size', 2), ('exact_barbar', 1, 'barbar', 12), "
+        "('exact_barbar', 2, 'barbara', 6), "
+        "('fuzzy_barbaa', -1, '#size', 2), ('fuzzy_barbaa', 1, 'barbar', 12), "
+        "('fuzzy_barbaa', 2, 'barbara', 6), "
+        "('prefix_f', -1, '#size', 1), ('prefix_f', 1, 'foo', 50), "
+        "('exactfirst_bar_n1', -1, '#size', 1), ('exactfirst_bar_n1', 1, 'bar', 10), "
+        "('prefix_b', -1, '#size', 2), ('prefix_b', 1, 'barbar', 12), "
+        "('prefix_b', 2, 'bar', 10), "
+        "('prefix_ba', -1, '#size', 3), ('prefix_ba', 1, 'barbar', 12), "
+        "('prefix_ba', 2, 'bar', 10), ('prefix_ba', 3, 'barbara', 6)"
+        ") t(variant, rank, surface, weight) ORDER BY variant, rank"
     )
 
     o["ft_span_near_unordered"] = _with(

@@ -34,9 +34,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["AnalyzingSuggester", "FuzzySuggester", "blended_infix_lookup"]
+__all__ = ["AnalyzingSuggester", "FuzzySuggester", "KeywordAnalyzer", "blended_infix_lookup"]
 
 SEP = " "  # PRESERVE_SEP token separator
+
+
+class KeywordAnalyzer:
+    """The whole input as ONE token, case preserved (``reference lucene/
+    analysis/common/src/java/org/apache/lucene/analysis/core/
+    KeywordAnalyzer.java`` ≡ MockTokenizer.KEYWORD with lowercase off) —
+    the analyzer the reference suggester test suite builds its golden
+    lookups under."""
+
+    def tokens_column(self, col):
+        return F.array(col)
+
+    def tokens(self, s: str):
+        return [s]
 
 
 class AnalyzingSuggester:
