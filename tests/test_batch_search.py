@@ -65,6 +65,18 @@ def test_batch_single_scan_plan(spark, index8, tmp_path_factory):
     plan = s.batch_search(qs, 10)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas fn(term") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+    # the match rows must cross ONE full exchange: hash(qc, _salt) serves
+    # both the (qc, _salt, doc_id) aggregation and the stage-1 salted
+    # window — a second hash(qc, doc_id) exchange of the match stream is
+    # the regression this pins against
+    import re
+
+    hash_keys = [
+        re.sub(r"#\d+", "", m).replace(" ", "")
+        for m in re.findall(r"hashpartitioning\(([^)]*?), \d+\)", plan)
+    ]
+    assert "qc,_salt" in hash_keys, hash_keys
+    assert "qc,doc_id" not in hash_keys, hash_keys
 
 
 def test_batch_head_term_skew_identity(spark):
