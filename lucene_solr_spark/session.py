@@ -40,7 +40,9 @@ def get_spark(cpus: int | None = None, app: str = "lucene_solr_spark", shuffle_p
         # Arrow streams make humongous G1 allocations; larger regions cut the
         # GCLocker stalls observed under 16+ concurrent Python workers
         .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
-        .config("spark.ui.enabled", "false")
+        # off by default (driver/test runs); SPARK_GRAFT_UI=1 enables the
+        # status REST API for the stage-metrics bench scripts
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "0") == "1" and "true" or "false")
         .getOrCreate()
     )
 
