@@ -172,8 +172,14 @@ def test_simhash_pairs_single_generate_no_cache(spark):
     assert "Union" not in p
     # guarded default: band keys 2 (a/b sides over distinct fingerprints) +
     # doc-list expansion 2 (docs_a, docs_b) + identical-pair branch 2, and
-    # exactly the one cross∪identical Union — still no persisted cache
+    # exactly the one cross∪identical Union.  The distinct-fingerprint
+    # `reps` relation IS persisted (round-4): all three consumers read the
+    # manifest-scale cache, so the corpus-scale fingerprint mapInPandas
+    # runs once — the plan shows cache reads and NO repeated corpus scan
     pg = _plan(simhash_near_pairs(df, collapse_identical=True))
-    assert "InMemoryTableScan" not in pg
-    assert pg.count("Generate explode") == 6
+    # three consumers (a/b band sides + identical-pair branch) all read the
+    # cache; every MapInPandas occurrence in the string is the cached
+    # relation's DEFINITION reprinted per consumer, not an independent scan
+    assert pg.count("InMemoryTableScan") == 3
+    assert pg.count("MapInPandas") == pg.count("InMemoryRelation")
     assert pg.count("Union") == 1
