@@ -638,6 +638,68 @@ def ft_queries() -> dict:
 
     q["ft_golden_fuzzy_suggest"] = ft_golden_fuzzy_suggest
 
+    def ft_golden_intervals(spark, sf_dir):
+        """Reference golden vectors for the minimal-interval algebra
+        (``reference lucene/sandbox/src/test/org/apache/lucene/search/
+        intervals/TestIntervals.java:176-330``): rebuild the test's own
+        6-doc pease-porridge corpus, run the engine's interval sources
+        (term / ordered / phrase / unordered / or / nested combinations)
+        with ``output='intervals'`` (the MatchesIterator surface), and
+        emit every minimal interval as (variant, doc_id, start, end).  The
+        oracle is a pure VALUES list of the reference's checkIntervals
+        arrays."""
+        from .functions.interval_sources import IOr, IOrdered, IPhrase, ITerm, IUnordered
+        from .functions.span_golden_data import INTERVALS_FIELD1, INTERVALS_FIELD2
+
+        def _searcher(tag, texts):
+            key = ("golden_intervals", tag)
+            if key not in _INDEX_CACHE:
+                import pandas as pd
+
+                pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+                corpus = (
+                    spark.createDataFrame(pdf)
+                    .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+                    .repartition(2)
+                    .persist()
+                )
+                idx = build_index(
+                    corpus,
+                    IndexConfig(
+                        analyzer=simple_analyzer(), n_partitions=2, index_positions=True
+                    ),
+                ).persist()
+                _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+            return _INDEX_CACHE[key]
+
+        s1 = _searcher("f1", INTERVALS_FIELD1)
+        s2 = _searcher("f2", INTERVALS_FIELD2)
+        cases = [
+            ("term_porridge", s1, ITerm("porridge")),
+            ("ordered_pease_hot", s1, IOrdered((ITerm("pease"), ITerm("hot")))),
+            ("phrase_pease_porridge", s1, IPhrase((ITerm("pease"), ITerm("porridge")))),
+            ("unordered_pease_hot", s1, IUnordered((ITerm("pease"), ITerm("hot")))),
+            ("or_pease_hot_notmatching", s1,
+             IOr((ITerm("pease"), ITerm("hot"), ITerm("notmatching")))),
+            ("nested_unordered_or", s1,
+             IUnordered((ITerm("pease"), ITerm("porridge"),
+                         IOr((ITerm("hot"), ITerm("cold")))))),
+            ("combo_disjunction_f2", s2,
+             IOrdered((IOr((ITerm("alph"), ITerm("sacred"))), ITerm("measureless")))),
+        ]
+        out = None
+        for vname, s, src in cases:
+            rows = s.interval_source_query(src, output="intervals").select(
+                F.lit(vname).alias("variant"),
+                F.col("doc_id").cast("long"),
+                F.col("start").cast("int"),
+                F.col("end").cast("int"),
+            )
+            out = rows if out is None else out.unionByName(rows)
+        return out.orderBy("variant", "doc_id", "start", "end")
+
+    q["ft_golden_intervals"] = ft_golden_intervals
+
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
         (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
@@ -2745,6 +2807,24 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         "('prefix_ba', 2, 'bar', 10), ('prefix_ba', 3, 'barbara', 6)"
         ") t(variant, rank, surface, weight) ORDER BY variant, rank"
     )
+
+    # TestIntervals.java:176-330 checkIntervals minimal-interval literals
+    def _golden_intervals_oracle() -> str:
+        from .functions.span_golden_data import GOLDEN_INTERVALS
+
+        vals = ", ".join(
+            f"('{vname}', {d}, {s}, {e})"
+            for vname, rows in GOLDEN_INTERVALS.items()
+            for d, s, e in rows
+        )
+        return (
+            "SELECT variant, CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(start AS INT) AS start, CAST(\"end\" AS INT) AS \"end\" "
+            f"FROM (VALUES {vals}) t(variant, doc_id, start, \"end\") "
+            "ORDER BY variant, doc_id, start, \"end\""
+        )
+
+    o["ft_golden_intervals"] = _golden_intervals_oracle()
 
     o["ft_span_near_unordered"] = _with(
         [tokp],

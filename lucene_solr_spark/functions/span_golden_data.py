@@ -130,3 +130,59 @@ GOLDEN_HITS = {
     ],
 }
 
+
+
+# case -> [(doc_id, start, end)] minimal-interval literals from the
+# reference interval test suite (``reference lucene/sandbox/src/test/
+# org/apache/lucene/search/intervals/TestIntervals.java:176-330``
+# checkIntervals arrays over its fixed 6-doc pease-porridge corpus)
+GOLDEN_INTERVALS = {
+    "term_porridge": [
+        (1, 1, 1), (1, 4, 4), (1, 7, 7), (2, 1, 1), (2, 4, 4), (2, 7,
+        7), (4, 1, 1), (4, 4, 4), (4, 7, 7), (5, 0, 0)
+    ],
+    "ordered_pease_hot": [
+        (1, 0, 2), (1, 6, 17), (2, 3, 5), (2, 6, 21), (4, 0, 2), (4, 6,
+        17)
+    ],
+    "phrase_pease_porridge": [
+        (1, 0, 1), (1, 3, 4), (1, 6, 7), (2, 0, 1), (2, 3, 4), (2, 6,
+        7), (4, 0, 1), (4, 3, 4), (4, 6, 7)
+    ],
+    "unordered_pease_hot": [
+        (1, 0, 2), (1, 2, 3), (1, 6, 17), (2, 3, 5), (2, 5, 6), (2, 6,
+        21), (3, 3, 7), (4, 0, 2), (4, 2, 3), (4, 6, 17)
+    ],
+    "or_pease_hot_notmatching": [
+        (1, 0, 0), (1, 2, 2), (1, 3, 3), (1, 6, 6), (1, 17, 17), (2, 0,
+        0), (2, 3, 3), (2, 5, 5), (2, 6, 6), (2, 21, 21), (3, 3, 3), (3,
+        7, 7), (4, 0, 0), (4, 2, 2), (4, 3, 3), (4, 6, 6), (4, 17, 17)
+    ],
+    "nested_unordered_or": [
+        (1, 0, 2), (1, 1, 3), (1, 2, 4), (1, 3, 5), (1, 4, 6), (1, 5,
+        7), (1, 6, 17), (2, 0, 2), (2, 1, 3), (2, 2, 4), (2, 3, 5), (2,
+        4, 6), (2, 5, 7), (2, 6, 17), (4, 0, 2), (4, 1, 3), (4, 2, 4),
+        (4, 3, 5), (4, 4, 6), (4, 5, 7), (4, 6, 17)
+    ],
+    "combo_disjunction_f2": [
+        (1, 3, 8)
+    ],
+}
+
+# the reference corpus itself (TestIntervals.java:50-68), verbatim
+INTERVALS_FIELD1 = [
+    'Nothing of interest to anyone here',
+    'Pease porridge hot, pease porridge cold, pease porridge in the pot nine days old.  Some like it hot, some like it cold, some like it in the pot nine days old',
+    'Pease porridge cold, pease porridge hot, pease porridge in the pot twelve days old.  Some like it cold, some like it hot, some like it in the fraggle',
+    'Nor here, nowt hot going on in pease this one',
+    'Pease porridge hot, pease porridge cold, pease porridge in the pot nine years old.  Some like it hot, some like it twelve',
+    'Porridge is great',
+]
+INTERVALS_FIELD2 = [
+    'In Xanadu did Kubla Khan a stately pleasure dome decree',
+    'Where Alph the sacred river ran through caverns measureless to man',
+    'Down to a sunless sea',
+    'So thrice five miles of fertile ground',
+    'Pease hot porridge porridge',
+    'w1 w2 w3 w4 w1 w6 w3 w8 w4 w7 w1 w6',
+]

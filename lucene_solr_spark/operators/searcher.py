@@ -2375,12 +2375,18 @@ class IndexSearcher:
         """Nested IntervalQuery (``Intervals.or/phrase/ordered/unordered``
         combinators — see functions/interval_sources.py): minimal-interval
         evaluation of an arbitrary source tree per document, scored with the
-        saturation function, or ``output='freq_q'`` for the order-free
-        fixed-point contract path.
+        saturation function, ``output='freq_q'`` for the order-free
+        fixed-point contract path, or ``output='intervals'`` to emit the
+        minimal intervals themselves as (doc_id, start, end) rows — the
+        ``MatchesIterator`` surface (``reference lucene/sandbox/src/java/
+        org/apache/lucene/search/intervals/IntervalMatchesIterator``
+        analog; pinned against the reference's TestIntervals expected
+        interval arrays by the ft_golden_intervals contract row).
 
         Same plan shape as :meth:`interval_query`: bulk .pos decode, ONE
         doc_id shuffle, per-doc evaluation inside Arrow batches."""
         from ..functions.interval_sources import (
+            evaluate,
             source_freq,
             source_freq_quantized,
             source_terms,
@@ -2395,21 +2401,32 @@ class IndexSearcher:
         if not live:
             return self._empty() if output == "score" else self._empty().withColumnRenamed("score", "freq_q")
         quantized = output == "freq_q"
+        intervals_out = output == "intervals"
         val_col = "freq_q" if quantized else "score"
         val_dtype = np.int64 if quantized else np.float32
-        schema = f"doc_id long, {val_col} {'long' if quantized else 'float'}"
+        if intervals_out:
+            schema = "doc_id long, start int, end int"
+        else:
+            schema = f"doc_id long, {val_col} {'long' if quantized else 'float'}"
         occ = self._positional_occurrences(live)
 
         def scan(iterator):
             carry = None
             out_docs: list = []
             out_vals: list = []
+            out_starts: list = []
+            out_ends: list = []
 
             def run_doc(doc: int, terms_arr: np.ndarray, pos: np.ndarray) -> None:
                 positions = {}
                 for t in np.unique(terms_arr):
                     positions[t] = np.sort(pos[terms_arr == t]).tolist()
-                if quantized:
+                if intervals_out:
+                    for s_, e_, _g in evaluate(source, positions):
+                        out_docs.append(doc)
+                        out_starts.append(s_)
+                        out_ends.append(e_)
+                elif quantized:
                     v = source_freq_quantized(source, positions)
                     if v:
                         out_docs.append(doc)
@@ -2426,6 +2443,18 @@ class IndexSearcher:
                     run_doc(int(d[lo]), terms_arr[lo:hi], pos[lo:hi])
 
             def flush() -> pd.DataFrame:
+                if intervals_out:
+                    pdf_out = pd.DataFrame(
+                        {
+                            "doc_id": np.asarray(out_docs, dtype=np.int64),
+                            "start": np.asarray(out_starts, dtype=np.int32),
+                            "end": np.asarray(out_ends, dtype=np.int32),
+                        }
+                    )
+                    out_docs.clear()
+                    out_starts.clear()
+                    out_ends.clear()
+                    return pdf_out
                 pdf_out = pd.DataFrame(
                     {
                         "doc_id": np.asarray(out_docs, dtype=np.int64),
@@ -2462,6 +2491,8 @@ class IndexSearcher:
         scored = occ.repartition("doc_id").sortWithinPartitions("doc_id").mapInPandas(scan, schema)
         if self.index.deletes is not None:
             scored = scored.join(self.index.deletes.select("doc_id"), "doc_id", "left_anti")
+        if intervals_out:
+            return scored.orderBy("doc_id", "start", "end")
         return scored.orderBy(F.desc(val_col), F.asc("doc_id")).limit(k)
 
     def join_query(
