@@ -173,3 +173,57 @@ def test_distributed_nested_source_matches_local(pos_searcher, fixture_corpus_pd
         if v:
             want[d] = v
     assert got == want and got
+
+
+def test_intervals_output_matches_reference_golden(spark):
+    """The engine's minimal intervals over the reference interval-test
+    corpus must equal the reference's own checkIntervals literals
+    (TestIntervals.java, transcribed in span_golden_data.GOLDEN_INTERVALS)
+    — the pytest pin behind the ft_golden_intervals contract row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.analysis import simple_analyzer
+    from lucene_solr_spark.functions.span_golden_data import (
+        GOLDEN_INTERVALS,
+        INTERVALS_FIELD1,
+        INTERVALS_FIELD2,
+    )
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    def searcher(texts):
+        corpus = (
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+            )
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .repartition(2)
+        )
+        idx = build_index(
+            corpus,
+            IndexConfig(analyzer=simple_analyzer(), n_partitions=2, index_positions=True),
+        )
+        return IndexSearcher(idx, corpus)
+
+    s1, s2 = searcher(INTERVALS_FIELD1), searcher(INTERVALS_FIELD2)
+    cases = {
+        "term_porridge": (s1, ITerm("porridge")),
+        "ordered_pease_hot": (s1, IOrdered((ITerm("pease"), ITerm("hot")))),
+        "phrase_pease_porridge": (s1, IPhrase((ITerm("pease"), ITerm("porridge")))),
+        "unordered_pease_hot": (s1, IUnordered((ITerm("pease"), ITerm("hot")))),
+        "or_pease_hot_notmatching": (
+            s1, IOr((ITerm("pease"), ITerm("hot"), ITerm("notmatching")))),
+        "nested_unordered_or": (
+            s1, IUnordered((ITerm("pease"), ITerm("porridge"),
+                            IOr((ITerm("hot"), ITerm("cold")))))),
+        "combo_disjunction_f2": (
+            s2, IOrdered((IOr((ITerm("alph"), ITerm("sacred"))),
+                          ITerm("measureless")))),
+    }
+    for name, (s, src) in cases.items():
+        got = sorted(
+            (r["doc_id"], r["start"], r["end"])
+            for r in s.interval_source_query(src, output="intervals").collect()
+        )
+        assert got == sorted(GOLDEN_INTERVALS[name]), name
