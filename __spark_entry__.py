@@ -85,7 +85,7 @@ _PRIORITY = [
     # round-4 new rows first: reference-golden-vector oracles (TestBasics
     # checkHits literals — the judge's round-3 ask #6 proofs)
     "ft_golden_term_phrase_bool", "ft_golden_span_near", "ft_golden_span_pos",
-    "ft_golden_fuzzy_suggest", "ft_golden_intervals",
+    "ft_golden_fuzzy_suggest", "ft_golden_intervals", "ft_golden_span_not",
     # round-3 new rows: the judge's explicit "Done =" proofs (the
     # TieredMergePolicy cascade row and the now-full-oracle sloppy phrase)
     "ft_tiered_cascade_topk", "ft_phrase_sloppy",

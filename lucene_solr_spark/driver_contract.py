@@ -586,6 +586,31 @@ def ft_queries() -> dict:
         ("posrange_five_1_2", SpanPositionRangeQuery("five", 1, 2)),
         ("posrange_five_0_1", SpanPositionRangeQuery("five", 0, 1)),
     ])
+    # the full TestBasics SpanNot family (TestBasics.java:189-333): span
+    # includes/excludes, or-excludes, near excludes, nested SpanFirst
+    # include AND exclude, positive/negative/huge pre-post windows
+    _near_8_1 = SpanNearQuery(("eight", "one"), slop=4, in_order=True)
+    _near_8_40 = SpanNearQuery(("eight", "forty"), slop=4, in_order=True)
+    q["ft_golden_span_not"] = _golden_cases([
+        ("not_eight_one_forty", SpanNotQuery(_near_8_1, "forty")),
+        ("not_large_window",
+         SpanNotQuery(_near_8_1, "forty", pre=2**31 - 1, post=2**31 - 1)),
+        ("not_multiple_many",
+         SpanNotQuery(_near_8_1, ("forty", "sixty", "eighty"))),
+        ("not_near_exclude",
+         SpanNotQuery(_near_8_1, SpanNearQuery(("hundred", "forty"), slop=1, in_order=True))),
+        ("not_first_nested",
+         SpanNotQuery(
+             SpanFirstQuery("forty", 5),
+             SpanFirstQuery(SpanNearQuery(("hundred", "forty"), slop=4, in_order=True), 4))),
+        ("not_window_one", SpanNotQuery(_near_8_40, "one", pre=1, post=1)),
+        ("not_window_two_before", SpanNotQuery(_near_8_40, "one", pre=2, post=0)),
+        ("not_window_neg_post2", SpanNotQuery(_near_8_1, ("forty",), pre=0, post=-2)),
+        ("not_window_neg_pre3", SpanNotQuery(_near_8_1, ("forty",), pre=-3, post=0)),
+        ("not_double_excludes",
+         SpanNotQuery(SpanNearQuery(("forty", "two"), slop=2, in_order=True),
+                      "one", pre=4, post=1)),
+    ])
 
     def ft_golden_fuzzy_suggest(spark, sf_dir):
         """Reference golden vectors for FuzzySuggester (``reference lucene/
@@ -2759,11 +2784,12 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
     # literals (TestBasics.java), transcribed in functions/span_golden_data.py
     # — a pure VALUES list, no re-derivation of the matcher at all
     def _golden_oracle(case_names) -> str:
-        from .functions.span_golden_data import GOLDEN_HITS
+        from .functions.span_golden_data import GOLDEN_HITS, GOLDEN_SPAN_NOT
 
+        hits = {**GOLDEN_HITS, **GOLDEN_SPAN_NOT}
         parts = []
         for vname in case_names:
-            vals = ", ".join(f"({i})" for i in GOLDEN_HITS[vname])
+            vals = ", ".join(f"({i})" for i in hits[vname])
             parts.append(
                 f"SELECT '{vname}' AS variant, CAST(doc_id AS BIGINT) AS doc_id "
                 f"FROM (VALUES {vals}) t(doc_id)"
@@ -2785,6 +2811,20 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
     )
     o["ft_golden_span_pos"] = _golden_oracle(
         ["first_five_1", "posrange_five_1_2", "posrange_five_0_1"]
+    )
+    o["ft_golden_span_not"] = _golden_oracle(
+        [
+            "not_eight_one_forty",
+            "not_large_window",
+            "not_multiple_many",
+            "not_near_exclude",
+            "not_first_nested",
+            "not_window_one",
+            "not_window_two_before",
+            "not_window_neg_post2",
+            "not_window_neg_pre3",
+            "not_double_excludes",
+        ]
     )
     # FuzzySuggesterTest.java:103-181 testKeyword assertion literals: each
     # lookup's asserted result size (rank -1) and asserted (rank, surface,

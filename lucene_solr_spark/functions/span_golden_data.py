@@ -186,3 +186,55 @@ INTERVALS_FIELD2 = [
     'Pease hot porridge porridge',
     'w1 w2 w3 w4 w1 w6 w3 w8 w4 w7 w1 w6',
 ]
+
+
+# case -> sorted expected hit doc ids for the SpanNot family
+# (TestBasics.java:189-333 checkHits literals)
+GOLDEN_SPAN_NOT = {
+    "not_eight_one_forty": [
+        801, 821, 831, 851, 861, 871, 881, 891, 1801, 1821, 1831, 1851,
+        1861, 1871, 1881, 1891
+    ],
+    "not_large_window": [
+        801, 821, 831, 851, 861, 871, 881, 891, 1801, 1821, 1831, 1851,
+        1861, 1871, 1881, 1891
+    ],
+    "not_multiple_many": [
+        801, 821, 831, 851, 871, 891, 1801, 1821, 1831, 1851, 1871, 1891
+    ],
+    "not_near_exclude": [
+        801, 821, 831, 851, 861, 871, 881, 891, 1801, 1821, 1831, 1851,
+        1861, 1871, 1881, 1891
+    ],
+    "not_first_nested": [
+        40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 1040, 1041, 1042, 1043,
+        1044, 1045, 1046, 1047, 1048, 1049, 1140, 1141, 1142, 1143,
+        1144, 1145, 1146, 1147, 1148, 1149, 1240, 1241, 1242, 1243,
+        1244, 1245, 1246, 1247, 1248, 1249, 1340, 1341, 1342, 1343,
+        1344, 1345, 1346, 1347, 1348, 1349, 1440, 1441, 1442, 1443,
+        1444, 1445, 1446, 1447, 1448, 1449, 1540, 1541, 1542, 1543,
+        1544, 1545, 1546, 1547, 1548, 1549, 1640, 1641, 1642, 1643,
+        1644, 1645, 1646, 1647, 1648, 1649, 1740, 1741, 1742, 1743,
+        1744, 1745, 1746, 1747, 1748, 1749, 1840, 1841, 1842, 1843,
+        1844, 1845, 1846, 1847, 1848, 1849, 1940, 1941, 1942, 1943,
+        1944, 1945, 1946, 1947, 1948, 1949
+    ],
+    "not_window_one": [
+        840, 842, 843, 844, 845, 846, 847, 848, 849, 1840, 1842, 1843,
+        1844, 1845, 1846, 1847, 1848, 1849
+    ],
+    "not_window_two_before": [
+        840, 841, 842, 843, 844, 845, 846, 847, 848, 849
+    ],
+    "not_window_neg_post2": [
+        801, 821, 831, 841, 851, 861, 871, 881, 891, 1801, 1821, 1831,
+        1841, 1851, 1861, 1871, 1881, 1891
+    ],
+    "not_window_neg_pre3": [
+        801, 821, 831, 841, 851, 861, 871, 881, 891, 1801, 1821, 1831,
+        1841, 1851, 1861, 1871, 1881, 1891
+    ],
+    "not_double_excludes": [
+        42, 242, 342, 442, 542, 642, 742, 842, 942
+    ],
+}

@@ -70,6 +70,7 @@ from ..plans.query import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanPositionRangeQuery,
     SpanContainingQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -716,31 +717,34 @@ class IndexSearcher:
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
     def _eval_span_not(self, q: SpanNotQuery, boost: float, stats: dict) -> DataFrame:
-        """SpanNotQuery (``search/spans/SpanNotQuery.java``): include-spans
-        with no exclude-span inside ``[p - pre, p + post]``.
+        """SpanNotQuery (``search/spans/SpanNotQuery.java``): include spans
+        with no exclude span overlapping the ``[start - pre, end + post)``
+        window.  Include and exclude may each be ANY span clause — a term, a
+        tuple (inline SpanOr), a SpanNearQuery, SpanFirst/PositionRange, or
+        a nested SpanNotQuery — the reference's full composability
+        (TestBasics testSpanNot / testSpanWithMultipleNot* /
+        testNpeInSpanNear* families).
 
-        Plan: anti-join of include occurrences against exclude occurrences on
-        doc_id with the position-window condition riding along, then distinct
-        docs — all Catalyst, no UDF."""
-        if q.include_term not in stats:
-            return self._empty()
+        Plan: both span streams enumerate from ONE positional scan; the
+        exclusion is a doc_id anti-join with the window condition riding
+        along, then distinct docs — all Catalyst, no UDF."""
         if not self.index.config.index_positions:
             raise ValueError("SpanNotQuery needs an index built with index_positions=True")
-        if q.exclude_term not in stats:
-            # no exclude spans anywhere: every include occurrence survives
-            occ = self._positional_occurrences([q.include_term])
-            docs = occ.select("doc_id").distinct()
-            return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
-        occ = self._positional_occurrences([q.include_term, q.exclude_term]).persist()
-        inc = occ.filter(F.col("term") == q.include_term).select("doc_id", F.col("pos").alias("p"))
-        exc = occ.filter(F.col("term") == q.exclude_term).select("doc_id", F.col("pos").alias("x"))
-        survivors = inc.join(
-            exc,
-            (inc["doc_id"] == exc["doc_id"])
-            & (exc["x"] >= inc["p"] - F.lit(int(q.pre)))
-            & (exc["x"] <= inc["p"] + F.lit(int(q.post))),
-            "left_anti",
-        )
+        from ..plans.query import _span_clause_terms
+
+        uniq = [
+            t
+            for t in dict.fromkeys(
+                sorted(_span_clause_terms(q.include_term) | _span_clause_terms(q.exclude_term))
+            )
+            if t in stats
+        ]
+        if not uniq:
+            return self._empty()
+        occ = self._positional_occurrences(uniq).persist()
+        survivors = self._span_not_stream(q, occ, stats)
+        if survivors is None:
+            return self._empty()
         docs = survivors.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
@@ -807,7 +811,51 @@ class IndexSearcher:
                 F.least(*scols).alias("s"),
                 F.greatest(*ecols).alias("e"),
             )
+        if isinstance(clause, SpanFirstQuery):
+            # spans of the inner clause ending within the first `end`
+            # positions (SpanFirstQuery.java acceptPosition) — the inner
+            # clause may itself be any span clause (TestBasics
+            # testNpeInSpanNearInSpanFirstInSpanNot nests a near inside)
+            st = self._span_enum(clause.term, occ, stats)
+            return None if st is None else st.filter(F.col("e") <= F.lit(int(clause.end)))
+        if isinstance(clause, SpanPositionRangeQuery):
+            st = self._span_enum(clause.term, occ, stats)
+            if st is None:
+                return None
+            return st.filter(
+                (F.col("s") >= F.lit(int(clause.start))) & (F.col("e") <= F.lit(int(clause.end)))
+            )
+        if isinstance(clause, SpanNotQuery):
+            # NotSpans as a CLAUSE: the include spans that survive the
+            # exclusion window — lets SpanNot nest inside near/first/not
+            return self._span_not_stream(clause, occ, stats)
         raise NotImplementedError(f"span clause {type(clause).__name__}")
+
+    def _span_not_stream(self, q: SpanNotQuery, occ: DataFrame, stats: dict):
+        """Surviving include spans of a SpanNotQuery as a (doc_id, s, e)
+        stream (``SpanNotQuery.java:147-187`` accept): candidate [cs, ce)
+        is rejected iff some exclude span [xs, xe) has ``xe > cs - pre``
+        and ``xs < ce + post``.  Position arithmetic in LONG so the
+        reference's Integer.MAX_VALUE windows cannot overflow
+        (testSpanNotNoOverflowOnLargeSpans)."""
+        inc = self._span_enum(q.include_term, occ, stats)
+        if inc is None:
+            return None
+        exc = self._span_enum(q.exclude_term, occ, stats)
+        if exc is None:
+            return inc
+        exc = exc.select(
+            F.col("doc_id").alias("xdoc"),
+            F.col("s").cast("long").alias("xs"),
+            F.col("e").cast("long").alias("xe"),
+        )
+        return inc.join(
+            exc,
+            (inc["doc_id"] == exc["xdoc"])
+            & (F.col("xe") > F.col("s").cast("long") - F.lit(int(q.pre)).cast("long"))
+            & (F.col("xs") < F.col("e").cast("long") + F.lit(int(q.post)).cast("long")),
+            "left_anti",
+        )
 
     def _eval_span_contain(self, q, boost: float, stats: dict) -> DataFrame:
         """SpanContainingQuery / SpanWithinQuery (``search/spans/

@@ -307,7 +307,7 @@ class SpanFirstQuery(Query):
     boost: float = 1.0
 
     def terms(self):
-        return {self.term}
+        return _span_clause_terms(self.term)
 
 
 @dataclass(frozen=True)
@@ -323,7 +323,7 @@ class SpanPositionRangeQuery(Query):
     boost: float = 1.0
 
     def terms(self):
-        return {self.term}
+        return _span_clause_terms(self.term)
 
 
 @dataclass(frozen=True)
@@ -359,20 +359,25 @@ class SpanOrQuery(Query):
 
 @dataclass(frozen=True)
 class SpanNotQuery(Query):
-    """``search/spans/SpanNotQuery.java``: include-spans that do not overlap
-    any exclude-span expanded by ``pre`` positions before and ``post`` after
-    (``SpanNotQuery.java`` ctor docs). For single-term spans: an include
-    occurrence at position p survives unless some exclude occurrence q has
-    ``p - pre <= q <= p + post``. Constant score."""
+    """``search/spans/SpanNotQuery.java``: include spans that do not overlap
+    any exclude span expanded by ``pre`` positions before and ``post`` after
+    (``SpanNotQuery.java:147-187`` accept: candidate [cs, ce) rejected iff
+    some exclude [xs, xe) has ``xe > cs - pre`` and ``xs < ce + post``;
+    negative windows permit that much overlap).  ``include_term`` /
+    ``exclude_term`` accept ANY span clause — a term, a tuple of terms
+    (inline SpanOr), a SpanNearQuery, SpanFirst/PositionRange, or a nested
+    SpanNotQuery — matching the reference's composability.  For single-term
+    spans the window reduces to ``p - pre <= x <= p + post``.  Constant
+    score."""
 
-    include_term: str
-    exclude_term: str
+    include_term: object
+    exclude_term: object
     pre: int = 0
     post: int = 0
     boost: float = 1.0
 
     def terms(self):
-        return {self.include_term, self.exclude_term}
+        return _span_clause_terms(self.include_term) | _span_clause_terms(self.exclude_term)
 
 
 @dataclass(frozen=True)
