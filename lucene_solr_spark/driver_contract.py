@@ -75,6 +75,7 @@ from .plans.query import (
     SpanPositionRangeQuery,
     SpanContainingQuery,
     SpanNotQuery,
+    SpanOrQuery,
     SpanWithinQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -575,11 +576,19 @@ def ft_queries() -> dict:
              (SpanNearQuery(("three", "hundred"), slop=0, in_order=True),
               SpanNearQuery(("thirty", "three"), slop=0, in_order=True)),
              slop=0, in_order=True)),
+        # the REAL SpanOrQuery over two SpanNears (round-4 composability
+        # extension — testSpanOr's exact construction)
         ("or_thirtythree_fortyseven",
-         BooleanQuery.build(should=[
-             ConstantScoreQuery(SpanNearQuery(("thirty", "three"), slop=0, in_order=True)),
-             ConstantScoreQuery(SpanNearQuery(("forty", "seven"), slop=0, in_order=True)),
-         ])),
+         SpanOrQuery((SpanNearQuery(("thirty", "three"), slop=0, in_order=True),
+                      SpanNearQuery(("forty", "seven"), slop=0, in_order=True)))),
+        # testSpanComplex1: ordered near(100) of or(near(six hundred),
+        # near(seven hundred)) and or(seven, six)
+        ("complex1_six_seven_hundred",
+         SpanNearQuery(
+             (SpanOrQuery((SpanNearQuery(("six", "hundred"), slop=0, in_order=True),
+                           SpanNearQuery(("seven", "hundred"), slop=0, in_order=True))),
+              ("seven", "six")),
+             slop=100, in_order=True)),
     ])
     q["ft_golden_span_pos"] = _golden_cases([
         ("first_five_1", SpanFirstQuery("five", 1)),
@@ -2807,6 +2816,7 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
             "near_or_six_seven",
             "nested_three_hundred_thirty_three",
             "or_thirtythree_fortyseven",
+            "complex1_six_seven_hundred",
         ]
     )
     o["ft_golden_span_pos"] = _golden_oracle(

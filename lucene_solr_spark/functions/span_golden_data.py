@@ -238,3 +238,15 @@ GOLDEN_SPAN_NOT = {
         42, 242, 342, 442, 542, 642, 742, 842, 942
     ],
 }
+
+
+# TestBasics.java:416-431 testSpanComplex1: ordered near(100) of an
+# or-of-nears clause and an or-of-terms clause
+GOLDEN_HITS["complex1_six_seven_hundred"] = [
+    606, 607, 626, 627, 636, 637, 646, 647, 656, 657, 666, 667, 676,
+    677, 686, 687, 696, 697, 706, 707, 726, 727, 736, 737, 746, 747,
+    756, 757, 766, 767, 776, 777, 786, 787, 796, 797, 1606, 1607, 1626,
+    1627, 1636, 1637, 1646, 1647, 1656, 1657, 1666, 1667, 1676, 1677,
+    1686, 1687, 1696, 1697, 1706, 1707, 1726, 1727, 1736, 1737, 1746,
+    1747, 1756, 1757, 1766, 1767, 1776, 1777, 1786, 1787, 1796, 1797
+]

@@ -562,9 +562,10 @@ class IndexSearcher:
         ``sum(p_{i+1}-p_i-1) = p_last - p_first - (n-1)`` for an increasing
         chain, so one filter at the end suffices.  Constant score (documented
         deviation — see plans.query.SpanNearQuery)."""
-        # nested near clauses (surround `a W b W c` trees): evaluate via the
-        # recursive span enumerator — same join machinery, (s, e) streams
-        if any(isinstance(c, SpanNearQuery) for c in q.span_terms):
+        # nested span clauses (surround `a W b W c` trees, or-of-nears,
+        # first/posrange/not sub-spans): evaluate via the recursive span
+        # enumerator — same join machinery, (s, e) streams
+        if any(isinstance(c, Query) for c in q.span_terms):
             if not self.index.config.index_positions:
                 raise ValueError("SpanNearQuery needs an index built with index_positions=True")
             uniq = sorted(t for t in q.terms() if t in stats)
@@ -706,15 +707,47 @@ class IndexSearcher:
         return q
 
     def _eval_span_or(self, q: SpanOrQuery, boost: float, stats: dict) -> DataFrame:
-        """Standalone SpanOrQuery: union of the clause span streams; as a
-        document predicate this is the docs containing any clause term —
-        evaluated straight off the doc-level postings (no positions needed)."""
-        present = [t for t in q.span_terms if t in stats]
-        if not present:
+        """Standalone SpanOrQuery: union of the clause span streams
+        (``SpanOrQuery.java`` DisiPriorityQueue union).  Clauses may be
+        terms or ANY span clause (near/first/posrange/not/nested or —
+        TestBasics testSpanOr unions two SpanNears).  All-term clauses take
+        the doc-level postings fast path (no positions needed); clause
+        objects enumerate spans from one positional scan."""
+        if all(isinstance(t, str) for t in q.span_terms):
+            present = [t for t in q.span_terms if t in stats]
+            if not present:
+                return self._empty()
+            scored = self._scored_postings({t: 0.0 for t in present})
+            docs = scored.select("doc_id").distinct()
+            return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+        if not self.index.config.index_positions:
+            raise ValueError("span-clause SpanOrQuery needs index_positions=True")
+        from ..plans.query import _span_clause_terms
+
+        uniq = [t for t in sorted(_span_clause_terms(q)) if t in stats]
+        if not uniq:
             return self._empty()
-        scored = self._scored_postings({t: 0.0 for t in present})
-        docs = scored.select("doc_id").distinct()
+        occ = self._positional_occurrences(uniq).persist()
+        st = self._span_union(q.span_terms, occ, stats)
+        if st is None:
+            return self._empty()
+        docs = st.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
+    def _span_union(self, subs, occ: DataFrame, stats: dict):
+        """Union of the sub-clauses' span streams — the SpanOrQuery
+        enumeration; absent clauses drop out, all-absent returns None."""
+        streams = []
+        for c in subs:
+            st = self._span_enum(c, occ, stats)
+            if st is not None:
+                streams.append(st.select("doc_id", "s", "e"))
+        if not streams:
+            return None
+        out = streams[0]
+        for st in streams[1:]:
+            out = out.unionByName(st)
+        return out
 
     def _eval_span_not(self, q: SpanNotQuery, boost: float, stats: dict) -> DataFrame:
         """SpanNotQuery (``search/spans/SpanNotQuery.java``): include spans
@@ -758,13 +791,20 @@ class IndexSearcher:
 
         if isinstance(clause, str):
             clause = (clause,)
-        if isinstance(clause, tuple):
+        if isinstance(clause, tuple) and all(isinstance(t, str) for t in clause):
             live = [t for t in clause if t in stats]
             if not live:
                 return None
             return occ.filter(F.col("term").isin(live)).select(
                 "doc_id", F.col("pos").alias("s"), (F.col("pos") + 1).alias("e")
             )
+        if isinstance(clause, tuple):
+            # mixed tuple: treat as an inline SpanOr over span clauses
+            return self._span_union(clause, occ, stats)
+        if isinstance(clause, SpanOrQuery):
+            # SpanOrQuery as a CLAUSE (TestBasics testSpanComplex1 puts an
+            # or-of-nears inside an ordered near)
+            return self._span_union(clause.span_terms, occ, stats)
         if isinstance(clause, _SNQ):
             # children may themselves be terms, tuples, or nested near
             # queries (the surround parser's left-associative `a W b W c`);

@@ -345,16 +345,21 @@ class SpanMultiTermWrapper(Query):
 
 @dataclass(frozen=True)
 class SpanOrQuery(Query):
-    """``search/spans/SpanOrQuery.java`` over single-term clauses: the union
-    of the clause span streams. Standalone it matches any document containing
-    any clause term; as a SpanNearQuery clause it is written inline as a
-    tuple of terms. Constant score."""
+    """``search/spans/SpanOrQuery.java``: the union of the clause span
+    streams.  Clauses may be terms or ANY span clause (SpanNearQuery,
+    SpanFirst/PositionRange, nested SpanNot/SpanOr) — standalone it matches
+    any document with a span from any clause, and it nests as a clause of
+    SpanNearQuery/SpanNotQuery (an all-term SpanOr inside a near may also
+    be written inline as a tuple of terms).  Constant score."""
 
     span_terms: tuple
     boost: float = 1.0
 
     def terms(self):
-        return set(self.span_terms)
+        out: set = set()
+        for c in self.span_terms:
+            out |= _span_clause_terms(c)
+        return out
 
 
 @dataclass(frozen=True)
