@@ -242,6 +242,32 @@ class IndexSearcher:
         self._term_blooms: Optional[DataFrame] = None
         # TermStates cache: term -> (df, ttf) or None if absent from the index
         self._stats_cache: dict = {}
+        # span-query positional-occurrence persists, released on the next
+        # search() (see _persist_span_occ) so they can't accumulate forever
+        self._span_occ_persists: list = []
+
+    def _persist_span_occ(self, occ: DataFrame) -> DataFrame:
+        """Persist a positional-occurrence scan shared by several span
+        enumerations of ONE query, and register it for release.  The caches
+        are unpersisted at the next ``search()``/``release_span_caches()``
+        rather than inline because the result DataFrame is lazy — an inline
+        unpersist would defeat the sharing.  Re-materializing a previous
+        query's result after a new search simply recomputes the scan
+        (correct, just uncached)."""
+        occ = occ.persist()
+        self._span_occ_persists.append(occ)
+        return occ
+
+    def release_span_caches(self) -> None:
+        """Unpersist positional-occurrence caches from earlier span queries
+        (the span-eval persist would otherwise leak one cached DataFrame per
+        span query for the session)."""
+        for df in self._span_occ_persists:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._span_occ_persists = []
 
     def set_term_blooms(self, blooms: Optional[DataFrame]) -> "IndexSearcher":
         """Attach a per-run bloom table from
@@ -563,15 +589,22 @@ class IndexSearcher:
         chain, so one filter at the end suffices.  Constant score (documented
         deviation — see plans.query.SpanNearQuery)."""
         # nested span clauses (surround `a W b W c` trees, or-of-nears,
-        # first/posrange/not sub-spans): evaluate via the recursive span
-        # enumerator — same join machinery, (s, e) streams
-        if any(isinstance(c, Query) for c in q.span_terms):
+        # first/posrange/not sub-spans, or a tuple whose elements are
+        # themselves span clauses — an inline SpanOr over clauses): evaluate
+        # via the recursive span enumerator — same join machinery, (s, e)
+        # streams.  The fast path below assumes every tuple element is a
+        # plain term string, so mixed tuples must route here too.
+        if any(
+            isinstance(c, Query)
+            or (isinstance(c, tuple) and any(not isinstance(t, str) for t in c))
+            for c in q.span_terms
+        ):
             if not self.index.config.index_positions:
                 raise ValueError("SpanNearQuery needs an index built with index_positions=True")
             uniq = sorted(t for t in q.terms() if t in stats)
             if not uniq:
                 return self._empty()
-            occ = self._positional_occurrences(uniq).persist()
+            occ = self._persist_span_occ(self._positional_occurrences(uniq))
             st = self._span_enum(q, occ, stats)
             if st is None:
                 return self._empty()
@@ -588,7 +621,7 @@ class IndexSearcher:
             raise ValueError("SpanNearQuery needs an index built with index_positions=True")
         uniq = list(dict.fromkeys(t for c in clauses for t in c))
         occ = self._positional_occurrences(uniq)
-        occ = occ.persist() if len(uniq) > 1 else occ
+        occ = self._persist_span_occ(occ) if len(uniq) > 1 else occ
 
         parts = [
             occ.filter(F.col("term").isin(list(c))).select("doc_id", F.col("pos").alias(f"p{i}"))
@@ -619,10 +652,34 @@ class IndexSearcher:
         docs = m.select("doc_id").distinct()
         return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
 
+    def _eval_span_clause_docs(self, q, boost: float, stats: dict, kind: str) -> DataFrame:
+        """Standalone evaluation of a span query whose inner clause is a
+        composed span clause (not a plain term): one persisted positional
+        scan feeds the recursive enumerator, distinct docs, constant score —
+        the same path _eval_span_or takes for span-clause unions."""
+        if not self.index.config.index_positions:
+            raise ValueError(f"{kind} needs an index built with index_positions=True")
+        from ..plans.query import _span_clause_terms
+
+        uniq = [t for t in sorted(_span_clause_terms(q)) if t in stats]
+        if not uniq:
+            return self._empty()
+        occ = self._persist_span_occ(self._positional_occurrences(uniq))
+        st = self._span_enum(q, occ, stats)
+        if st is None:
+            return self._empty()
+        docs = st.select("doc_id").distinct()
+        return docs.select("doc_id", F.lit(float(boost * q.boost)).cast("float").alias("score"))
+
     def _eval_span_first(self, q: SpanFirstQuery, boost: float, stats: dict) -> DataFrame:
-        """SpanFirstQuery (``search/spans/SpanFirstQuery.java``): the term's
-        span must end within the first ``end`` positions — a single predicate
-        on the decoded positions, no join."""
+        """SpanFirstQuery (``search/spans/SpanFirstQuery.java``): the inner
+        span must end within the first ``end`` positions.  A plain-term inner
+        clause is a single predicate on the decoded positions, no join; a
+        composed inner clause (tuple / SpanNear / SpanOr / SpanNot / nested
+        first-posrange — the reference's full composability) routes through
+        the recursive span enumerator."""
+        if not isinstance(q.term, str):
+            return self._eval_span_clause_docs(q, boost, stats, "SpanFirstQuery")
         if q.term not in stats:
             return self._empty()
         if not self.index.config.index_positions:
@@ -633,8 +690,12 @@ class IndexSearcher:
 
     def _eval_span_posrange(self, q, boost: float, stats: dict) -> DataFrame:
         """SpanPositionRangeQuery (``search/spans/SpanPositionRangeQuery.
-        java``): single-term spans with ``start <= p`` and ``p+1 <= end`` —
-        one predicate over the decoded positions, no join."""
+        java``): spans with ``start <= s`` and ``e <= end``.  Plain-term
+        inner clause: one predicate over the decoded positions, no join;
+        composed inner clause: the recursive span enumerator (same
+        composability as SpanFirstQuery)."""
+        if not isinstance(q.term, str):
+            return self._eval_span_clause_docs(q, boost, stats, "SpanPositionRangeQuery")
         if q.term not in stats:
             return self._empty()
         if not self.index.config.index_positions:
@@ -727,7 +788,7 @@ class IndexSearcher:
         uniq = [t for t in sorted(_span_clause_terms(q)) if t in stats]
         if not uniq:
             return self._empty()
-        occ = self._positional_occurrences(uniq).persist()
+        occ = self._persist_span_occ(self._positional_occurrences(uniq))
         st = self._span_union(q.span_terms, occ, stats)
         if st is None:
             return self._empty()
@@ -774,7 +835,7 @@ class IndexSearcher:
         ]
         if not uniq:
             return self._empty()
-        occ = self._positional_occurrences(uniq).persist()
+        occ = self._persist_span_occ(self._positional_occurrences(uniq))
         survivors = self._span_not_stream(q, occ, stats)
         if survivors is None:
             return self._empty()
@@ -910,7 +971,7 @@ class IndexSearcher:
 
         uniq = list(dict.fromkeys(t for c in (q.big, q.little) for t in sorted(_span_clause_terms(c))))
         occ = self._positional_occurrences([t for t in uniq if t in stats])
-        occ = occ.persist()
+        occ = self._persist_span_occ(occ)
         big = self._span_enum(q.big, occ, stats)
         little = self._span_enum(q.little, occ, stats)
         if big is None or little is None:
@@ -943,7 +1004,7 @@ class IndexSearcher:
         cache = scorer.cache()
         uniq = list(dict.fromkeys(t for slot in slots for t in slot))
         occ = self._positional_occurrences(uniq)
-        occ = occ.persist() if len(uniq) > 1 else occ
+        occ = self._persist_span_occ(occ) if len(uniq) > 1 else occ
 
         matched = None
         for m, slot in enumerate(slots):
@@ -979,7 +1040,7 @@ class IndexSearcher:
         cache = scorer.cache()
         uniq = list(dict.fromkeys(terms))
         occ = self._positional_occurrences(uniq)
-        occ = occ.persist() if len(uniq) > 1 else occ
+        occ = self._persist_span_occ(occ) if len(uniq) > 1 else occ
 
         matched = None
         for m, t in enumerate(terms):
@@ -1686,6 +1747,9 @@ class IndexSearcher:
     # --------------------------------------------------------------- search
     def search(self, query: Query, k: int = 10, prune: bool = True, exclude_doc_ids=()) -> TopDocs:
         """Top-k search; identical results with prune on or off (tested)."""
+        # release positional-occurrence caches persisted by earlier span
+        # queries (bounded memory per searcher; see _persist_span_occ)
+        self.release_span_caches()
         query = self._rewrite_span_multiterm(query)
         stats = self._term_stats(query.terms())
         scored = None
@@ -2486,8 +2550,6 @@ class IndexSearcher:
         terms = sorted(source_terms(source))
         stats = self._term_stats(set(terms))
         live = [t for t in terms if t in stats]
-        if not live:
-            return self._empty() if output == "score" else self._empty().withColumnRenamed("score", "freq_q")
         quantized = output == "freq_q"
         intervals_out = output == "intervals"
         val_col = "freq_q" if quantized else "score"
@@ -2496,6 +2558,10 @@ class IndexSearcher:
             schema = "doc_id long, start int, end int"
         else:
             schema = f"doc_id long, {val_col} {'long' if quantized else 'float'}"
+        if not live:
+            # empty result must still carry the documented schema for THIS
+            # output mode — intervals callers select (doc_id, start, end)
+            return self.spark.createDataFrame([], schema)
         occ = self._positional_occurrences(live)
 
         def scan(iterator):

@@ -286,12 +286,10 @@ class SpanNearQuery(Query):
     def terms(self):
         out = set()
         for c in self.span_terms:
-            if isinstance(c, tuple):
-                out |= set(c)
-            elif isinstance(c, Query):
-                out |= c.terms()
-            else:
-                out |= {c}
+            # _span_clause_terms recurses into tuples whose elements are
+            # themselves span clauses (an inline SpanOr over clauses), so
+            # Query objects never leak into the term set
+            out |= _span_clause_terms(c)
         return out
 
 
@@ -423,10 +421,17 @@ class SpanWithinQuery(Query):
 
 
 def _span_clause_terms(clause) -> set:
+    """All index terms under a span clause.  A tuple is an inline SpanOr
+    whose elements may themselves be span clauses (searcher._span_enum
+    supports mixed tuples), so recurse element-wise — a flat ``set(clause)``
+    would leak Query objects into the term set."""
     if isinstance(clause, str):
         return {clause}
     if isinstance(clause, tuple):
-        return set(clause)
+        out: set = set()
+        for c in clause:
+            out |= _span_clause_terms(c)
+        return out
     return clause.terms()
 
 
