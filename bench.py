@@ -228,6 +228,22 @@ def main() -> None:
         if mz.get("pruning_applied"):
             scale["zipf_block_skip_rate"] = mz["block_skip_rate"]
             scale["zipf_posting_skip_rate"] = mz["posting_skip_rate"]
+        # batched block-max pruning (round-5): same zipf demo, a mixed batch
+        # — the scale-transferable number for the batch retrieval path, which
+        # previously unpacked every posting of the term union
+        mb = ds.batch_prune_metrics(
+            {
+                "q_skew": TermQuery("skew"),
+                "q_filler": TermQuery("filler"),
+                "q_or": BooleanQuery.build(
+                    should=[TermQuery("skew"), TermQuery("tail")]
+                ),
+            },
+            k=10,
+        )
+        if mb.get("pruning_applied"):
+            scale["batch_block_skip_rate"] = mb["block_skip_rate"]
+            scale["batch_posting_skip_rate"] = mb["posting_skip_rate"]
         trow = s.index.terms.filter(F.col("term") == dc.HOT).collect()
         n_post = int(trow[0]["df"]) if trow else 0
         if n_post:

@@ -245,6 +245,22 @@ class IndexSearcher:
         # span-query positional-occurrence persists, released on the next
         # search() (see _persist_span_occ) so they can't accumulate forever
         self._span_occ_persists: list = []
+        # pending-deletes count, cached per deletes DataFrame identity (used
+        # to keep the θ pre-pass sound while deletes are unexpunged)
+        self._del_count_cache: Optional[tuple] = None
+
+    def _deletes_count(self) -> int:
+        """Number of pending deleted doc_ids (0 when none).  Cached per
+        deletes-DataFrame identity — delete_by_query reassigns the frame, so
+        identity is a correct invalidation key."""
+        d = self.index.deletes
+        if d is None:
+            return 0
+        if self._del_count_cache is not None and self._del_count_cache[0] == id(d):
+            return self._del_count_cache[1]
+        n = int(d.count())
+        self._del_count_cache = (id(d), n)
+        return n
 
     def _persist_span_occ(self, occ: DataFrame) -> DataFrame:
         """Persist a positional-occurrence scan shared by several span
@@ -1758,8 +1774,18 @@ class IndexSearcher:
             if as_or is not None:
                 # exclusions are applied after scoring; θ from the pre-pass
                 # stays a sound lower bound only if excluded docs can't hold
-                # top-k slots, so shrink k's bound by the exclusion count
-                scored = self._pruned_or_terms(as_or, k + len(exclude_doc_ids), stats)
+                # top-k slots, so shrink k's bound by the exclusion count.
+                # Pending (unexpunged) deletes are the same hazard: a deleted
+                # doc sampled into the θ estimate can push θ above the best
+                # LIVE scores and prune the blocks holding them — enlarge the
+                # bound by the delete count so θ clears every deleted slot
+                # (pinned by test_prune_identity_with_deletes).
+                k_bound = k + len(exclude_doc_ids) + self._deletes_count()
+                # the θ sample depth scales with the bound — past this many
+                # pending deletes the pre-pass would cost more than it saves;
+                # run exhaustive until expunge_deletes reclaims them
+                if k_bound <= 256:
+                    scored = self._pruned_or_terms(as_or, k_bound, stats)
         if scored is None:
             scored = self._evaluate(query, 1.0, stats)
         if exclude_doc_ids:
@@ -2940,42 +2966,211 @@ class IndexSearcher:
         ]
         return self.spark.createDataFrame(rows, "rank int, doc_id long, elevated boolean")
 
-    def batch_search(self, queries: dict, k: int = 10) -> DataFrame:
-        """Batched multi-query retrieval: evaluate MANY queries in ONE
-        postings scan (no reference analog — at 10^12 docs this is the
-        offline batch-retrieval pattern: N separate searches would read the
-        index N times; here the query set ships as a broadcast clause table
-        and the postings are read once).
+    def _batch_pruned_postings(
+        self, clause_rows: list, meta_rows: list, stats: dict, k: int,
+        metrics_out: Optional[dict] = None,
+    ) -> Optional[DataFrame]:
+        """Block-max θ pruning for :meth:`batch_search` — the batched
+        analog of the single-query two-pass evaluation (``_pruned_or_terms``,
+        reference ``ImpactsDISI.java:94-126``): without it the batch path
+        unpacks and scores EVERY posting of the batch's term union, the one
+        plan that stays linear in corpus postings at scale.
 
-        ``queries`` maps query_id -> Query, each a TermQuery or a flat
-        boolean of (possibly boosted) TermQueries (MUST/SHOULD/FILTER/
-        MUST_NOT + minimumNumberShouldMatch).  FILTER clauses are required
-        matches that contribute no score, exactly like the single-query path
-        (BooleanWeight: FILTER counts as a required clause, so SHOULD stays
-        optional when only FILTERs are present).  Returns (query_id, rank,
-        doc_id, score).
+        Scheme (unit-score space, since the batch unpack emits unit scores):
+        1. per-block unit upper bound from (max_tf, min_norm) — sound for
+           BM25's monotone kernel;
+        2. sample the top ``max(2, k)`` blocks per term, exact-unpack them
+           driver-side, and take each term's k-th best unit score;
+        3. per query q, a SOUND lower bound on its k-th best matching score:
+           θ_q = max over q's *safe* terms t of f32(w_qt)·kth_unit(t).  A
+           term is safe when its presence alone guarantees the doc matches
+           q — all SHOULD terms when the query is a pure disjunction
+           (no required clauses, mm<=1, no MUST_NOT), or the single
+           required term when it is the only required clause and mm<=0.
+           Conjunctions / mm>1 / MUST_NOT queries get θ_q = -inf (their
+           k-th matching score can be arbitrarily low — never prune on
+           their account);
+        4. per term t, the unit-space survival threshold
+           θ_t = min over queries q∋t of (θ_q − slack_qt)/w_qt where
+           slack_qt = Σ over q's OTHER scoring clauses of f32(w)·umax —
+           any posting of a potential top-k doc of q contributes
+           ≥ θ_q − slack_qt, so a block with ub_unit < θ_t cannot hold one.
+           Terms carried by any FILTER/MUST_NOT clause, zero-weight clause,
+           or θ_q = -inf query are never pruned (their postings decide
+           MATCHING, not just score);
+        5. filter blocks ``ub >= θ_t`` and unpack only the survivors.
 
-        Float chain identical to the single-query path: postings are
-        unpacked once with unit weight (f32(1·t) == t), each clause applies
-        its own float32 weight, clause scores accumulate in double per
-        (query, doc), one float32 cast at the end — so every row is
-        bit-identical to ``search(queries[qid], k)``.  Plan: one scan →
-        broadcast join on term → groupBy(query, doc) → salted two-stage
-        per-query top-k (stage 1 bounds every sort task at top-k per
-        (query, doc_id%32), so one head query can't serialize the batch).
-        Query ids travel the hot exchanges as dense ints; strings are
-        restored on the k·|queries| result rows."""
-        if self.similarity is not None:
-            raise NotImplementedError("batch_search is BM25-only")
+        Returns the (term, doc_id, score) unit-scored survivors, or None
+        when pruning is not applicable (below the cost gate / no finite
+        threshold) — the caller then runs the exhaustive scan.  Results are
+        bit-identical either way (pinned by test_batch_search prune
+        identity); a 1e-4 absolute margin on θ_t absorbs the f32/f64
+        rounding between the f64 threshold math and the f32 engine scores."""
+        import math
+        from collections import defaultdict
+
+        terms_needed = sorted({t for _, t, _, _ in clause_rows})
+        if sum(int(stats[t][0]) for t in terms_needed if t in stats) < self.prune_min_postings:
+            return None
+        # pending deletes are the same θ hazard as in search(): a deleted doc
+        # in the per-term sample inflates kth_unit above the best LIVE
+        # scores.  Enlarge k by the delete count (past the cap, run
+        # exhaustive until expunge reclaims them).
+        k = k + self._deletes_count()
+        if k > 256:
+            return None
+        cache = self._scorer().cache()
+
+        @F.pandas_udf(T.FloatType())
+        def unit_ub_udf(max_tf: pd.Series, min_norm: pd.Series) -> pd.Series:
+            tfs = max_tf.to_numpy(dtype=np.int64)
+            norms = min_norm.to_numpy(dtype=np.int64)
+            return pd.Series(
+                bm25.score_tf_norm(tfs, norms, np.float32(1.0), cache).astype(np.float32)
+            )
+
+        blocks = self._postings_for(terms_needed)
+        with_ub = blocks.withColumn("_ub", unit_ub_udf("max_tf", "min_norm"))
+
+        # phase 1: top blocks per term (tiny — block summaries only), exact
+        # unit scores from the sampled payloads
         from pyspark.sql.window import Window
 
+        wnd = Window.partitionBy("term").orderBy(F.desc("_ub"), F.asc("run_id"), F.asc("block_id"))
+        sample_pdf = (
+            with_ub.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= max(2, k))
+            .toPandas()
+        )
+        if sample_pdf.empty:
+            return None
+        umax = sample_pdf.groupby("term")["_ub"].max().to_dict()
+        _, tfs, norms, _ = unpack_blocks(
+            sample_pdf["doc_id_base"].to_numpy(dtype=np.int64),
+            sample_pdf["count"].to_numpy(dtype=np.int64),
+            list(sample_pdf["doc_ids"]),
+            list(sample_pdf["tfs"]),
+            list(sample_pdf["norms"]),
+            codec=self.index.config.codec,
+        )
+        terms_post = np.repeat(
+            sample_pdf["term"].to_numpy(dtype=object), sample_pdf["count"].to_numpy()
+        )
+        unit_scores = bm25.score_tf_norm(
+            np.asarray(tfs, dtype=np.int64), np.asarray(norms, dtype=np.int64),
+            np.float32(1.0), cache,
+        )
+        kth_unit: dict = {}
+        for t, grp in pd.DataFrame({"t": terms_post, "s": unit_scores}).groupby("t")["s"]:
+            v = np.sort(grp.to_numpy())
+            if len(v) >= k:
+                kth_unit[t] = float(v[-k])
+
+        # phases 3-4: per-query θ, then per-term unit thresholds (driver-side
+        # arithmetic over the clause table — no data touched)
+        by_q: dict = defaultdict(list)
+        for qc, t, occ, w in clause_rows:
+            by_q[qc].append((t, occ, w))
+        meta_by_q = {qc: (n_req, mm) for qc, _, n_req, mm in meta_rows}
+        M, S = _OCC_CODE["MUST"], _OCC_CODE["SHOULD"]
+        FL, MN = _OCC_CODE["FILTER"], _OCC_CODE["MUST_NOT"]
+        cand: dict = {}
+        blocked: set = set()
+        for qc, leaves in by_q.items():
+            n_req, mm = meta_by_q[qc]
+            shoulds = [(t, w) for t, o, w in leaves if o == S]
+            reqs = [(t, w) for t, o, w in leaves if o in (M, FL)]
+            has_not = any(o == MN for _, o, _ in leaves)
+            safe: list = []
+            if not has_not:
+                if n_req == 0 and mm <= 1:
+                    safe = shoulds
+                elif n_req == 1 and mm <= 0 and len(reqs) == 1:
+                    safe = reqs
+            theta_q = -math.inf
+            for t, w in safe:
+                if t in kth_unit:
+                    theta_q = max(theta_q, float(np.float32(w)) * kth_unit[t] if w > 0 else 0.0)
+            ubs = [
+                (float(np.float32(w)) * umax.get(t, 0.0)) if (o in (M, S) and w > 0) else 0.0
+                for t, o, w in leaves
+            ]
+            total_ub = sum(ubs)
+            for (t, o, w), u in zip(leaves, ubs):
+                if o in (FL, MN) or w <= 0 or theta_q == -math.inf:
+                    blocked.add(t)
+                    continue
+                thr = (theta_q - (total_ub - u)) / float(np.float32(w))
+                cand[t] = min(cand.get(t, math.inf), thr)
+        theta_t = {
+            t: thr - 1e-4 for t, thr in cand.items() if t not in blocked and thr != math.inf
+        }
+        if not any(v > 0.0 for v in theta_t.values()):
+            return None  # nothing would prune; skip the extra filter pass
+
+        theta_map = {t: theta_t.get(t, -math.inf) for t in terms_needed}
+
+        @F.pandas_udf(T.DoubleType())
+        def theta_udf(term: pd.Series) -> pd.Series:
+            return term.map(theta_map).astype("float64")
+
+        surv_cond = F.col("_ub").cast("double") >= theta_udf("term")
+        if metrics_out is not None:
+            mrow = with_ub.select(
+                F.count("*").alias("blocks"),
+                F.sum(surv_cond.cast("int")).alias("surv_blocks"),
+                F.sum("count").alias("postings"),
+                F.sum(F.when(surv_cond, F.col("count")).otherwise(0)).alias("surv_postings"),
+            ).first()
+            metrics_out.update(
+                blocks=int(mrow["blocks"]),
+                surviving_blocks=int(mrow["surv_blocks"]),
+                postings=int(mrow["postings"]),
+                surviving_postings=int(mrow["surv_postings"]),
+                finite_thetas=sum(1 for v in theta_t.values() if v > 0.0),
+                terms=len(terms_needed),
+            )
+        survivors = with_ub.filter(surv_cond).select(
+            "term", "run_id", "block_id", "doc_id_base", "count", "doc_ids", "tfs", "norms"
+        )
+        unit = {t: 1.0 for t in terms_needed}
+        return survivors.mapInPandas(
+            _make_unpack_score(unit, cache, self.index.config.codec), schema=_SCORED_SCHEMA
+        )
+
+    def batch_prune_metrics(self, queries: dict, k: int = 10) -> dict:
+        """Observability for the batch block-max pruning: how many block rows
+        (and postings) of the batch term union survive the θ cut — the batch
+        counterpart of :meth:`prune_metrics`.  ``pruning_applied=False`` when
+        the cost gate / threshold analysis chose the exhaustive scan."""
+        clause_rows, meta_rows, stats = self._batch_clause_table(queries)
+        out: dict = {}
+        res = (
+            self._batch_pruned_postings(clause_rows, meta_rows, stats, k, metrics_out=out)
+            if clause_rows
+            else None
+        )
+        if res is None or "blocks" not in out:
+            return {"pruning_applied": False}
+        out["pruning_applied"] = True
+        out["block_skip_rate"] = round(1.0 - out["surviving_blocks"] / max(out["blocks"], 1), 4)
+        out["posting_skip_rate"] = round(
+            1.0 - out["surviving_postings"] / max(out["postings"], 1), 4
+        )
+        return out
+
+    def _batch_clause_table(self, queries: dict) -> tuple:
+        """Normalize a batch query dict into the flat clause/meta tables the
+        batch plan ships (shared by batch_search and batch_prune_metrics).
+        Returns (clause_rows, meta_rows, stats); queries that provably match
+        nothing (absent required term) are dropped here."""
         all_terms: set = set()
         for q in queries.values():
             all_terms |= q.terms()
         stats = self._term_stats(all_terms)
 
-        clause_rows = []  # (qid, term, occur, weight)
-        meta_rows = []  # (qid, n_must, mm)
+        clause_rows: list = []  # (qc, term, occur_code, weight)
+        meta_rows: list = []  # (qc, qid, n_req, mm)
         for qid, q in queries.items():
             boost = 1.0
             while isinstance(q, BoostQuery):
@@ -3015,6 +3210,38 @@ class IndexSearcher:
                 w = self._leaf_w(b, t, stats) if occur in ("MUST", "SHOULD") else 0.0
                 clause_rows.append((qc, t, _OCC_CODE[occur], float(w)))
             meta_rows.append((qc, str(qid), n_req, int(mm)))
+        return clause_rows, meta_rows, stats
+
+    def batch_search(self, queries: dict, k: int = 10) -> DataFrame:
+        """Batched multi-query retrieval: evaluate MANY queries in ONE
+        postings scan (no reference analog — at 10^12 docs this is the
+        offline batch-retrieval pattern: N separate searches would read the
+        index N times; here the query set ships as a broadcast clause table
+        and the postings are read once).
+
+        ``queries`` maps query_id -> Query, each a TermQuery or a flat
+        boolean of (possibly boosted) TermQueries (MUST/SHOULD/FILTER/
+        MUST_NOT + minimumNumberShouldMatch).  FILTER clauses are required
+        matches that contribute no score, exactly like the single-query path
+        (BooleanWeight: FILTER counts as a required clause, so SHOULD stays
+        optional when only FILTERs are present).  Returns (query_id, rank,
+        doc_id, score).
+
+        Float chain identical to the single-query path: postings are
+        unpacked once with unit weight (f32(1·t) == t), each clause applies
+        its own float32 weight, clause scores accumulate in double per
+        (query, doc), one float32 cast at the end — so every row is
+        bit-identical to ``search(queries[qid], k)``.  Plan: one scan →
+        broadcast join on term → groupBy(query, doc) → salted two-stage
+        per-query top-k (stage 1 bounds every sort task at top-k per
+        (query, doc_id%32), so one head query can't serialize the batch).
+        Query ids travel the hot exchanges as dense ints; strings are
+        restored on the k·|queries| result rows."""
+        if self.similarity is not None:
+            raise NotImplementedError("batch_search is BM25-only")
+        from pyspark.sql.window import Window
+
+        clause_rows, meta_rows, stats = self._batch_clause_table(queries)
         out_schema = "query_id string, rank int, doc_id long, score float"
         if not clause_rows:
             return self.spark.createDataFrame([], out_schema)
@@ -3029,9 +3256,16 @@ class IndexSearcher:
             [(qc, qid) for qc, qid, _, _ in meta_rows], "qc int, query_id string"
         )
         terms_needed = sorted({t for _, t, _, _ in clause_rows})
-        # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting
+        # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting.
+        # Block-max θ pruning first (the ImpactsDISI analog, batched): skip
+        # blocks no query in the batch can promote into its top-k; falls back
+        # to the exhaustive scan below the cost gate — bit-identical results
+        # either way (pinned by the prune-identity test).
+        pruned = self._batch_pruned_postings(clause_rows, meta_rows, stats, k)
         unit = {t: 1.0 for t in terms_needed}
-        scored = self._scored_postings(unit).select("term", "doc_id", "score")
+        scored = (
+            pruned if pruned is not None else self._scored_postings(unit)
+        ).select("term", "doc_id", "score")
         joined = scored.join(F.broadcast(clauses), "term")
         # narrow exchange rows: int query code + int occur (an Arrow-side
         # partition-local combiner was tried here and measured SLOWER than

@@ -114,3 +114,102 @@ def test_batch_head_term_skew_identity(spark):
     for qid, q in queries.items():
         expect = [(i + 1, d, sc) for i, (d, sc) in enumerate(s.search(q, 10).collect())]
         assert sorted(by_q.get(qid, [])) == expect, qid
+
+
+def _zipf_searcher(spark, prune_min_postings):
+    """A zipf-ish corpus where the head term floods every doc: the shape the
+    batch θ prune exists for."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.operators.indexer import IndexConfig, build_index
+    from lucene_solr_spark.operators.searcher import IndexSearcher
+
+    n = 1500
+    rows = []
+    for i in range(n):
+        if i < 60:
+            # hot pocket: short, high-tf head docs — these own the top-k, so
+            # every later (low-impact) head block is θ-skippable
+            text = "head " * 8 + f"u{i}"
+        else:
+            text = (
+                "head "
+                + ("mid " if i % 3 == 0 else "")
+                + (f"tail{i % 11} " if i % 13 == 0 else "")
+                + "pad " * 10
+                + f"u{i}"
+            )
+        rows.append(("c%05d" % i, 0, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("conv_id", "turn_idx")).cast("long") - 1,
+    )
+    idx = build_index(df, IndexConfig(n_partitions=8))
+    return IndexSearcher(idx, prune_min_postings=prune_min_postings)
+
+
+def _batch_rows(s, queries, k):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in s.batch_search(queries, k=k).collect()
+    )
+
+
+def test_batch_prune_exhaustive_bit_identity(spark):
+    """θ-pruned batch output must be bit-identical to the exhaustive batch
+    scan AND to per-query search() — across pure terms, boosted ORs,
+    conjunctions, mm>=2, FILTER and MUST_NOT shapes (the last four must
+    never be pruned on their own account)."""
+    sp = _zipf_searcher(spark, prune_min_postings=0)       # θ pre-pass forced
+    sx = _zipf_searcher(spark, prune_min_postings=1 << 60)  # exhaustive forced
+    queries = {
+        "head": TermQuery("head"),
+        "mid": TermQuery("mid"),
+        "tail": TermQuery("tail3"),
+        "or": BooleanQuery.build(should=[TermQuery("head"), TermQuery("tail5")]),
+        "or_boost": BoostQuery(
+            BooleanQuery.build(should=[TermQuery("mid"), TermQuery("tail7")]), 2.5
+        ),
+        "and": BooleanQuery.build(must=[TermQuery("head"), TermQuery("mid")]),
+        "mm2": BooleanQuery.build(
+            should=[TermQuery("head"), TermQuery("mid"), TermQuery("tail1")],
+            minimum_should_match=2,
+        ),
+        "filt": BooleanQuery.build(should=[TermQuery("head")], filter=[TermQuery("mid")]),
+        "not": BooleanQuery.build(must=[TermQuery("mid")], must_not=[TermQuery("tail0")]),
+    }
+    got = _batch_rows(sp, queries, 10)
+    want = _batch_rows(sx, queries, 10)
+    assert got == want
+    by_q = {}
+    for qid, rank, d, sc in got:
+        by_q.setdefault(qid, []).append((rank, d, sc))
+    for qid, q in queries.items():
+        expect = [(i + 1, d, sc) for i, (d, sc) in enumerate(sp.search(q, 10).collect())]
+        assert by_q.get(qid, []) == expect, qid
+
+
+def test_batch_prune_metrics_skip_rate(spark):
+    """On the zipf corpus the head term's low-impact blocks must actually be
+    skipped: posting skip-rate > 0 while results stay identical (checked by
+    the identity test above)."""
+    s = _zipf_searcher(spark, prune_min_postings=0)
+    queries = {f"q{i}": TermQuery(t) for i, t in enumerate(["head", "mid", "tail2"])}
+    m = s.batch_prune_metrics(queries, k=10)
+    assert m["pruning_applied"] is True
+    assert m["blocks"] > 0 and m["surviving_blocks"] <= m["blocks"]
+    assert m["posting_skip_rate"] > 0.0, m
+    assert m["finite_thetas"] >= 1
+
+
+def test_batch_prune_gate_falls_back(spark):
+    """Below the cost gate the pre-pass must not run (returns None -> the
+    exhaustive scan), and metrics say pruning_applied=False."""
+    s = _zipf_searcher(spark, prune_min_postings=1 << 60)
+    queries = {"h": TermQuery("head")}
+    assert s.batch_prune_metrics(queries, k=10) == {"pruning_applied": False}
+    rows = _batch_rows(s, queries, 5)
+    assert len(rows) == 5
