@@ -82,7 +82,11 @@ _R1_DRIVER_GREEN = {
 # parsers, FVH, shape indexing), (c) every §2.4 similarity — then the
 # never-checked families in the order VERDICT names them.
 _PRIORITY = [
-    # round-4 new rows first: reference-golden-vector oracles (TestBasics
+    # round-5 new rows first: reference-golden-vector oracles
+    # (TestSloppyPhraseQuery slop tables, TestMultiPhraseQuery hit counts,
+    # TestJsonFacets bucket literals)
+    "ft_golden_sloppy_phrase", "ft_golden_multiphrase", "ft_golden_json_facets",
+    # round-4 new rows: reference-golden-vector oracles (TestBasics
     # checkHits literals — the judge's round-3 ask #6 proofs)
     "ft_golden_term_phrase_bool", "ft_golden_span_near", "ft_golden_span_pos",
     "ft_golden_fuzzy_suggest", "ft_golden_intervals", "ft_golden_span_not",

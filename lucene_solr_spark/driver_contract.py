@@ -139,6 +139,33 @@ def golden_searcher(spark: SparkSession) -> IndexSearcher:
     return _INDEX_CACHE[key]
 
 
+def tiny_searcher(spark: SparkSession, tag: str, texts, analyzer=None) -> IndexSearcher:
+    """Positional index over a reference test fixture corpus (doc_id = list
+    position), cached per tag — the shared plumbing behind the golden-vector
+    rows that rebuild a reference test's own documents."""
+    key = ("golden_tiny", tag)
+    if key not in _INDEX_CACHE:
+        import pandas as pd
+
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": list(texts)})
+        corpus = (
+            spark.createDataFrame(pdf)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .repartition(2)
+            .persist()
+        )
+        idx = build_index(
+            corpus,
+            IndexConfig(
+                analyzer=analyzer or simple_analyzer(),
+                n_partitions=2,
+                index_positions=True,
+            ),
+        ).persist()
+        _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+    return _INDEX_CACHE[key]
+
+
 def alt_searcher(spark: SparkSession, sf_dir: str, tag: str, analyzer) -> IndexSearcher:
     """Secondary `documents` index under a different analysis chain
     (shingles / synonyms), cached per (tag, sf_dir)."""
@@ -733,6 +760,261 @@ def ft_queries() -> dict:
         return out.orderBy("variant", "doc_id", "start", "end")
 
     q["ft_golden_intervals"] = ft_golden_intervals
+
+    def ft_golden_sloppy_phrase(spark, sf_dir):
+        """Reference golden vectors for sloppy-phrase matching (``reference
+        lucene/core/src/test/org/apache/lucene/search/TestSloppyPhraseQuery.
+        java:39-135``): rebuild the test's own fixed documents under its
+        whitespace/no-lowercase analysis (MockTokenizer.WHITESPACE, false),
+        run the engine's PhraseQuery at every slop boundary the reference's
+        expectedNumResults formulas switch on, and emit (variant, slop,
+        matched).  The oracle is a pure VALUES list of the reference's own
+        "Wrong number of hits" literals — incl. the LUCENE-1310 slop-6
+        threshold and the LUCENE-3412 repeat family."""
+        import pandas as pd
+
+        from .functions.analysis import Analyzer
+        from .functions.phrase_golden_data import (
+            SLOPPY_CASES,
+            SLOPPY_CONTRACT_SLOPS,
+            SLOPPY_DOC_IDS,
+            SLOPPY_DOCS,
+            SLOPPY_QUERIES,
+        )
+
+        ws = Analyzer(pattern=r"\S+", lowercase=False)
+        s = tiny_searcher(spark, "sloppy_phrase", list(SLOPPY_DOCS.values()), ws)
+        needed = sorted(
+            {
+                (qname, slop)
+                for _v, qname, _d, _e, slops in SLOPPY_CASES
+                for slop in slops
+                if slop in SLOPPY_CONTRACT_SLOPS
+            }
+        )
+        hits = None
+        for qname, slop in needed:
+            pq = PhraseQuery(tuple(SLOPPY_QUERIES[qname]), slop=slop)
+            h = s.search(ConstantScoreQuery(pq), 20).df.select(
+                F.lit(qname).alias("qname"),
+                F.lit(slop).alias("slop"),
+                F.col("doc_id").alias("target"),
+            )
+            hits = h if hits is None else hits.unionByName(h)
+        pairs = [
+            (variant, qname, slop, SLOPPY_DOC_IDS[dname])
+            for variant, qname, dname, _e, slops in SLOPPY_CASES
+            for slop in slops
+            if slop in SLOPPY_CONTRACT_SLOPS
+        ]
+        exp = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["variant", "qname", "slop", "target"])
+        )
+        out = exp.join(hits.withColumn("hit", F.lit(1)), ["qname", "slop", "target"], "left")
+        return out.select(
+            "variant",
+            F.col("slop").cast("int").alias("slop"),
+            F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("matched"),
+        ).orderBy("variant", "slop")
+
+    q["ft_golden_sloppy_phrase"] = ft_golden_sloppy_phrase
+
+    def ft_golden_multiphrase(spark, sf_dir):
+        """Reference golden vectors for MultiPhraseQuery (``reference lucene/
+        core/src/test/org/apache/lucene/search/TestMultiPhraseQuery.java:
+        49-290``): rebuild each test's corpus, expand prefix slots against
+        the engine's own term dictionary (the test's TermsEnum.seekCeil
+        loop), and emit each variant's hit count.  Covers union slots,
+        setSlop(1) over a union slot, explicit slot positions with a gap
+        (testMultiExactWithRepeats), a single-slot MPQ under a MUST boolean
+        (bug 33161), and an unindexed slot (testNoDocs).  The oracle is a
+        pure VALUES list of the reference's assertEquals hit-count
+        literals."""
+        import pandas as pd
+
+        from .functions.phrase_golden_data import MULTIPHRASE_CORPORA, MULTIPHRASE_COUNTS
+
+        searchers = {
+            tag: tiny_searcher(spark, f"mpq_{tag}", texts)
+            for tag, texts in MULTIPHRASE_CORPORA.items()
+        }
+
+        def expand(s, prefix):
+            return tuple(
+                sorted(
+                    r["term"]
+                    for r in s.index.terms.filter(F.col("term").startswith(prefix))
+                    .select("term")
+                    .distinct()
+                    .collect()
+                )
+            )
+
+        pp = searchers["pp"]
+        pi, blue = expand(pp, "pi"), expand(pp, "blue")
+        queries = {
+            "pp_blueberry_pistar": ("pp", MultiPhraseQuery((("blueberry",), pi))),
+            "pp_strawberry_pistar": ("pp", MultiPhraseQuery((("strawberry",), pi))),
+            "pp_bluestar_pizza": ("pp", MultiPhraseQuery((blue, ("pizza",)))),
+            "pp_bluestar_pizza_slop1": ("pp", MultiPhraseQuery((blue, ("pizza",)), slop=1)),
+            "tall_union_last_slot": (
+                "tall",
+                MultiPhraseQuery((("blueberry",), ("chocolate",), ("pie", "tart"))),
+            ),
+            "exact_repeats_gap": (
+                "abc",
+                MultiPhraseQuery((("a", "d"), ("a", "f")), positions=(0, 2)),
+            ),
+            "bool_single_slot_prefix": (
+                "bool",
+                BooleanQuery.build(
+                    must=[TermQuery("pie"), MultiPhraseQuery((("blueberry", "blue"),))]
+                ),
+            ),
+            "nodocs_unindexed_slot": ("nodocs", MultiPhraseQuery((("a",), ("nope", "nope")))),
+        }
+        counted = None
+        for vname, (tag, query) in queries.items():
+            c = (
+                searchers[tag]
+                .search(ConstantScoreQuery(query), 100)
+                .df.select(F.lit(vname).alias("variant"))
+                .groupBy("variant")
+                .agg(F.count("*").cast("bigint").alias("n_hits"))
+            )
+            counted = c if counted is None else counted.unionByName(c)
+        exp = spark.createDataFrame(
+            pd.DataFrame({"variant": sorted(MULTIPHRASE_COUNTS)})
+        )
+        return (
+            exp.join(counted, "variant", "left")
+            .select(
+                "variant",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            )
+            .orderBy("variant")
+        )
+
+    q["ft_golden_multiphrase"] = ft_golden_multiphrase
+
+    def ft_golden_json_facets(spark, sf_dir):
+        """Reference golden vectors for the JSON Facet API (``reference solr/
+        core/src/test/org/apache/solr/search/facet/TestJsonFacets.java:
+        233-245 indexSimple, :888-965 testMethodStream, :246-318
+        testBehaviorEquivilenceOfUninvertibleFalse``): rebuild the 6-doc
+        corpus and replay the asserted facet requests through the engine's
+        json_facet operator — root stats, count/index sorts, mincount,
+        prefix, offset, nested cat→where buckets with min/max stats, and a
+        range-filtered domain.  Emitted rows flatten the asserted bucket
+        trees to (variant, parent, val, count, stat); the oracle is a pure
+        VALUES list of the assertJQ literals."""
+        from .functions.phrase_golden_data import JSON_FACET_DOCS
+        from .operators.jsonfacet import json_facet
+
+        key = ("golden_json_facets",)
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = spark.createDataFrame(
+                JSON_FACET_DOCS,
+                schema=(
+                    "id int, cat_s string, where_s string, num_d double, "
+                    "num_i int, val_b boolean, sparse_s string"
+                ),
+            ).persist()
+        df = _INDEX_CACHE[key]
+
+        def flat(vname, spec, domain=df):
+            rows = json_facet(domain, spec)
+            field = spec["field"]
+            statname = next(iter(spec.get("stats") or {}), None)
+            stat = (
+                F.col(f"{field}_{statname}").cast("double")
+                if statname
+                else F.lit(None).cast("double")
+            )
+            return rows.select(
+                F.lit(vname).alias("variant"),
+                F.lit("").alias("parent"),
+                F.col(field).cast("string").alias("val"),
+                F.col(f"{field}_count").cast("bigint").alias("count"),
+                stat.alias("stat"),
+            )
+
+        root = json_facet(df, {"field": None, "stats": {"x": "sum(num_d)", "y": "min(num_d)"}})
+        out = root.select(
+            F.lit("root_sum").alias("variant"), F.lit("").alias("parent"),
+            F.lit("#root").alias("val"), F.col("count"),
+            F.col("x").cast("double").alias("stat"),
+        ).unionByName(
+            root.select(
+                F.lit("root_min").alias("variant"), F.lit("").alias("parent"),
+                F.lit("#root").alias("val"), F.col("count"),
+                F.col("y").cast("double").alias("stat"),
+            )
+        )
+        out = out.unionByName(flat("cat", {"field": "cat_s"}))
+        out = out.unionByName(flat("cat2", {"field": "cat_s", "sort": "index asc"}))
+        out = out.unionByName(
+            flat("cat3", {"field": "cat_s", "sort": "index asc", "mincount": 3})
+        )
+        out = out.unionByName(
+            flat("cat4", {"field": "cat_s", "sort": "index asc", "prefix": "B"})
+        )
+        out = out.unionByName(
+            flat("cat5", {"field": "cat_s", "sort": "index asc", "offset": 1})
+        )
+
+        def nested(vname, parent_stats, child_stats):
+            spec = {
+                "field": "cat_s",
+                "sort": "index asc",
+                "stats": parent_stats,
+                "facet": {"field": "where_s", "sort": "index asc", "stats": child_stats},
+            }
+            rows = json_facet(df, spec).persist()
+            pstat = next(iter(parent_stats), None)
+            cstat = next(iter(child_stats), None)
+            parents = rows.select(
+                F.lit(vname).alias("variant"),
+                F.lit("").alias("parent"),
+                F.col("cat_s").cast("string").alias("val"),
+                F.col("cat_s_count").cast("bigint").alias("count"),
+                (
+                    F.col(f"cat_s_{pstat}").cast("double")
+                    if pstat
+                    else F.lit(None).cast("double")
+                ).alias("stat"),
+            ).distinct()
+            children = rows.select(
+                F.lit(vname).alias("variant"),
+                F.col("cat_s").cast("string").alias("parent"),
+                F.col("where_s").cast("string").alias("val"),
+                F.col("where_s_count").cast("bigint").alias("count"),
+                (
+                    F.col(f"where_s_{cstat}").cast("double")
+                    if cstat
+                    else F.lit(None).cast("double")
+                ).alias("stat"),
+            )
+            return parents.unionByName(children)
+
+        out = out.unionByName(nested("nested", {}, {}))
+        out = out.unionByName(
+            nested("nested_stats", {"y": "min(num_d)"}, {"x": "max(num_d)"})
+        )
+
+        # testBehaviorEquivilenceOfUninvertibleFalse: q=num_i:[* TO 2]
+        dom = df.filter(F.col("num_i") <= 2)
+        nf = dom.agg(F.count("*").cast("bigint").alias("count")).select(
+            F.lit("uninvert_where").alias("variant"), F.lit("").alias("parent"),
+            F.lit("#numFound").alias("val"), F.col("count"),
+            F.lit(None).cast("double").alias("stat"),
+        )
+        out = out.unionByName(nf).unionByName(
+            flat("uninvert_where", {"field": "where_s"}, domain=dom)
+        )
+        return out.orderBy("variant", "parent", "val")
+
+    q["ft_golden_json_facets"] = ft_golden_json_facets
 
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
@@ -2875,6 +3157,58 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         )
 
     o["ft_golden_intervals"] = _golden_intervals_oracle()
+
+    # TestSloppyPhraseQuery.java "Wrong number of hits" literals at every
+    # slop boundary the reference's formulas switch on (checkPhraseQuery
+    # expectedNumResults, transcribed in phrase_golden_data.SLOPPY_CASES)
+    def _golden_sloppy_oracle() -> str:
+        from .functions.phrase_golden_data import sloppy_expected_rows
+
+        vals = ", ".join(
+            f"('{v}', {slop}, {m})" for v, slop, m in sloppy_expected_rows()
+        )
+        return (
+            "SELECT variant, CAST(slop AS INT) AS slop, "
+            "CAST(matched AS INT) AS matched "
+            f"FROM (VALUES {vals}) t(variant, slop, matched) "
+            "ORDER BY variant, slop"
+        )
+
+    o["ft_golden_sloppy_phrase"] = _golden_sloppy_oracle()
+
+    # TestMultiPhraseQuery.java assertEquals hit-count literals
+    def _golden_multiphrase_oracle() -> str:
+        from .functions.phrase_golden_data import MULTIPHRASE_COUNTS
+
+        vals = ", ".join(
+            f"('{v}', {n})" for v, (_tag, n) in sorted(MULTIPHRASE_COUNTS.items())
+        )
+        return (
+            "SELECT variant, CAST(n_hits AS BIGINT) AS n_hits "
+            f"FROM (VALUES {vals}) t(variant, n_hits) ORDER BY variant"
+        )
+
+    o["ft_golden_multiphrase"] = _golden_multiphrase_oracle()
+
+    # TestJsonFacets assertJQ bucket literals (testMethodStream + the
+    # uninvertible where_s buckets), flattened
+    def _golden_json_facets_oracle() -> str:
+        from .functions.phrase_golden_data import JSON_FACET_EXPECTED
+
+        vals = ", ".join(
+            f"('{v}', '{p}', '{b}', {c}, "
+            + ("CAST(NULL AS DOUBLE)" if s is None else f"CAST({s} AS DOUBLE)")
+            + ")"
+            for v, p, b, c, s in JSON_FACET_EXPECTED
+        )
+        return (
+            "SELECT variant, parent, val, CAST(count AS BIGINT) AS count, "
+            "CAST(stat AS DOUBLE) AS stat "
+            f"FROM (VALUES {vals}) t(variant, parent, val, count, stat) "
+            "ORDER BY variant, parent, val"
+        )
+
+    o["ft_golden_json_facets"] = _golden_json_facets_oracle()
 
     o["ft_span_near_unordered"] = _with(
         [tokp],

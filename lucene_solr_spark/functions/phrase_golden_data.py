@@ -1,0 +1,181 @@
+"""Reference golden vectors: sloppy-phrase, multi-phrase, and JSON-facet
+assertion literals.
+
+Transcribed from the reference's own test suites (round-5 extension of the
+golden-oracle ladder in :mod:`span_golden_data`):
+
+- ``reference lucene/core/src/test/org/apache/lucene/search/
+  TestSloppyPhraseQuery.java:39-135`` — the fixed document set (DOC_1..DOC_5_4
+  built from S_1/S_2) and every ``checkPhraseQuery`` "Wrong number of hits"
+  expectation, including the LUCENE-1310 slop-6 threshold
+  (testDoc2_Query1) and the LUCENE-3412 repeat-consistency family
+  (testDoc5_Query5), plus the asserted ``freq2 > freq1`` orderings from the
+  MaxFreqCollector (sloppyWeight sums).
+- ``reference lucene/core/src/test/org/apache/lucene/search/
+  TestMultiPhraseQuery.java:49-290`` — the corpora and assertEquals hit-count
+  literals of testPhrasePrefix (incl. the slop-1 case), testTall
+  (LUCENE-2580), testMultiExactWithRepeats (explicit slot positions 0 and 2),
+  testBooleanQueryContainingSingleTermPrefixQuery (bug 33161), and testNoDocs.
+- ``reference solr/core/src/test/org/apache/solr/search/facet/
+  TestJsonFacets.java:233-965`` — the ``indexSimple`` 6-doc corpus and the
+  assertJQ facet literals of testMethodStream (root stats, sort/mincount/
+  prefix/offset bucket arrays, nested cat→where buckets with min/max stats)
+  and testBehaviorEquivilenceOfUninvertibleFalse (the num_i:[* TO 2]
+  where_s buckets).
+
+The engine never reads these literals — contract oracles and pytest replays
+are built from THIS module only, so agreement pins the Spark engine against
+the reference's documented behavior, not a builder re-derivation.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# TestSloppyPhraseQuery.java:39-56 fixed fixtures (whitespace tokens, no
+# lowercasing: MockTokenizer.WHITESPACE, false)
+_S_1 = "A A A"
+_S_2 = "A 1 2 3 A 4 5 6 A"
+
+SLOPPY_DOCS = {
+    "doc_1": f"X {_S_1} Y",
+    "doc_2": f"X {_S_2} Y",
+    "doc_3": f"X {_S_1} A Y",
+    "doc_1_b": f"X {_S_1} Y N N N N {_S_1} Z",
+    "doc_2_b": f"X {_S_2} Y N N N N {_S_2} Z",
+    "doc_3_b": f"X {_S_1} A Y N N N N {_S_1} A Y",
+    "doc_4": "A A X A X B A X B B A A X B A A",
+    "doc_5_3": "H H H X X X H H H X X X H H H",
+    "doc_5_4": "H H H H",
+}
+# stable doc ids for the combined index (doc_id = list position)
+SLOPPY_DOC_IDS = {name: i for i, name in enumerate(SLOPPY_DOCS)}
+
+SLOPPY_QUERIES = {
+    "q1": _S_1.split(),           # QUERY_1 "A A A"
+    "q2": _S_2.split(),           # QUERY_2
+    "q4": "X A A".split(),        # QUERY_4
+    "q54": "H H H H".split(),     # QUERY_5_4
+}
+
+# (variant, query, doc, expected(slop) over the reference's slop loop) —
+# each entry transcribes one checkPhraseQuery call site:
+#   testDoc4_Query4  (slop<1 ? 0 : 1, slops 0..29)
+#   testDoc1_Query1  (always 1, both docs, slops 0..29)
+#   testDoc2_Query1  (slop<6 ? 0 : 1; doc_2_b only asserted when slop>=6)
+#   testDoc2_Query2  (always 1, both docs)
+#   testDoc3_Query1  (always 1, both docs)
+#   testDoc5_Query5  (doc_5_4 always 1, doc_5_3 always 0, slops 0..2)
+SLOPPY_CASES = [
+    ("q4_doc4", "q4", "doc_4", lambda slop: 0 if slop < 1 else 1, range(30)),
+    ("q1_doc1", "q1", "doc_1", lambda slop: 1, range(30)),
+    ("q1_doc1b", "q1", "doc_1_b", lambda slop: 1, range(30)),
+    ("q1_doc2", "q1", "doc_2", lambda slop: 0 if slop < 6 else 1, range(30)),
+    ("q1_doc2b", "q1", "doc_2_b", lambda slop: 1, range(6, 30)),
+    ("q2_doc2", "q2", "doc_2", lambda slop: 1, range(30)),
+    ("q2_doc2b", "q2", "doc_2_b", lambda slop: 1, range(30)),
+    ("q1_doc3", "q1", "doc_3", lambda slop: 1, range(30)),
+    ("q1_doc3b", "q1", "doc_3_b", lambda slop: 1, range(30)),
+    ("q54_doc54", "q54", "doc_5_4", lambda slop: 1, range(3)),
+    ("q54_doc53", "q54", "doc_5_3", lambda slop: 0, range(3)),
+]
+
+# the freq2 > freq1 orderings asserted alongside (freq = MaxFreqCollector's
+# Σ sloppyWeight): (query, doc_lo, doc_hi, slops-with-both-docs-checked)
+SLOPPY_FREQ_GT = [
+    ("q1", "doc_1", "doc_1_b", range(30)),
+    ("q1", "doc_2", "doc_2_b", range(6, 30)),
+    ("q2", "doc_2", "doc_2_b", range(30)),
+    ("q1", "doc_3", "doc_3_b", range(30)),
+]
+
+# the slop subset the contract row evaluates end-to-end through the engine
+# (every boundary the reference's formulas switch on, both sides); pytest
+# replays the FULL loops against the matcher
+SLOPPY_CONTRACT_SLOPS = (0, 1, 2, 5, 6, 7, 29)
+
+
+def sloppy_expected_rows():
+    """(variant, slop, matched) rows for the contract slop subset — the
+    reference's expectedNumResults literal at each asserted (case, slop)."""
+    out = []
+    for variant, _q, _d, expect, slops in SLOPPY_CASES:
+        for slop in slops:
+            if slop in SLOPPY_CONTRACT_SLOPS:
+                out.append((variant, slop, expect(slop)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# TestMultiPhraseQuery.java corpora (add(...) calls, one doc per line) and
+# assertEquals hit-count literals
+MULTIPHRASE_CORPORA = {
+    "pp": [  # testPhrasePrefix:49-140
+        "blueberry pie", "blueberry strudel", "blueberry pizza",
+        "blueberry chewing gum", "bluebird pizza", "bluebird foobar pizza",
+        "piccadilly circus",
+    ],
+    "tall": ["blueberry chocolate pie", "blueberry chocolate tart"],  # :143-159
+    "abc": ["a b c d e f g h i k"],                                   # :182-199
+    "bool": ["blueberry pie", "blueberry chewing gum", "blue raspberry pie"],  # :204-238
+    "nodocs": ["a note"],                                             # :267-288
+}
+
+# variant -> (corpus, expected hit count).  The query constructions live in
+# the contract callable (driver_contract.ft_golden_multiphrase); prefix
+# slots are expanded against the index's own term dictionary exactly like
+# the reference's TermsEnum.seekCeil loop.
+MULTIPHRASE_COUNTS = {
+    "pp_blueberry_pistar": ("pp", 2),    # "blueberry (piccadilly pie pizza)"
+    "pp_strawberry_pistar": ("pp", 0),   # "strawberry (piccadilly pie pizza)"
+    "pp_bluestar_pizza": ("pp", 2),      # "(blueberry bluebird) pizza"
+    "pp_bluestar_pizza_slop1": ("pp", 3),  # same, setSlop(1)
+    "tall_union_last_slot": ("tall", 2),   # blueberry chocolate (pie|tart)
+    "exact_repeats_gap": ("abc", 1),       # (a|d)@0 (a|f)@2
+    "bool_single_slot_prefix": ("bool", 2),  # +pie +mpq[(blueberry|blue)]
+    "nodocs_unindexed_slot": ("nodocs", 0),  # a (nope|nope)
+}
+
+
+# --------------------------------------------------------------------------
+# TestJsonFacets.indexSimple (:233-245): (id, cat_s, where_s, num_d, num_i,
+# val_b, sparse_s) — None = field absent on that doc
+JSON_FACET_DOCS = [
+    (1, "A", "NY", 4.0, 2, True, "one"),
+    (2, "B", "NJ", -9.0, -5, False, None),
+    (3, None, None, None, None, None, None),
+    (4, "A", "NJ", 2.0, 3, None, None),
+    (5, "B", "NJ", 11.0, 7, None, "two"),
+    (6, "B", "NY", -5.0, -5, None, None),
+]
+
+# (variant, parent, val, count, stat) — the assertJQ literals, flattened.
+# parent '' = top level; stat None where the assert carries no stat.
+JSON_FACET_EXPECTED = [
+    # testMethodStream: json.facet {x:'sum(num_d)'} / {y:'min(num_d)'} over
+    # *:* -> facets=={count:6, x:3.0, y:-9.0}
+    ("root_sum", "", "#root", 6, 3.0),
+    ("root_min", "", "#root", 6, -9.0),
+    # cat: terms cat_s (default sort count desc) -> [B:3, A:2]
+    ("cat", "", "B", 3, None), ("cat", "", "A", 2, None),
+    # cat2: sort index asc -> [A:2, B:3]
+    ("cat2", "", "A", 2, None), ("cat2", "", "B", 3, None),
+    # cat3: mincount 3 -> [B:3]
+    ("cat3", "", "B", 3, None),
+    # cat4: prefix B -> [B:3]
+    ("cat4", "", "B", 3, None),
+    # cat5: offset 1 (index asc) -> [B:3]
+    ("cat5", "", "B", 3, None),
+    # nested cat (index asc) -> where: A{NJ:1, NY:1}, B{NJ:2, NY:1} with
+    # parent counts A:2 B:3
+    ("nested", "", "A", 2, None), ("nested", "", "B", 3, None),
+    ("nested", "A", "NJ", 1, None), ("nested", "A", "NY", 1, None),
+    ("nested", "B", "NJ", 2, None), ("nested", "B", "NY", 1, None),
+    # nested with stats: child x:max(num_d), parent y:min(num_d)
+    ("nested_stats", "", "A", 2, 2.0), ("nested_stats", "", "B", 3, -9.0),
+    ("nested_stats", "A", "NJ", 1, 2.0), ("nested_stats", "A", "NY", 1, 4.0),
+    ("nested_stats", "B", "NJ", 2, 11.0), ("nested_stats", "B", "NY", 1, -5.0),
+    # testBehaviorEquivilenceOfUninvertibleFalse: q=num_i:[* TO 2] ->
+    # numFound 3, where_s buckets [NY:2, NJ:1]
+    ("uninvert_where", "", "#numFound", 3, None),
+    ("uninvert_where", "", "NY", 2, None), ("uninvert_where", "", "NJ", 1, None),
+]

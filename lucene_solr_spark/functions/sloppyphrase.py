@@ -60,13 +60,22 @@ class _PP:
         return (self.position, self.offset, self.ord)
 
 
-def sloppy_phrase_freq(terms: list, pos_lists: list, slop: int) -> np.float32:
+def sloppy_phrase_freq(
+    terms: list, pos_lists: list, slop: int, offsets: list | None = None
+) -> np.float32:
     """Accumulated sloppy freq for one document: Σ 1f/(1f+matchLength) over
     the match sequence the reference's matcher produces, float32 arithmetic.
 
-    ``terms``: the phrase terms (slot k's term; equal strings = repeats).
-    ``pos_lists``: per slot, the ascending doc positions of that slot's term
-    (repeated terms therefore pass identical lists).
+    ``terms``: the phrase slots — a plain string per slot, or (for the
+    MultiPhraseQuery union-postings path) a set/frozenset/tuple of a slot's
+    alternative terms.  Slots sharing any term form a repeat group
+    (``SloppyPhraseMatcher.gatherRptTerms:417-444`` marks repeats by term
+    membership across PhrasePositions; for plain strings this reduces to
+    string equality, so single-term phrases behave exactly as before).
+    ``pos_lists``: per slot, the ascending doc positions of that slot's
+    term(s) (repeated terms therefore pass identical lists).
+    ``offsets``: explicit phrase position per slot (MultiPhraseQuery
+    Builder.add(terms, position) gaps); None = consecutive 0..n-1.
     Returns 0.0 when any slot has no positions or no alignment is within
     ``slop``.
     """
@@ -78,16 +87,34 @@ def sloppy_phrase_freq(terms: list, pos_lists: list, slop: int) -> np.float32:
         # Lucene rewrites this to a TermQuery, same freq
         return np.float32(len(pos_lists[0]))
 
-    pps = [_PP(pos_lists[i], i, i) for i in range(n)]
+    offs = list(offsets) if offsets is not None else list(range(n))
+    pps = [_PP(pos_lists[i], offs[i], i) for i in range(n)]
 
-    # repeat groups: slots sharing a term, sorted by (query) offset — slot
-    # order IS offset order here (sortRptGroups:446-463)
+    # repeat groups: slots sharing a term (union-find over the slots' term
+    # sets), members sorted by (query) offset (sortRptGroups:446-463)
+    term_sets = [frozenset([t]) if isinstance(t, str) else frozenset(t) for t in terms]
+    parent = list(range(n))
+
+    def _find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    owner: dict = {}
+    for i, ts in enumerate(term_sets):
+        for t in ts:
+            if t in owner:
+                parent[_find(i)] = _find(owner[t])
+            else:
+                owner[t] = i
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(_find(i), []).append(pps[i])
     groups: list[list[_PP]] = []
-    by_term: dict = {}
-    for pp, t in zip(pps, terms):
-        by_term.setdefault(t, []).append(pp)
-    for t, g in by_term.items():
+    for g in comps.values():
         if len(g) > 1:
+            g.sort(key=lambda pp: pp.offset)
             for pp in g:
                 pp.rpt_group = len(groups)
             groups.append(g)

@@ -14,9 +14,13 @@ distributed facet-merge + refinement machinery (``FacetFieldMerger``,
 over-request/refine) is unnecessary because the shuffle computes exact
 buckets.  No UDFs anywhere; everything stays in whole-stage codegen.
 
-Unsupported (documented): ``allBuckets``/``missing``/``numBuckets``,
-``prefix``, range facets here (range facets are covered by agg_range_facet),
-``percentile`` inside the json.facet spec (agg_percentiles covers it).
+Bucket options follow ``FacetField.java`` (offset / mincount / prefix) and a
+field-less spec is the root stats facet (``FacetModule``'s top-level
+``{x:'sum(f)'}`` form: one row, domain count + stats).
+
+Unsupported (documented): ``allBuckets``/``missing``/``numBuckets``, range
+facets here (range facets are covered by agg_range_facet), ``percentile``
+inside the json.facet spec (agg_percentiles covers it).
 """
 
 from __future__ import annotations
@@ -69,28 +73,51 @@ def json_facet(df: DataFrame, spec: dict) -> DataFrame:
     leaf-bucket rows carrying every ancestor bucket key and every level's
     stats (ancestor stats repeat per child row — the JSON tree, relational).
 
-    ``spec`` = ``{"field": str, "limit": int, "sort": str, "stats":
-    {name: "agg(field)"}, "facet": <child spec or None>}``."""
+    ``spec`` = ``{"field": str, "limit": int, "offset": int, "mincount": int,
+    "prefix": str, "sort": str, "stats": {name: "agg(field)"}, "facet":
+    <child spec or None>}``.  A spec with no ``field`` is the root stats
+    facet: ONE row with the domain's ``count`` plus each stat."""
+    if spec.get("field") is None:
+        stats = {k: v for k, v in (spec.get("stats") or {}).items()}
+        return df.agg(
+            F.count("*").cast("bigint").alias("count"),
+            *[_stat_col(k, v) for k, v in stats.items()],
+        )
     return _level(df, spec, parents=[], parent_stats=[])
 
 
 def _level(df: DataFrame, spec: dict, parents: list, parent_stats: list) -> DataFrame:
     field = spec["field"]
     limit = int(spec.get("limit", 10))
+    offset = int(spec.get("offset", 0))
+    mincount = int(spec.get("mincount", 1))
+    prefix = spec.get("prefix")
     stats = {k: v for k, v in (spec.get("stats") or {}).items()}
     keys = parents + [field]
     aggs = [F.count("*").cast("bigint").alias("count")] + [
         _stat_col(k, v) for k, v in stats.items()
     ]
     # docs missing the facet field form no bucket (Solr's `missing` bucket
-    # is opt-in and unsupported here)
-    grouped = df.filter(F.col(field).isNotNull()).groupBy(*keys).agg(*aggs)
+    # is opt-in and unsupported here); `prefix` restricts the bucket domain
+    # BEFORE counting (FacetFieldProcessor startTermIndex/endTermIndex)
+    domain = df.filter(F.col(field).isNotNull())
+    if prefix is not None:
+        domain = domain.filter(F.col(field).cast("string").startswith(prefix))
+    grouped = domain.groupBy(*keys).agg(*aggs)
+    if mincount > 1:
+        grouped = grouped.filter(F.col("count") >= mincount)
     order = _sort_exprs(spec.get("sort", "count desc"), field, set(stats))
     if parents:
         w = Window.partitionBy(*parents).orderBy(*order)
         kept = grouped.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") <= limit
+            (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
         ).drop("__rn")
+    elif offset > 0:
+        kept = (
+            grouped.withColumn("__rn", F.row_number().over(Window.orderBy(*order)))
+            .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            .drop("__rn")
+        )
     else:
         kept = grouped.orderBy(*order).limit(limit)
     # prefix this level's output columns so nesting levels don't collide

@@ -1021,11 +1021,15 @@ class IndexSearcher:
         uniq = list(dict.fromkeys(t for slot in slots for t in slot))
         occ = self._positional_occurrences(uniq)
         occ = self._persist_span_occ(occ) if len(uniq) > 1 else occ
+        positions = list(q.slot_positions())
+
+        if q.slop > 0:
+            return self._eval_multiphrase_sloppy(q, slots, positions, occ, w, cache)
 
         matched = None
         for m, slot in enumerate(slots):
             part = occ.filter(F.col("term").isin(list(slot))).select(
-                "doc_id", "norm", (F.col("pos") - F.lit(m)).alias("base")
+                "doc_id", "norm", (F.col("pos") - F.lit(positions[m])).alias("base")
             )
             matched = part if matched is None else matched.join(part.select("doc_id", "base"), ["doc_id", "base"])
         ptf = matched.groupBy("doc_id").agg(
@@ -1037,6 +1041,64 @@ class IndexSearcher:
             return pd.Series(bm25.score_tf_norm(ptf_c.to_numpy(), norm_c.to_numpy(), w, cache))
 
         return ptf.select("doc_id", mp_score("ptf", "norm").alias("score"))
+
+    def _eval_multiphrase_sloppy(
+        self, q: MultiPhraseQuery, slots, positions, occ, w, cache
+    ) -> DataFrame:
+        """MultiPhraseQuery with slop (``MultiPhraseQuery.java:76-82`` setSlop
+        → ``SloppyPhraseMatcher`` over one union-postings stream per slot,
+        ``PhraseQuery.java`` sloppy scorer): per candidate doc, slot k's
+        stream is the merged ascending positions of its alternatives
+        (UnionPostingsEnum), fed to the exact repeat-aware matcher with the
+        slot's explicit phrase position as its offset; float32 freq =
+        Σ 1/(1+matchLength) scored like the exact path.
+
+        Plan: slot-presence semi-joins narrow to docs holding some
+        alternative of EVERY slot (conjunction approximation — same shape as
+        the two-phase phrase verify), then ONE shuffle groups each candidate doc's
+        (term, pos) rows for the Arrow-batched matcher UDF.  Postings volume
+        is bounded by the query's term union, never the corpus."""
+        from ..functions.sloppyphrase import sloppy_phrase_freq
+
+        slot_sets = [frozenset(s) for s in slots]
+        slop = int(q.slop)
+        pres = occ.select("doc_id", "term").distinct()
+        cand = None
+        for slot in slot_sets:
+            d = pres.filter(F.col("term").isin(list(slot))).select("doc_id").distinct()
+            cand = d if cand is None else cand.join(d, "doc_id", "left_semi")
+        rows = (
+            occ.join(cand, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.collect_list(F.struct("term", "pos")).alias("tp"),
+            )
+        )
+
+        def matcher(iterator):
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                freqs = np.zeros(len(pdf), dtype=np.float32)
+                for i, tp in enumerate(pdf["tp"]):
+                    by_term: dict = {}
+                    for r in tp:
+                        by_term.setdefault(r["term"], []).append(r["pos"])
+                    pos_lists = [
+                        sorted(p for t in slot for p in by_term.get(t, []))
+                        for slot in slot_sets
+                    ]
+                    freqs[i] = sloppy_phrase_freq(
+                        list(slot_sets), pos_lists, slop, offsets=positions
+                    )
+                keep = freqs > 0
+                if not keep.any():
+                    continue
+                s = bm25.score_tf_norm(freqs[keep], pdf["norm"].to_numpy()[keep], w, cache)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy()[keep], "score": s})
+
+        return rows.mapInPandas(matcher, schema="doc_id bigint, score float")
 
     def _eval_phrase_positional(self, q: PhraseQuery, boost: float, stats: dict) -> DataFrame:
         """Exact phrase straight from the positional postings — no stored-text

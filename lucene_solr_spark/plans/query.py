@@ -199,6 +199,23 @@ class MultiPhraseQuery(Query):
 
     slots: tuple  # tuple of tuples: one tuple of alternative terms per slot
     boost: float = 1.0
+    # Builder.add(Term[], position) explicit slot positions (``MultiPhrase
+    # Query.java:99-118``); () = consecutive 0..n-1.  Gaps mean slot k must
+    # match at start + positions[k].
+    positions: tuple = ()
+    # setSlop (``MultiPhraseQuery.java:76-82``): slop > 0 routes through the
+    # union-postings sloppy matcher (SloppyPhraseMatcher over one
+    # PhrasePositions stream per slot); negative rejected like the reference.
+    slop: int = 0
+
+    def __post_init__(self):
+        if self.slop < 0:
+            raise ValueError(f"negative slop: {self.slop}")
+        if self.positions and len(self.positions) != len(self.slots):
+            raise ValueError("positions must align 1:1 with slots")
+
+    def slot_positions(self) -> tuple:
+        return self.positions or tuple(range(len(self.slots)))
 
     def terms(self):
         return {t for slot in self.slots for t in slot}
