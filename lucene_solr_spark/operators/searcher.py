@@ -3062,25 +3062,41 @@ class IndexSearcher:
            MATCHING, not just score);
         5. filter blocks ``ub >= θ_t`` and unpack only the survivors.
 
-        Returns the (term, doc_id, score) unit-scored survivors, or None
-        when pruning is not applicable (below the cost gate / no finite
-        threshold) — the caller then runs the exhaustive scan.  Results are
-        bit-identical either way (pinned by test_batch_search prune
-        identity); a 1e-4 absolute margin on θ_t absorbs the f32/f64
-        rounding between the f64 threshold math and the f32 engine scores."""
+        Besides the block filter, the per-clause thresholds are returned AS
+        a map ``(qc, term) -> θ`` for posting-level filtering after the
+        clause join: a posting with unit score < (θ_q − slack_qt)/w_qt
+        cannot belong to a top-k doc OF THAT QUERY, so the (posting, clause)
+        pair can be dropped even when another query (e.g. a conjunction
+        sharing the term, whose θ_q is -inf) still needs the block.  This is
+        the step the per-term min collapses: ONE conjunction in the batch
+        forces every shared term's blocks to unpack, but it must not force
+        every other query to carry them through the exchange.  Dropping a
+        pair is sound for matching too: a doc losing its only required/
+        should row vanishes from that query entirely (it could not be
+        top-k), and a doc keeping partial rows scores strictly below the
+        true k-th (θ_q ≤ kth and the margin makes the cut strict), so it
+        can neither enter nor tie into the top-k.
+
+        Returns ``(survivors, clause_theta)``: the (term, doc_id, score)
+        unit-scored block survivors (None = run the exhaustive scan) and
+        the per-clause posting thresholds (empty when the cost gate skipped
+        the analysis).  Results are bit-identical either way (pinned by
+        test_batch_search prune identity); a 1e-4 absolute margin on every
+        threshold absorbs the f32/f64 rounding between the f64 threshold
+        math and the f32 engine scores."""
         import math
         from collections import defaultdict
 
         terms_needed = sorted({t for _, t, _, _ in clause_rows})
         if sum(int(stats[t][0]) for t in terms_needed if t in stats) < self.prune_min_postings:
-            return None
+            return None, {}
         # pending deletes are the same θ hazard as in search(): a deleted doc
         # in the per-term sample inflates kth_unit above the best LIVE
         # scores.  Enlarge k by the delete count (past the cap, run
         # exhaustive until expunge reclaims them).
         k = k + self._deletes_count()
         if k > 256:
-            return None
+            return None, {}
         cache = self._scorer().cache()
 
         @F.pandas_udf(T.FloatType())
@@ -3105,7 +3121,7 @@ class IndexSearcher:
             .toPandas()
         )
         if sample_pdf.empty:
-            return None
+            return None, {}
         umax = sample_pdf.groupby("term")["_ub"].max().to_dict()
         _, tfs, norms, _ = unpack_blocks(
             sample_pdf["doc_id_base"].to_numpy(dtype=np.int64),
@@ -3138,6 +3154,7 @@ class IndexSearcher:
         FL, MN = _OCC_CODE["FILTER"], _OCC_CODE["MUST_NOT"]
         cand: dict = {}
         blocked: set = set()
+        clause_theta: dict = {}  # (qc, term) -> posting-level unit threshold
         for qc, leaves in by_q.items():
             n_req, mm = meta_by_q[qc]
             shoulds = [(t, w) for t, o, w in leaves if o == S]
@@ -3164,11 +3181,15 @@ class IndexSearcher:
                     continue
                 thr = (theta_q - (total_ub - u)) / float(np.float32(w))
                 cand[t] = min(cand.get(t, math.inf), thr)
+                if thr - 1e-4 > 0.0:
+                    clause_theta[(qc, t)] = thr - 1e-4
         theta_t = {
             t: thr - 1e-4 for t, thr in cand.items() if t not in blocked and thr != math.inf
         }
         if not any(v > 0.0 for v in theta_t.values()):
-            return None  # nothing would prune; skip the extra filter pass
+            # no block can be skipped (some query needs every one), but the
+            # per-clause posting filter may still cut the exchange
+            return None, clause_theta
 
         theta_map = {t: theta_t.get(t, -math.inf) for t in terms_needed}
 
@@ -3190,6 +3211,7 @@ class IndexSearcher:
                 postings=int(mrow["postings"]),
                 surviving_postings=int(mrow["surv_postings"]),
                 finite_thetas=sum(1 for v in theta_t.values() if v > 0.0),
+                finite_clause_thetas=len(clause_theta),
                 terms=len(terms_needed),
             )
         survivors = with_ub.filter(surv_cond).select(
@@ -3198,7 +3220,7 @@ class IndexSearcher:
         unit = {t: 1.0 for t in terms_needed}
         return survivors.mapInPandas(
             _make_unpack_score(unit, cache, self.index.config.codec), schema=_SCORED_SCHEMA
-        )
+        ), clause_theta
 
     def batch_prune_metrics(self, queries: dict, k: int = 10) -> dict:
         """Observability for the batch block-max pruning: how many block rows
@@ -3207,10 +3229,10 @@ class IndexSearcher:
         the cost gate / threshold analysis chose the exhaustive scan."""
         clause_rows, meta_rows, stats = self._batch_clause_table(queries)
         out: dict = {}
-        res = (
+        res, _clause_theta = (
             self._batch_pruned_postings(clause_rows, meta_rows, stats, k, metrics_out=out)
             if clause_rows
-            else None
+            else (None, {})
         )
         if res is None or "blocks" not in out:
             return {"pruning_applied": False}
@@ -3224,15 +3246,23 @@ class IndexSearcher:
     def _batch_clause_table(self, queries: dict) -> tuple:
         """Normalize a batch query dict into the flat clause/meta tables the
         batch plan ships (shared by batch_search and batch_prune_metrics).
-        Returns (clause_rows, meta_rows, stats); queries that provably match
-        nothing (absent required term) are dropped here."""
+        Returns (clause_rows, meta_rows, stats) with meta_rows =
+        ``(qc, [query_ids], n_req, mm)``; queries that provably match
+        nothing (absent required term) are dropped here.
+
+        Identical queries share ONE clause group: real batches repeat
+        queries (the Solr queryResultCache observation), and every duplicate
+        multiplies the (qc, doc) exchange volume for free — so queries with
+        the same normalized clause signature are planned once and their
+        query_ids fan back out on the k-row result join."""
         all_terms: set = set()
         for q in queries.values():
             all_terms |= q.terms()
         stats = self._term_stats(all_terms)
 
         clause_rows: list = []  # (qc, term, occur_code, weight)
-        meta_rows: list = []  # (qc, qid, n_req, mm)
+        meta_rows: list = []  # (qc, [qids], n_req, mm)
+        sig_to_qc: dict = {}
         for qid, q in queries.items():
             boost = 1.0
             while isinstance(q, BoostQuery):
@@ -3265,13 +3295,20 @@ class IndexSearcher:
                 o in ("MUST", "SHOULD", "FILTER") and t in stats for o, t, _ in leaves
             ):
                 continue  # a required term is absent / nothing can match: no hits
-            qc = len(meta_rows)  # dense int code; strings restored at the end
+            rows = []
             for occur, t, b in leaves:
                 if t not in stats:
                     continue
                 w = self._leaf_w(b, t, stats) if occur in ("MUST", "SHOULD") else 0.0
-                clause_rows.append((qc, t, _OCC_CODE[occur], float(w)))
-            meta_rows.append((qc, str(qid), n_req, int(mm)))
+                rows.append((t, _OCC_CODE[occur], float(w)))
+            sig = (tuple(sorted(rows)), n_req, int(mm))
+            if sig in sig_to_qc:
+                meta_rows[sig_to_qc[sig]][1].append(str(qid))
+                continue
+            qc = len(meta_rows)  # dense int code; strings restored at the end
+            sig_to_qc[sig] = qc
+            clause_rows.extend((qc, t, occ, w) for t, occ, w in rows)
+            meta_rows.append((qc, [str(qid)], n_req, int(mm)))
         return clause_rows, meta_rows, stats
 
     def batch_search(self, queries: dict, k: int = 10) -> DataFrame:
@@ -3308,14 +3345,12 @@ class IndexSearcher:
         if not clause_rows:
             return self.spark.createDataFrame([], out_schema)
 
-        clauses = self.spark.createDataFrame(
-            clause_rows, "qc int, term string, occ int, w float"
-        )
         meta = self.spark.createDataFrame(
             [(qc, n_req, mm) for qc, _, n_req, mm in meta_rows], "qc int, n_req int, mm int"
         )
         qid_map = self.spark.createDataFrame(
-            [(qc, qid) for qc, qid, _, _ in meta_rows], "qc int, query_id string"
+            [(qc, qid) for qc, qids, _, _ in meta_rows for qid in qids],
+            "qc int, query_id string",
         )
         terms_needed = sorted({t for _, t, _, _ in clause_rows})
         # unit-weight unpack: emits t = f32(tf/(tf + cache[norm])) per posting.
@@ -3323,12 +3358,29 @@ class IndexSearcher:
         # blocks no query in the batch can promote into its top-k; falls back
         # to the exhaustive scan below the cost gate — bit-identical results
         # either way (pinned by the prune-identity test).
-        pruned = self._batch_pruned_postings(clause_rows, meta_rows, stats, k)
+        pruned, clause_theta = self._batch_pruned_postings(clause_rows, meta_rows, stats, k)
         unit = {t: 1.0 for t in terms_needed}
         scored = (
             pruned if pruned is not None else self._scored_postings(unit)
         ).select("term", "doc_id", "score")
+        # clause table rides the broadcast with its per-clause posting
+        # threshold: a (posting, clause) pair whose unit score is below the
+        # clause's θ cannot put its doc in THAT query's top-k (see
+        # _batch_pruned_postings), so it is cut map-side, before the
+        # exchange — this is what keeps one conjunction in the batch from
+        # forcing every other query to carry a shared term's full postings
+        clauses = self.spark.createDataFrame(
+            [
+                (qc, t, occ, w, clause_theta.get((qc, t)))
+                for qc, t, occ, w in clause_rows
+            ],
+            "qc int, term string, occ int, w float, theta double",
+        )
         joined = scored.join(F.broadcast(clauses), "term")
+        if clause_theta:
+            joined = joined.filter(
+                F.col("theta").isNull() | (F.col("score").cast("double") >= F.col("theta"))
+            )
         # narrow exchange rows: int query code + int occur (an Arrow-side
         # partition-local combiner was tried here and measured SLOWER than
         # the exchanges it saved — Python ser/de of the full match stream is

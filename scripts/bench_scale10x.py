@@ -35,6 +35,8 @@ def stage(spark, n_convs: int, path: str) -> None:
     from lucene_solr_spark.sources.transcripts import transcripts_df_dist
 
     if os.path.exists(path):
+        if os.environ.get("SCALE10X_REUSE", "0") == "1":
+            return  # deterministic corpus (seed fixed): same n_convs -> same data
         shutil.rmtree(path)
     transcripts_df_dist(spark, n_convs, n_partitions=256).write.mode(
         "overwrite"
@@ -124,6 +126,20 @@ def run_point(spark, path: str, runs: int) -> dict:
         s.batch_search(batch, 10).count()
         walls.append(round(time.monotonic() - t0, 3))
     q_raw["batch_64"] = walls[1:]
+
+    # LM-Dirichlet kernel (the similarity SPI's second-most-used kernel):
+    # pruning upper bounds are similarity-dependent, so pin that the pruned
+    # paths stay sub-linear for a non-BM25 monotone kernel too
+    from lucene_solr_spark.functions.similarities import LMDirichletSimilarity
+
+    s_lmd = IndexSearcher(idx, None, similarity=LMDirichletSimilarity())
+    for name, q in (("lmd_term_head", qs["term_head"]), ("lmd_or_mid", qs["or_mid"])):
+        walls = []
+        for _ in range(runs + 1):
+            t0 = time.monotonic()
+            s_lmd.search(q, 10).df.collect()
+            walls.append(round(time.monotonic() - t0, 3))
+        q_raw[name] = walls[1:]
 
     spark.catalog.clearCache()
     return {

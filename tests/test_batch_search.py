@@ -213,3 +213,52 @@ def test_batch_prune_gate_falls_back(spark):
     assert s.batch_prune_metrics(queries, k=10) == {"pruning_applied": False}
     rows = _batch_rows(s, queries, 5)
     assert len(rows) == 5
+
+
+def test_batch_dedups_identical_queries(spark):
+    """Identical queries in a batch are planned ONCE (one clause group) and
+    fan their query_ids back out on the result join — every duplicate must
+    return exactly the single-query rows."""
+    s = _zipf_searcher(spark, prune_min_postings=0)
+    base = {
+        "t": TermQuery("head"),
+        "b": BooleanQuery.build(should=[TermQuery("mid"), TermQuery("tail3")]),
+    }
+    queries = {f"{name}_{i}": q for name, q in base.items() for i in range(4)}
+    clause_rows, meta_rows, _stats = s._batch_clause_table(queries)
+    assert len(meta_rows) == len(base)  # 8 queries -> 2 clause groups
+    assert sorted(len(qids) for _, qids, _, _ in meta_rows) == [4, 4]
+    by_q = {}
+    for r in s.batch_search(queries, k=10).collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for name, q in base.items():
+        expect = [(i + 1, d, sc) for i, (d, sc) in enumerate(s.search(q, 10).collect())]
+        for i in range(4):
+            assert sorted(by_q[f"{name}_{i}"]) == expect, (name, i)
+
+
+def test_batch_clause_theta_survives_conjunctions(spark):
+    """The per-clause posting filter must engage even when a conjunction
+    blocks every term's GLOBAL block threshold: batch = {head term query,
+    and(head, mid)}.  The 'and' forces every head/mid block to unpack
+    (theta_t empty -> exhaustive unpack), but the head TERM query's clause
+    still carries a finite θ that cuts its exchange rows — and results stay
+    bit-identical to the exhaustive plan and the single-query path."""
+    sp = _zipf_searcher(spark, prune_min_postings=0)
+    sx = _zipf_searcher(spark, prune_min_postings=1 << 60)
+    queries = {
+        "head": TermQuery("head"),
+        "and": BooleanQuery.build(must=[TermQuery("head"), TermQuery("mid")]),
+    }
+    clause_rows, meta_rows, stats = sp._batch_clause_table(queries)
+    survivors, clause_theta = sp._batch_pruned_postings(clause_rows, meta_rows, stats, 10)
+    assert survivors is None  # the conjunction needs every block
+    head_qc = next(qc for qc, qids, _, _ in meta_rows if qids == ["head"])
+    assert clause_theta.get((head_qc, "head"), 0.0) > 0.0  # posting filter live
+    and_qc = next(qc for qc, qids, _, _ in meta_rows if qids == ["and"])
+    assert (and_qc, "head") not in clause_theta  # conjunction never filtered
+    assert _batch_rows(sp, queries, 10) == _batch_rows(sx, queries, 10)
+    for qid, q in queries.items():
+        expect = [(i + 1, d, sc) for i, (d, sc) in enumerate(sp.search(q, 10).collect())]
+        got = [r[1:] for r in _batch_rows(sp, queries, 10) if r[0] == qid]
+        assert got == expect, qid
