@@ -1016,6 +1016,52 @@ def ft_queries() -> dict:
 
     q["ft_golden_json_facets"] = ft_golden_json_facets
 
+    def ft_golden_fuzzy_query(spark, sf_dir):
+        """Reference golden vectors for FuzzyQuery (``reference lucene/core/
+        src/test/org/apache/lucene/search/TestFuzzyQuery.java:56-183``
+        testFuzziness): rebuild the 7-word corpus and replay every asserted
+        construction — maxEdits=2 across prefix lengths 0..6 (incl. the
+        prefix>len clamp), maxExpansions=2 (the pq-size cut), transpositions
+        on/off, and the not-similar-enough cases — emitting each query's
+        asserted hit count and, where the reference asserts them, the hit
+        SURFACES in score order (the TopTermsBlendedFreqScoringRewrite
+        ordering).  Oracle = pure VALUES of those assertEquals literals."""
+        import pandas as pd
+
+        from .functions.phrase_golden_data import FUZZY_CASES, FUZZY_WORDS
+
+        s = tiny_searcher(spark, "fuzzy_golden", FUZZY_WORDS)
+        surfaces = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(FUZZY_WORDS)), "surface": FUZZY_WORDS})
+        ).select(F.col("doc_id").cast("long"), "surface")
+        out = None
+        for variant, term, p, m, tr, _size, order in FUZZY_CASES:
+            fq = FuzzyQuery(
+                term, max_edits=2, prefix_length=p, max_expansions=m, transpositions=tr
+            )
+            top = s.search(fq, 100).df
+            size_row = top.agg(F.count("*").cast("int").alias("n")).select(
+                F.lit(variant).alias("variant"),
+                F.lit(-1).alias("rank"),
+                F.lit("#size").alias("surface"),
+                F.col("n"),
+            )
+            out = size_row if out is None else out.unionByName(size_row)
+            if order:
+                w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+                ranked = (
+                    top.withColumn("rank", F.row_number().over(w).cast("int"))
+                    .join(F.broadcast(surfaces), "doc_id")
+                    .select(
+                        F.lit(variant).alias("variant"), "rank", "surface",
+                        F.lit(-1).alias("n"),
+                    )
+                )
+                out = out.unionByName(ranked)
+        return out.orderBy("variant", "rank")
+
+    q["ft_golden_fuzzy_query"] = ft_golden_fuzzy_query
+
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
         (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
@@ -3209,6 +3255,23 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         )
 
     o["ft_golden_json_facets"] = _golden_json_facets_oracle()
+
+    # TestFuzzyQuery.testFuzziness assertEquals literals: hit counts per
+    # construction + hit-surface orderings where the reference asserts them
+    def _golden_fuzzy_query_oracle() -> str:
+        from .functions.phrase_golden_data import fuzzy_expected_rows
+
+        vals = ", ".join(
+            f"('{v}', {r}, '{sf}', {n})" for v, r, sf, n in fuzzy_expected_rows()
+        )
+        return (
+            "SELECT variant, CAST(rank AS INT) AS rank, surface, "
+            "CAST(n AS INT) AS n "
+            f"FROM (VALUES {vals}) t(variant, rank, surface, n) "
+            "ORDER BY variant, rank"
+        )
+
+    o["ft_golden_fuzzy_query"] = _golden_fuzzy_query_oracle()
 
     o["ft_span_near_unordered"] = _with(
         [tokp],

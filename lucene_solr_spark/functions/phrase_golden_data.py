@@ -137,6 +137,56 @@ MULTIPHRASE_COUNTS = {
 
 
 # --------------------------------------------------------------------------
+# TestFuzzyQuery.testFuzziness (``reference lucene/core/src/test/org/apache/
+# lucene/search/TestFuzzyQuery.java:56-183``): the 7-word corpus and every
+# assertEquals over hit counts and hit-surface orderings (scoring order under
+# the TopTermsBlendedFreqScoringRewrite).  The 'anotherfield' case is omitted
+# (single-field engine, declared deviation).  doc_id = list position.
+FUZZY_WORDS = ["aaaaa", "aaaab", "aaabb", "aabbb", "abbbb", "bbbbb", "ddddd"]
+
+# (variant, query term, prefix_length, max_expansions, transpositions,
+#  asserted size, asserted surface order or None when only size is asserted).
+# Constructions mirror the reference call sites: the 3-arg ctor keeps
+# defaultTranspositions=true; the maxExpansions=2 case passes false.
+FUZZY_CASES = [
+    ("aaaaa_p0", "aaaaa", 0, 50, True, 3, ["aaaaa", "aaaab", "aaabb"]),
+    ("aaaaa_p1", "aaaaa", 1, 50, True, 3, None),
+    ("aaaaa_p2", "aaaaa", 2, 50, True, 3, None),
+    ("aaaaa_p3", "aaaaa", 3, 50, True, 3, None),
+    ("aaaaa_p4", "aaaaa", 4, 50, True, 2, None),
+    ("aaaaa_p5", "aaaaa", 5, 50, True, 1, None),
+    ("aaaaa_p6", "aaaaa", 6, 50, True, 1, None),
+    ("bbbbb_p0", "bbbbb", 0, 50, True, 3, ["bbbbb", "abbbb", "aabbb"]),
+    ("bbbbb_maxexp2", "bbbbb", 0, 2, False, 2, ["bbbbb", "abbbb"]),
+    ("xxxxx_p0", "xxxxx", 0, 50, True, 0, None),
+    ("aaccc_p0", "aaccc", 0, 50, True, 0, None),
+    ("aaaac_p0", "aaaac", 0, 50, True, 3, ["aaaaa", "aaaab", "aaabb"]),
+    ("aaaac_p1", "aaaac", 1, 50, True, 3, ["aaaaa", "aaaab", "aaabb"]),
+    ("aaaac_p2", "aaaac", 2, 50, True, 3, ["aaaaa", "aaaab", "aaabb"]),
+    ("aaaac_p3", "aaaac", 3, 50, True, 3, ["aaaaa", "aaaab", "aaabb"]),
+    ("aaaac_p4", "aaaac", 4, 50, True, 2, ["aaaaa", "aaaab"]),
+    ("aaaac_p5", "aaaac", 5, 50, True, 0, None),
+    ("ddddX_p0", "ddddX", 0, 50, True, 1, ["ddddd"]),
+    ("ddddX_p1", "ddddX", 1, 50, True, 1, ["ddddd"]),
+    ("ddddX_p2", "ddddX", 2, 50, True, 1, ["ddddd"]),
+    ("ddddX_p3", "ddddX", 3, 50, True, 1, ["ddddd"]),
+    ("ddddX_p4", "ddddX", 4, 50, True, 1, ["ddddd"]),
+    ("ddddX_p5", "ddddX", 5, 50, True, 0, None),
+]
+
+
+def fuzzy_expected_rows():
+    """(variant, rank, surface, n) — rank -1/'#size' carries the asserted
+    hit count; positive ranks carry the asserted surface order (n = -1)."""
+    out = []
+    for variant, _t, _p, _m, _tr, size, order in FUZZY_CASES:
+        out.append((variant, -1, "#size", size))
+        for i, surface in enumerate(order or []):
+            out.append((variant, i + 1, surface, -1))
+    return out
+
+
+# --------------------------------------------------------------------------
 # TestJsonFacets.indexSimple (:233-245): (id, cat_s, where_s, num_d, num_i,
 # val_b, sparse_s) — None = field absent on that doc
 JSON_FACET_DOCS = [

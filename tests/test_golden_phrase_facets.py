@@ -141,3 +141,15 @@ def test_multiphrase_sloppy_union_slot_repeats_group_by_intersection():
     assert float(sloppy_phrase_freq(sets, pos, 4)) > 0.0
     # plain strings unchanged: "A A" on positions [0, 1]
     assert float(sloppy_phrase_freq(["A", "A"], [[0, 1], [0, 1]], 0)) > 0.0
+
+
+def test_fuzzy_query_contract_row_matches_literals(spark):
+    """TestFuzzyQuery.testFuzziness literals: every asserted hit count and
+    score-ordered surface list through the engine's blended fuzzy rewrite
+    (same check the driver runs, locally pinned)."""
+    from lucene_solr_spark.driver_contract import ft_queries
+    from lucene_solr_spark.functions.phrase_golden_data import fuzzy_expected_rows
+
+    df = ft_queries()["ft_golden_fuzzy_query"](spark, "")
+    got = [(r["variant"], r["rank"], r["surface"], r["n"]) for r in df.collect()]
+    assert sorted(got) == sorted(fuzzy_expected_rows())
