@@ -244,6 +244,9 @@ def main() -> None:
         if mb.get("pruning_applied"):
             scale["batch_block_skip_rate"] = mb["block_skip_rate"]
             scale["batch_posting_skip_rate"] = mb["posting_skip_rate"]
+            # the round-5 exchange cut: fraction of (posting, clause) pairs
+            # the per-clause θ removes before the batch exchange
+            scale["batch_clause_pair_skip_rate"] = mb.get("clause_pair_skip_rate")
         trow = s.index.terms.filter(F.col("term") == dc.HOT).collect()
         n_post = int(trow[0]["df"]) if trow else 0
         if n_post:

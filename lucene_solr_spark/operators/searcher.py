@@ -3229,17 +3229,47 @@ class IndexSearcher:
         the cost gate / threshold analysis chose the exhaustive scan."""
         clause_rows, meta_rows, stats = self._batch_clause_table(queries)
         out: dict = {}
-        res, _clause_theta = (
+        res, clause_theta = (
             self._batch_pruned_postings(clause_rows, meta_rows, stats, k, metrics_out=out)
             if clause_rows
             else (None, {})
         )
-        if res is None or "blocks" not in out:
+        if (res is None and not clause_theta) or "blocks" not in out:
             return {"pruning_applied": False}
         out["pruning_applied"] = True
         out["block_skip_rate"] = round(1.0 - out["surviving_blocks"] / max(out["blocks"], 1), 4)
         out["posting_skip_rate"] = round(
             1.0 - out["surviving_postings"] / max(out["postings"], 1), 4
+        )
+        # clause-pair skip: the per-clause posting θ (the exchange-volume
+        # cut) measured on the actual scored stream × clause fan-out.  One
+        # conjunction in the batch can zero the BLOCK skip (every block must
+        # unpack) while this filter still removes most exchange rows.
+        terms_needed = sorted({t for _, t, _, _ in clause_rows})
+        scored = (
+            res if res is not None else self._scored_postings({t: 1.0 for t in terms_needed})
+        ).select("term", "score")
+        cl = self.spark.createDataFrame(
+            [(t, clause_theta.get((qc, t))) for qc, t, _occ, _w in clause_rows],
+            "term string, theta double",
+        )
+        pair_row = (
+            scored.join(F.broadcast(cl), "term")
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum(
+                    (
+                        F.col("theta").isNull()
+                        | (F.col("score").cast("double") >= F.col("theta"))
+                    ).cast("long")
+                ).alias("surv"),
+            )
+            .first()
+        )
+        out["clause_pairs"] = int(pair_row["pairs"])
+        out["surviving_clause_pairs"] = int(pair_row["surv"])
+        out["clause_pair_skip_rate"] = round(
+            1.0 - pair_row["surv"] / max(pair_row["pairs"], 1), 4
         )
         return out
 
