@@ -1062,6 +1062,35 @@ def ft_queries() -> dict:
 
     q["ft_golden_fuzzy_query"] = ft_golden_fuzzy_query
 
+    def ft_golden_unified_highlight(spark, sf_dir):
+        """Reference golden vectors for the UnifiedHighlighter (``reference
+        lucene/highlighter/src/test/org/apache/lucene/search/uhighlight/
+        TestUnifiedHighlighter.java:128-290``): rebuild each test corpus,
+        search the asserted term, highlight through the engine's
+        sentence-passage highlighter, and emit the snippet STRINGS — the
+        sentence-BreakIterator spans (trailing whitespace included), the
+        <b></b> formatter, passage selection, and setMaxLength(17)
+        truncation incl. the LUCENE-5166 match-crossing-the-cut drop.  The
+        oracle is a pure VALUES list of the reference's assertEquals
+        snippet literals."""
+        from .functions.phrase_golden_data import HIGHLIGHT_CASES
+
+        out = None
+        for variant, texts, term, max_length, expected in HIGHLIGHT_CASES:
+            s = tiny_searcher(spark, f"uh_{variant}", texts)
+            top = s.search(TermQuery(term), 10)
+            hl = s.highlight_unified(top, [term], max_passages=1, max_length=max_length)
+            rows = hl.select(
+                F.concat(F.lit(f"{variant}_"), F.col("doc_id").cast("string")).alias(
+                    "variant"
+                ),
+                "snippet",
+            )
+            out = rows if out is None else out.unionByName(rows)
+        return out.orderBy("variant")
+
+    q["ft_golden_unified_highlight"] = ft_golden_unified_highlight
+
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
         (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
@@ -3272,6 +3301,21 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         )
 
     o["ft_golden_fuzzy_query"] = _golden_fuzzy_query_oracle()
+
+    # TestUnifiedHighlighter assertEquals snippet-string literals
+    def _golden_unified_highlight_oracle() -> str:
+        from .functions.phrase_golden_data import highlight_expected_rows
+
+        vals = ", ".join(
+            "('{}', '{}')".format(v, sn.replace("'", "''"))
+            for v, sn in highlight_expected_rows()
+        )
+        return (
+            "SELECT variant, snippet "
+            f"FROM (VALUES {vals}) t(variant, snippet) ORDER BY variant"
+        )
+
+    o["ft_golden_unified_highlight"] = _golden_unified_highlight_oracle()
 
     o["ft_span_near_unordered"] = _with(
         [tokp],

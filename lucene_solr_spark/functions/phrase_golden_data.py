@@ -187,6 +187,57 @@ def fuzzy_expected_rows():
 
 
 # --------------------------------------------------------------------------
+# TestUnifiedHighlighter (``reference lucene/highlighter/src/test/org/apache/
+# lucene/search/uhighlight/TestUnifiedHighlighter.java:128-290``): corpora
+# and the EXACT snippet-string assertEquals literals — testBasics,
+# testHighlightLastWord, testOneSentence, the three
+# testFormatWithMatchExceedingContentLength cases (setMaxLength(17),
+# LUCENE-5166: a match crossing the cut is not highlighted), and the title
+# half of testMultipleFields.  (variant is doc-indexed within its corpus.)
+HIGHLIGHT_CASES = [
+    # (variant, corpus texts, query term, max_length, [(doc_id, snippet)])
+    ("basics", [
+        "This is a test. Just a test highlighting from postings. Feel free to ignore.",
+        "Highlighting the first term. Hope it works.",
+    ], "highlighting", None, [
+        (0, "Just a test <b>highlighting</b> from postings. "),
+        (1, "<b>Highlighting</b> the first term. "),
+    ]),
+    ("last_word", ["This is a test"], "test", None, [
+        (0, "This is a <b>test</b>"),
+    ]),
+    ("one_sentence", ["This is a test.", "Test a one sentence document."], "test", None, [
+        (0, "This is a <b>test</b>."),
+        (1, "<b>Test</b> a one sentence document."),
+    ]),
+    ("maxlen_match_at_cut", ["123 TEST 01234 TEST"], "test", 17, [
+        (0, "123 <b>TEST</b> 01234 TE"),
+    ]),
+    ("maxlen_all_beyond_cut", ["123 5678 01234 TEST TEST"], "test", 17, [
+        (0, "123 5678 01234 TE"),
+    ]),
+    ("maxlen_lucene5166", ["123 5678 01234 TEST"], "test", 17, [
+        (0, "123 5678 01234 TE"),
+    ]),
+    ("title_field", [
+        "I am hoping for the best.",
+        "But best may not be good enough.",
+    ], "best", None, [
+        (0, "I am hoping for the <b>best</b>."),
+        (1, "But <b>best</b> may not be good enough."),
+    ]),
+]
+
+
+def highlight_expected_rows():
+    return [
+        (f"{variant}_{doc_id}", snippet)
+        for variant, _texts, _term, _ml, expected in HIGHLIGHT_CASES
+        for doc_id, snippet in expected
+    ]
+
+
+# --------------------------------------------------------------------------
 # TestJsonFacets.indexSimple (:233-245): (id, cat_s, where_s, num_d, num_i,
 # val_b, sparse_s) — None = field absent on that doc
 JSON_FACET_DOCS = [

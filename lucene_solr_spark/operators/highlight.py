@@ -80,10 +80,14 @@ class PassageScorer:
 
 def _sentences(text: str) -> list[tuple[int, int]]:
     """(start, end) char spans — sentence BreakIterator stand-in: split after
-    [.!?]+whitespace; the whole text when no boundary exists."""
+    [.!?]+whitespace; the whole text when no boundary exists.  Like
+    ``BreakIterator.getSentenceInstance``, a sentence span INCLUDES its
+    trailing whitespace (the reference's snippet literals end in a space:
+    ``TestUnifiedHighlighter.testBasics`` expects "Just a test
+    <b>highlighting</b> from postings. ")."""
     spans, pos = [], 0
     for m in _SENT_RE.finditer(text):
-        spans.append((pos, m.start()))
+        spans.append((pos, m.end()))
         pos = m.end()
     if pos < len(text):
         spans.append((pos, len(text)))
@@ -145,6 +149,7 @@ def unified_highlight(
     k1: float = 1.2,
     b: float = 0.75,
     pivot: float = 87.0,
+    max_length: int | None = None,
 ) -> DataFrame:
     """Highlight the top-k winners: fetch their stored text (broadcast
     semi-join, the GET_FIELDS phase) and produce ``(doc_id, score,
@@ -152,7 +157,14 @@ def unified_highlight(
 
     ``terms`` is a term list or a Query — a Query highlights its extracted
     terms (``UnifiedHighlighter.extractTerms``; phrase/boolean terms
-    highlight individually, the re-analysis offset strategy's behavior)."""
+    highlight individually, the re-analysis offset strategy's behavior).
+
+    ``max_length`` is UnifiedHighlighter.setMaxLength: content is truncated
+    to that many chars BEFORE analysis, so a match whose span crosses the
+    cut is not highlighted (LUCENE-5166 — the truncated partial token no
+    longer equals the query term).  None = no truncation (the reference
+    defaults to 10000; kept opt-in here so existing oracles replaying full
+    stored text stay exact)."""
     if searcher.corpus is None:
         raise ValueError("unified_highlight needs IndexSearcher(corpus=...)")
     id_col = searcher.index.config.id_col
@@ -170,6 +182,8 @@ def unified_highlight(
         for pdf in iterator:
             hs, snips = [], []
             for txt in pdf["_text"]:
+                if max_length is not None:
+                    txt = txt[:max_length]
                 sc, snip = _highlight_one(txt, tset, scorer, max_passages)
                 hs.append(np.float32(sc))
                 snips.append(snip)

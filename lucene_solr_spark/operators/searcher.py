@@ -3784,12 +3784,13 @@ class IndexSearcher:
         return rows.mapInPandas(snip, schema="doc_id bigint, score float, snippet string")
 
     def highlight_unified(self, top: TopDocs, terms: list, max_passages: int = 1,
-                          k1: float = 1.2, b: float = 0.75, pivot: float = 87.0) -> DataFrame:
+                          k1: float = 1.2, b: float = 0.75, pivot: float = 87.0,
+                          max_length: Optional[int] = None) -> DataFrame:
         """UnifiedHighlighter with reference-exact PassageScorer — see
         :mod:`lucene_solr_spark.operators.highlight`."""
         from .highlight import unified_highlight
 
-        return unified_highlight(self, top, terms, max_passages, k1, b, pivot)
+        return unified_highlight(self, top, terms, max_passages, k1, b, pivot, max_length)
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """``IndexSearcher.explain`` / ``Weight.explain`` analog (``reference

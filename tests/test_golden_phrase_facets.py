@@ -153,3 +153,14 @@ def test_fuzzy_query_contract_row_matches_literals(spark):
     df = ft_queries()["ft_golden_fuzzy_query"](spark, "")
     got = [(r["variant"], r["rank"], r["surface"], r["n"]) for r in df.collect()]
     assert sorted(got) == sorted(fuzzy_expected_rows())
+
+
+def test_unified_highlight_contract_row_matches_literals(spark):
+    """TestUnifiedHighlighter snippet-string literals through the engine's
+    passage highlighter (same check the driver runs, locally pinned)."""
+    from lucene_solr_spark.driver_contract import ft_queries
+    from lucene_solr_spark.functions.phrase_golden_data import highlight_expected_rows
+
+    df = ft_queries()["ft_golden_unified_highlight"](spark, "")
+    got = sorted((r["variant"], r["snippet"]) for r in df.collect())
+    assert got == sorted(highlight_expected_rows())

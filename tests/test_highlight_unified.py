@@ -31,7 +31,9 @@ def _ref_norm(start, pivot=87.0):
 def test_sentences_spans():
     t = "alpha beta. gamma delta! epsilon"
     spans = _sentences(t)
-    assert [t[s:e] for s, e in spans] == ["alpha beta.", "gamma delta!", "epsilon"]
+    # BreakIterator semantics: a sentence span includes its trailing
+    # whitespace (TestUnifiedHighlighter's snippet literals end in a space)
+    assert [t[s:e] for s, e in spans] == ["alpha beta. ", "gamma delta! ", "epsilon"]
     assert _sentences("no boundary here") == [(0, 16)]
 
 
@@ -83,7 +85,7 @@ def test_top_passages_selection_and_order():
 def test_no_match_summary_fallback():
     sc, snip = _highlight_one("plain sentence one. and two.", {"zzz"}, PassageScorer(), 1)
     assert sc == 0.0
-    assert snip == "plain sentence one."
+    assert snip == "plain sentence one. "  # span includes trailing space
     assert "<b>" not in snip
 
 
