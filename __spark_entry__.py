@@ -86,7 +86,7 @@ _PRIORITY = [
     # (TestSloppyPhraseQuery slop tables, TestMultiPhraseQuery hit counts,
     # TestJsonFacets bucket literals)
     "ft_golden_sloppy_phrase", "ft_golden_multiphrase", "ft_golden_json_facets",
-    "ft_golden_fuzzy_query", "ft_golden_unified_highlight",
+    "ft_golden_fuzzy_query", "ft_golden_unified_highlight", "ft_golden_grouping",
     # round-4 new rows: reference-golden-vector oracles (TestBasics
     # checkHits literals — the judge's round-3 ask #6 proofs)
     "ft_golden_term_phrase_bool", "ft_golden_span_near", "ft_golden_span_pos",

@@ -1091,6 +1091,67 @@ def ft_queries() -> dict:
 
     q["ft_golden_unified_highlight"] = ft_golden_unified_highlight
 
+    def ft_golden_grouping(spark, sf_dir):
+        """Reference golden vectors for grouping (``reference solr/core/src/
+        test/org/apache/solr/TestGroupingSearch.java:85-126``
+        testGroupingGroupSortingScore_basic): rebuild the 5-doc corpus (title
+        indexed as the text field; name/group_i/id_i stored columns) and
+        replay both asserted requests through the engine — q={!func}id_i
+        grouped by name (a MatchAll base with score_expr='id_i', the
+        predictable-score construction the test uses) and q=title:title
+        (BM25) grouped by group_i.  Emits each group's rank, groupValue,
+        numFound, and top doc id; the oracle is a pure VALUES list of the
+        assertQ XPath literals."""
+        import pandas as pd
+
+        from .functions.phrase_golden_data import GROUPING_DOCS
+        from .plans.query import MatchAllQuery
+
+        key = ("golden_grouping",)
+        if key not in _INDEX_CACHE:
+            pdf = pd.DataFrame(
+                GROUPING_DOCS, columns=["id", "id_i", "name", "text", "group_i"]
+            )
+            pdf["doc_id"] = range(len(pdf))
+            corpus = (
+                spark.createDataFrame(pdf)
+                .select(
+                    F.col("doc_id").cast("long"), "text", "id", "id_i", "name", "group_i"
+                )
+                .repartition(2)
+                .persist()
+            )
+            idx = build_index(
+                corpus,
+                IndexConfig(analyzer=simple_analyzer(), n_partitions=2, index_positions=True),
+            ).persist()
+            _INDEX_CACHE[key] = IndexSearcher(idx, corpus)
+        s = _INDEX_CACHE[key]
+
+        def grouped(vname, query, group_col, score_expr=None):
+            top1 = s.group_topk(query, group_col, 1, score_expr=score_expr).filter(
+                F.col("rank") == 1
+            )
+            counts = s.facet(query, group_col)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return (
+                top1.join(counts, group_col)
+                .withColumn("grank", F.row_number().over(w).cast("int"))
+                .select(
+                    F.lit(vname).alias("variant"),
+                    "grank",
+                    F.col(group_col).cast("string").alias("group_value"),
+                    F.col("cnt").cast("bigint").alias("n_found"),
+                    (F.col("doc_id") + 1).cast("bigint").alias("top_id"),
+                )
+            )
+
+        out = grouped("func_by_name", MatchAllQuery(), "name", score_expr="id_i")
+        out = out.unionByName(grouped("title_by_groupi", TermQuery("title"), "group_i"))
+        return out.orderBy("variant", "grank")
+
+    q["ft_golden_grouping"] = ft_golden_grouping
+
     def agg_relatedness(spark, sf_dir):
         """JSON facet relatedness() — Semantic Knowledge Graph bucket scores
         (solr/.../facet/RelatednessAgg.java), quantized to 1e-5 fixed point
@@ -3316,6 +3377,23 @@ sfreq AS (SELECT doc_id, list_reduce(lw, (x, y) -> CAST(x + y AS REAL)) AS freq 
         )
 
     o["ft_golden_unified_highlight"] = _golden_unified_highlight_oracle()
+
+    # TestGroupingSearch assertQ XPath literals (group order, groupValue,
+    # numFound, top doc id per group)
+    def _golden_grouping_oracle() -> str:
+        from .functions.phrase_golden_data import GROUPING_EXPECTED
+
+        vals = ", ".join(
+            f"('{v}', {r}, '{g}', {n}, {t})" for v, r, g, n, t in GROUPING_EXPECTED
+        )
+        return (
+            "SELECT variant, CAST(grank AS INT) AS grank, group_value, "
+            "CAST(n_found AS BIGINT) AS n_found, CAST(top_id AS BIGINT) AS top_id "
+            f"FROM (VALUES {vals}) t(variant, grank, group_value, n_found, top_id) "
+            "ORDER BY variant, grank"
+        )
+
+    o["ft_golden_grouping"] = _golden_grouping_oracle()
 
     o["ft_span_near_unordered"] = _with(
         [tokp],

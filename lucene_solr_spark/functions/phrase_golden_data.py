@@ -238,6 +238,32 @@ def highlight_expected_rows():
 
 
 # --------------------------------------------------------------------------
+# Solr TestGroupingSearch.testGroupingGroupSortingScore_basic (``reference
+# solr/core/src/test/org/apache/solr/TestGroupingSearch.java:85-126``): the
+# 5-doc corpus (id, id_i, name, title, group_i) and the asserted grouped
+# responses — group order, each group's groupValue, numFound, and top doc id
+# — for q={!func}id_i grouped by name and q=title:title grouped by group_i.
+GROUPING_DOCS = [
+    # (id, id_i, name, title, group_i)
+    (1, 1, "author1", "a book title", 1),
+    (2, 2, "author1", "the title", 2),
+    (3, 3, "author2", "a book title", 1),
+    (4, 4, "author2", "title", 2),
+    (5, 5, "author3", "the title of a title", 1),
+]
+
+# (variant, group rank, groupValue, numFound, top doc id) — the assertQ
+# XPath literals, flattened
+GROUPING_EXPECTED = [
+    ("func_by_name", 1, "author3", 1, 5),
+    ("func_by_name", 2, "author2", 2, 4),
+    ("func_by_name", 3, "author1", 2, 2),
+    ("title_by_groupi", 1, "2", 2, 4),
+    ("title_by_groupi", 2, "1", 3, 5),
+]
+
+
+# --------------------------------------------------------------------------
 # TestJsonFacets.indexSimple (:233-245): (id, cat_s, where_s, num_d, num_i,
 # val_b, sparse_s) — None = field absent on that doc
 JSON_FACET_DOCS = [

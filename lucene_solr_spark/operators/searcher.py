@@ -2111,20 +2111,36 @@ class IndexSearcher:
             .orderBy("grp")
         )
 
-    def group_topk(self, query: Query, group_col: str, k_per_group: int = 2) -> DataFrame:
+    def group_topk(
+        self, query: Query, group_col: str, k_per_group: int = 2,
+        score_expr: Optional[str] = None,
+    ) -> DataFrame:
         """Field collapse / grouping analog (``reference lucene/grouping/...
         FirstPassGroupingCollector.java`` two-pass; Solr ExpandComponent):
         top-k docs per group-field value over the full match set, ranked by
         (score desc, doc_id asc) — one window, no second pass needed because
-        groups shuffle-partition cleanly."""
+        groups shuffle-partition cleanly.
+
+        ``score_expr`` composes Solr's ``group=true`` with a ``{!func}``
+        main query (``TestGroupingSearch.java:95`` uses ``{!func}id_i`` for
+        predictable scores): the match score is multiplied by the SQL
+        expression over corpus columns, exactly like :meth:`function_score`
+        — so a MatchAll base with ``score_expr='id_i'`` ranks groups by the
+        field value."""
         if self.corpus is None:
             raise ValueError("group_topk needs IndexSearcher(corpus=...)")
         stats = self._term_stats(query.terms())
         scored = self._evaluate(query, 1.0, stats)
         id_col = self.index.config.id_col
-        joined = scored.join(
-            self.corpus.select(F.col(id_col).alias("doc_id"), group_col), "doc_id"
-        )
+        # full corpus join so score_expr sees every column; Catalyst prunes
+        # unused ones back to (doc_id, group_col) on the plain path
+        joined = scored.join(self.corpus.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        if score_expr is not None:
+            joined = joined.withColumn(
+                "score",
+                (F.col("score").cast("double") * F.expr(score_expr).cast("double"))
+                .cast("float"),
+            )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))

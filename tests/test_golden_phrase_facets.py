@@ -164,3 +164,17 @@ def test_unified_highlight_contract_row_matches_literals(spark):
     df = ft_queries()["ft_golden_unified_highlight"](spark, "")
     got = sorted((r["variant"], r["snippet"]) for r in df.collect())
     assert got == sorted(highlight_expected_rows())
+
+
+def test_grouping_contract_row_matches_literals(spark):
+    """TestGroupingSearch grouped-response literals: group order, groupValue,
+    numFound, top id for {!func}id_i-by-name and title:title-by-group_i."""
+    from lucene_solr_spark.driver_contract import ft_queries
+    from lucene_solr_spark.functions.phrase_golden_data import GROUPING_EXPECTED
+
+    df = ft_queries()["ft_golden_grouping"](spark, "")
+    got = [
+        (r["variant"], r["grank"], r["group_value"], r["n_found"], r["top_id"])
+        for r in df.collect()
+    ]
+    assert sorted(got) == sorted(GROUPING_EXPECTED)
